@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.CoreQueries
+
+/** Driver contract — see SURVEY.md §7 and the builder prompt.
+  *
+  * `queries` is the engine's declared operator inventory: one entry per
+  * implemented operator from SURVEY §2, each runnable on a testdata sf dir.
+  * `oracleSql` carries the DuckDB-equivalent SQL for the driver's
+  * correctness gate; entries without an oracle get a weaker rows-only check.
+  */
 object SparkEntry {
+
+  private val modules: Seq[QueryModule] = Seq(CoreQueries)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_.queries).reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    modules.map(_.oracles).reduce(_ ++ _)
+}
+
+/** A named bundle of queries + their DuckDB oracles. */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
 }
