@@ -1,6 +1,7 @@
 package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver's deterministic parquet fixtures (TESTDATA.md).
   *
@@ -16,8 +17,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  def read(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as
+    // a timestamp; sessions set spark.sql.legacy.parquet.nanosAsLong=true
+    // (see Sessions.configure) so it lands as a nanos-since-epoch long,
+    // converted here to a microsecond TimestampType — the same ns→µs
+    // truncation DuckDB applies, keeping the oracle comparable.
+    if (table == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local SparkSession for all suites (guide: one per suite via
+  * lazy val; sharing across suites avoids repeated JVM-wide session setup
+  * in the forked test JVM). */
+object SparkTestBase {
+  lazy val spark: SparkSession = Sessions.configure(
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4"))
+    .getOrCreate()
+}
+
+trait SparkTestBase {
+  lazy val spark: SparkSession = {
+    val s = SparkTestBase.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  /** sf0.001 fixture dir — the smoke-scale data. */
+  val sf: String = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,69 @@
+package graft.sink
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class UpsertSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, String)] =
+    df.select("k", "v").as[(Int, String)].collect().toSet
+
+  test("upsert inserts new PKs and overwrites existing ones, no deletes") {
+    val target = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("k", "v")
+    val source = Seq((2, "new2"), (4, "new4")).toDF("k", "v")
+    val got = rows(Upsert.upsert(target, source, Seq("k")))
+    assert(got == Set((1, "old1"), (2, "new2"), (3, "old3"), (4, "new4")))
+  }
+
+  test("upsert is idempotent: re-applying the same source is a no-op") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val source = Seq((2, "b2"), (3, "c")).toDF("k", "v")
+    val once = Upsert.upsert(target, source, Seq("k"))
+    val twice = Upsert.upsert(once, source, Seq("k"))
+    assert(rows(once) == rows(twice))
+  }
+
+  test("upsert with winner ordering resolves intra-source duplicates deterministically") {
+    val target = Seq((1, "old")).toDF("k", "v")
+    // Two source rows for k=1; winner = highest version.
+    val source = Seq((1, "v1", 1), (1, "v2", 2)).toDF("k", "v", "version")
+    val got = Upsert.upsert(target, source, Seq("k"),
+      winner = Some(Seq($"version".desc)))
+    assert(got.select("k", "v").as[(Int, String)].collect().toSet == Set((1, "v2")))
+  }
+
+  test("upsertPartitioned rewrites only touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_part").toString
+    val path = s"$dir/t"
+    val day1 = Seq((1, "a", "2024-01-01"), (2, "b", "2024-01-02"))
+      .toDF("k", "v", "day")
+    Upsert.upsertPartitioned(spark, path, day1, Seq("k"), "day")
+    // Second load touches only day 2 (update) and day 3 (insert).
+    val delta = Seq((2, "b2", "2024-01-02"), (3, "c", "2024-01-03"))
+      .toDF("k", "v", "day")
+    Upsert.upsertPartitioned(spark, path, delta, Seq("k"), "day")
+    val got = spark.read.parquet(path)
+      .select("k", "v", "day").as[(Int, String, String)].collect().toSet
+    assert(got == Set(
+      (1, "a", "2024-01-01"), (2, "b2", "2024-01-02"), (3, "c", "2024-01-03")))
+    // Untouched partition day=2024-01-01 must still exist (was not dropped
+    // by the dynamic overwrite of days 02/03).
+    assert(spark.read.parquet(path).filter($"day" === "2024-01-01").count() == 1)
+  }
+
+  test("upsertPartitioned double-apply is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_idem").toString
+    val path = s"$dir/t"
+    val src = Seq((1, "a", "d1"), (2, "b", "d2")).toDF("k", "v", "day")
+    Upsert.upsertPartitioned(spark, path, src, Seq("k"), "day")
+    val first = spark.read.parquet(path).select("k", "v", "day")
+      .as[(Int, String, String)].collect().toSet
+    Upsert.upsertPartitioned(spark, path, src, Seq("k"), "day")
+    val second = spark.read.parquet(path).select("k", "v", "day")
+      .as[(Int, String, String)].collect().toSet
+    assert(first == second)
+  }
+}
