@@ -24,6 +24,231 @@ object CoreQueries extends graft.QueryModule {
     sum(c.cast(DecimalType(18, 4))).cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Join + aggregate (TPC-H Q3 shape): revenue by market segment.
+    // customer is the small side — broadcast it so lineitem never
+    // shuffles for this join at scale.
+    "q3_join_agg" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+      val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // Multi-way join (TPC-H Q5 shape): revenue by nation, customers and
+    // suppliers co-national. All dims broadcast; only lineitem⋈orders
+    // shuffles on the order key.
+    "q5_multiway_join" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+      val supp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+      val nat = Tables.nation(s, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+      val reg = Tables.region(s, dir).select($"r_regionkey", $"r_name")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(supp),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
+          (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
+          .cast("double").as("revenue"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // Window top-k: 3 highest-value orders per customer.
+    "q_window_topk" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+        .orderBy($"o_custkey", $"rk")
+    },
+
+    // Window running aggregate: per-supplier running quantity by ship date.
+    "q_window_running" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.lineitem(s, dir)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          sum($"l_quantity".cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("running_qty"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+
+    // Window lag/lead: previous and next order value per customer.
+    "q_window_lag_lead" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // Set op INTERSECT: customers with both an 'F' and an 'O' order.
+    "q_intersect" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      o.filter($"o_orderstatus" === "F").select($"o_custkey")
+        .intersect(o.filter($"o_orderstatus" === "O").select($"o_custkey"))
+        .orderBy($"o_custkey")
+    },
+
+    // Set op EXCEPT: customers with no order at all.
+    "q_except" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir).select($"c_custkey")
+        .except(Tables.orders(s, dir).select($"o_custkey".as("c_custkey")))
+        .orderBy($"c_custkey")
+    },
+
+    // ROLLUP: subtotals and grand total over returnflag/linestatus.
+    "q_rollup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // CUBE over the same dimensions.
+    "q_cube" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // HAVING: suppliers moving more than 5000 total quantity.
+    "q_having" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_suppkey")
+        .agg(dsum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 5000.0)
+        .orderBy($"l_suppkey")
+    },
+
+    // DISTINCT aggregate: distinct parts and suppliers per return flag.
+    "q_distinct_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Correlated EXISTS as a semi join: customers having >= 1 order.
+    "q_exists_semi" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select($"o_custkey".as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // NOT EXISTS as an anti join: parts never shipped.
+    "q_not_exists_anti" -> { (s, dir) =>
+      import s.implicits._
+      Tables.part(s, dir)
+        .join(Tables.lineitem(s, dir).select($"l_partkey".as("p_partkey")),
+          Seq("p_partkey"), "left_anti")
+        .select($"p_partkey", $"p_name")
+        .orderBy($"p_partkey")
+    },
+
+    // CASE WHEN bucketing + conditional aggregation.
+    "q_case_when" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey",
+          when($"o_totalprice" < 50000.0, "small")
+            .when($"o_totalprice" < 150000.0, "medium")
+            .otherwise("large").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+
+    // Scalar function battery: string/date/math built-ins with identical
+    // cross-engine semantics (no HALF_UP-vs-HALF_EVEN rounding, no libm
+    // transcendentals).
+    "q_scalar_battery" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey",
+          upper($"o_orderpriority").as("prio_upper"),
+          length($"o_orderstatus").as("status_len"),
+          substring($"o_orderpriority", 1, 1).as("prio_code"),
+          concat_ws("-", $"o_orderstatus", $"o_orderpriority").as("tag"),
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          dayofmonth($"o_orderdate").as("d"),
+          trunc($"o_orderdate", "month").as("month_start"),
+          abs($"o_totalprice" * lit(-1.0)).as("abs_price"),
+          floor($"o_totalprice").cast("long").as("floor_price"),
+          ceil($"o_totalprice").cast("long").as("ceil_price"),
+          sqrt($"o_totalprice").as("sqrt_price"),
+          ($"o_orderkey" % 7).as("key_mod"))
+        .orderBy($"o_orderkey")
+    },
+
+    // LEFT OUTER join with null handling: order count per customer
+    // including customers with none.
+    "q_left_join_nulls" -> { (s, dir) =>
+      import s.implicits._
+      val ord = Tables.orders(s, dir).select($"o_custkey", $"o_orderkey")
+      Tables.customer(s, dir)
+        .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"c_custkey")
+    },
+
+    // Global top-k with full tie-break: 10 priciest line items.
+    "q_topk_global" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(10)
+    },
+
+    // Small cross join: every (region, order status) pair with counts.
+    "q_cross_join" -> { (s, dir) =>
+      import s.implicits._
+      val statuses = Tables.orders(s, dir).select($"o_orderstatus").distinct()
+      Tables.region(s, dir).select($"r_name")
+        .crossJoin(statuses)
+        .orderBy($"r_name", $"o_orderstatus")
+    },
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables.lineitem(s, dir)
@@ -41,6 +266,131 @@ object CoreQueries extends graft.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q3_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q5_multiway_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_having" ->
+      """SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 5000.0
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_exists_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_not_exists_anti" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT bucket, COUNT(*) AS n FROM (
+        |  SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+        |              WHEN o_totalprice < 150000.0 THEN 'medium'
+        |              ELSE 'large' END AS bucket
+        |  FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_scalar_battery" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  length(o_orderstatus) AS status_len,
+        |  substring(o_orderpriority, 1, 1) AS prio_code,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  abs(o_totalprice * -1.0) AS abs_price,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+        |  sqrt(o_totalprice) AS sqrt_price,
+        |  o_orderkey % 7 AS key_mod
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_left_join_nulls" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
