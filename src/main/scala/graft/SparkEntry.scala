@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, RefQueries}
+import graft.queries.{CoreQueries, ExtensionQueries, RefQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{CoreQueries, RefQueries}
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(CoreQueries, RefQueries)
+  private val modules: Seq[QueryModule] =
+    Seq(CoreQueries, RefQueries, ExtensionQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

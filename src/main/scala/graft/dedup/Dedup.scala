@@ -1,0 +1,165 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for pretraining-data pipelines (SURVEY §2.7):
+  * exact (fingerprint groupBy), exact pairwise n-gram Jaccard, MinHash+LSH
+  * banding, and SimHash. All shuffle-conscious:
+  *
+  *  - exact dedup: one shuffle on the fingerprint — the 100 TB baseline.
+  *  - Jaccard pairs: co-occurrence join on shingles (never a cross join);
+  *    cost ∝ Σ per-shingle df², so hot shingles are the skew risk — cap
+  *    them with `maxShingleDf`.
+  *  - MinHash/LSH: signature is one aggregate-free projection; candidate
+  *    generation is a groupBy on (band, bandHash) buckets; only candidates
+  *    are verified. This is the scale path: cost ∝ candidates, not pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: canonical (minimum) id + member count per
+    * normalized-text fingerprint. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
+
+  /** Keep one row per exact-duplicate group (the minimum-id row). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextFunctions.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** (id, shingle) exploded distinct-shingle table — the join key space
+    * for exact Jaccard. `maxShingleDf` drops shingles appearing in more
+    * than that many docs (stopword-gram skew guard; None keeps all). */
+  def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+    maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      case None => sh
+    }
+  }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold, via shingle
+    * co-occurrence: only pairs sharing ≥1 shingle are ever materialized. */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(df, textCol, idCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("id").as("id_a"), col("shingle"))
+    val b = sh.select(col("id").as("id_b"), col("shingle"))
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: k independent hash functions simulated by salting
+    * xxhash64 with the function index; signature[i] = min over shingles.
+    * One narrow projection — no shuffle, no UDF. */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shinglesCol, sh => xxhash64(sh, seed))))
+
+  /** LSH candidate pairs from banded MinHash signatures: two docs are
+    * candidates iff some band of r rows hashes identically. With k = b*r,
+    * P(candidate) ≈ 1-(1-J^r)^b — b=8,r=2 catches J≥0.8 with ≥99.6%. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df
+      .select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    val banded = sig.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .as("bh")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard — the
+    * standard candidate-then-verify pipeline. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol, shingleN, bands, rowsPerBand)
+    val sh = shingleTable(df, textCol, idCol, shingleN)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val shared = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over token hashes: bit b of the result is 1 iff the
+    * sum over tokens of ±1 (sign of bit b of xxhash64(token)) is positive.
+    * Computed as 64 conditional sums in one aggregation — one shuffle,
+    * no UDF, no per-bit row blowup. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val agg = hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L) * lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
+    * (any pair within Hamming distance 3 must agree on ≥1 chunk), verified
+    * by popcount(xor) ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = simhash(df, textCol, idCol)
+    val withChunk = sims
+      .withColumn("chunk", explode(array((0 until 4).map(lit): _*)))
+      .withColumn("cval",
+        expr("shiftright(simhash, chunk * 16)").bitwiseAND(lit(0xFFFFL)))
+      .select(col("id"), col("simhash"), col("chunk"), col("cval"))
+    withChunk.as("x").join(withChunk.as("y"), Seq("chunk", "cval"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2.7): brute-force cosine top-k as the exact baseline, and an
+  * IVF-style bucketed variant as the scale path.
+  *
+  * Scale shape: brute force is |Q|×|N| — fine when Q is a small probe set
+  * (broadcast Q, stream N, never shuffle N). IVF cuts the candidate set to
+  * the probed buckets: cost |N|×C for assignment (one pass, C centroids
+  * broadcast) plus |Q|×(nprobe/C)×|N| for search — the standard recall/cost
+  * trade.
+  */
+object Knn {
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` and
+    * `corpus` both carry (idCol, vecCol); a query is never its own
+    * neighbor. Q is broadcast: the corpus is scanned once, unshuffled,
+    * except the final per-query top-k window on |Q|×k rows. */
+  def bruteForce(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rk")
+  }
+
+  /** IVF bucket assignment: nearest (by cosine) of C deterministic
+    * centroids — here the corpus vectors with the C smallest ids, a
+    * deterministic stand-in for sampled/trained centroids (k-means training
+    * is an offline step out of query scope). */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Int): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(centroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val scored = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", VectorFunctions.cosine(col("v"), col("centv")))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vid"), col("v"), col("centroid_id").as("bucket"))
+  }
+
+  /** IVF top-k: search only the `nprobe` buckets nearest to each query. */
+  def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val cents = corpus.orderBy(col(idCol)).limit(centroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("sim", VectorFunctions.cosine(col("qv"), col("centv")))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    val probed = probes.withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+    val scored = assigned.join(broadcast(probed), Seq("bucket"))
+      .filter(col("query_id") =!= col("vid"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        col("cosine"), col("rk"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface (SURVEY §2.7):
+  * tokenization, n-gram shingling, quality features, fingerprinting, and a
+  * language-ID heuristic. All pure `functions._` compositions — codegen'd,
+  * no UDFs — so they stay inside whole-stage codegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (single-space split matches the fixture's
+    * space-joined corpus; use [[tokensWs]] for arbitrary whitespace). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Regex whitespace split for messy text. */
+  def tokensWs(text: Column): Column = split(lower(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles (distinct), order-sensitive — the dedup unit for
+    * MinHash/Jaccard near-dup detection. Empty array for docs shorter than
+    * n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = filter(
+      transform(toks, (_, i) => when(
+        i <= size(toks) - n,
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
+      x => x.isNotNull)
+    array_distinct(grams)
+  }
+
+  /** Occurrences of any of `words` among the tokens (not deduped — a ratio
+    * numerator, unlike array_intersect which would collapse repeats). */
+  def wordHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+  /** Quality features: length-based and stopword-ratio heuristics used by
+    * pretraining-data filters. All double arithmetic on exact integer
+    * inputs — cross-engine deterministic. */
+  def stopwordRatio(text: Column): Column =
+    wordHits(text, EnglishStopwords).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  def meanTokenLength(text: Column): Column =
+    (length(text) - tokenCount(text) + lit(1)).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Deterministic document fingerprint: md5 of whitespace-normalized
+    * lowercase text. Same value in any engine with md5 — the exact-dedup
+    * group key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Stopword profiles per language for the n-gram-free language-ID
+    * heuristic: score = hits of each language's marker words; predict the
+    * argmax, 'und' (undetermined) when nothing hits. Real-world marker
+    * sets; on synthetic single-vocabulary corpora the prediction is
+    * honest-but-arbitrary. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "que", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "est", "une", "que", "dans", "pour"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(wordHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.{Knn, TextFunctions, VectorFunctions}
+import graft.model.Tables
+import graft.multimodal.MultimodalOps
+import graft.streaming.EventsOps
+
+/** LLM-data-pipeline operator surface (SURVEY §2.7): text analysis, dedup
+  * (exact / Jaccard / MinHash / SimHash), vector similarity search,
+  * multimodal binary columns, and windowed event aggregation. Queries
+  * without an oracle entry (MinHash, SimHash, IVF) use engine-specific
+  * hashing that no other engine reproduces; their correctness is pinned by
+  * unit tests against exact baselines instead.
+  */
+object ExtensionQueries extends graft.QueryModule {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Text analysis: per-document quality features.
+    "text_stats" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        TextFunctions.tokenCount($"text").as("n_tokens"),
+        TextFunctions.wordHits($"text", TextFunctions.EnglishStopwords)
+          .as("stopword_hits"),
+        TextFunctions.stopwordRatio($"text").as("stopword_ratio"),
+        TextFunctions.meanTokenLength($"text").as("mean_token_len"))
+        .orderBy($"doc_id")
+    },
+
+    // Document fingerprint (exact-dedup key).
+    "text_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    },
+
+    // Shingling: distinct word-3-gram count per document.
+    "text_shingle_stats" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          size(TextFunctions.shingles($"text", 3)).as("n_shingles"))
+        .orderBy($"doc_id")
+    },
+
+    // Language-ID heuristic (marker-word argmax; no oracle — the synthetic
+    // corpus shares one vocabulary across langs, accuracy is pinned by the
+    // TextFunctionsSpec on real-language samples instead).
+    "text_langid" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", TextFunctions.langId($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    },
+
+    // Exact dedup groups by normalized-text fingerprint.
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("canonical_id"))
+    },
+
+    // Exact all-pairs 3-gram Jaccard near-dup pairs (co-occurrence join,
+    // threshold calibrated to the fixture's planted near-dups).
+    "dedup_jaccard_pairs" -> { (s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash+LSH near-dup pairs verified by exact Jaccard (no oracle:
+    // xxhash64 signatures are Spark-specific; recall vs exact pairs is
+    // asserted in DedupSpec).
+    "dedup_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash per document (no oracle: xxhash64-based).
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("id"))
+    },
+
+    // Brute-force cosine top-10 for a 5-query probe set — the exact ANN
+    // baseline. Oracle uses the identical dot/sqrt formula.
+    "knn_cosine_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.bruteForce(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // IVF approximate top-10 (no oracle: recall vs brute force asserted in
+    // KnnSpec).
+    "knn_ivf_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.ivf(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, centroids = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Multimodal: opaque binary payload + typed metadata.
+    "multimodal_bytes" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        length($"text".cast("binary")).as("n_bytes"),
+        ascii(substring($"text", 1, 1)).as("head_byte"))
+        .orderBy($"doc_id")
+    },
+
+    // Windowed event aggregation (batch form of the streaming plans).
+    "events_tumbling_hour" -> { (s, dir) =>
+      EventsOps.tumbling(Tables.events(s, dir), "1 hour")
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    "events_sliding" -> { (s, dir) =>
+      EventsOps.sliding(Tables.events(s, dir), "1 hour", "30 minutes")
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    "events_session" -> { (s, dir) =>
+      EventsOps.sessions(Tables.events(s, dir), "10 minutes")
+        .orderBy(col("user_id"), col("session_start"))
+    },
+  )
+
+  private val stopwordList =
+    TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> list_contains($stopwordList, t))) AS INTEGER) AS stopword_hits,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> list_contains($stopwordList, t))) AS DOUBLE)
+         |    / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) AS stopword_ratio,
+         |  CAST(length(text) - len(string_split(lower(text), ' ')) + 1 AS DOUBLE)
+         |    / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) AS mean_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_shingle_stats" ->
+      """SELECT doc_id, CAST(len(list_distinct(
+        |  [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |  )) AS INTEGER) AS n_shingles
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS canonical_id, count(*) AS n_members
+        |FROM documents GROUP BY fp ORDER BY canonical_id""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |shared AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "knn_cosine_topk" ->
+      """SELECT query_id, neighbor_id, cosine, rk FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      CASE WHEN sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) > 0
+        |           THEN list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+        |             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+        |                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+        |      END AS cosine
+        |    FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |    WHERE q.vec_id <> c.vec_id))
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "multimodal_bytes" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_tumbling_hour" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "events_sliding" ->
+      """SELECT window_start, event_type, COUNT(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+        |    event_type
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "events_session" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM ordered),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

@@ -1,0 +1,68 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model.Tables
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def planted = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    // near-dup of 1: one word changed
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank"),
+    (3L, "completely different text about spark catalyst optimizer internals"),
+    // exact dup of 3 modulo case/whitespace
+    (4L, "Completely   different text about spark catalyst optimizer internals"),
+    (5L, "unrelated words one two three four five six seven eight nine ten"),
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses case/whitespace variants to one fingerprint") {
+    val groups = Dedup.exactGroups(planted, "text", "doc_id")
+      .select("canonical_id", "n_members").as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 1L), (2L, 1L), (3L, 2L), (5L, 1L)))
+  }
+
+  test("exactDedup keeps the minimum-id row per group") {
+    val kept = Dedup.exactDedup(planted, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("jaccardPairs finds the planted near-dup and nothing else") {
+    val pairs = Dedup.jaccardPairs(planted, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhashPairs recall >= 0.8 vs exact jaccard pairs on the fixture corpus") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashPairs(docs, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // Verification step guarantees precision = 1 (every reported pair
+    // passes exact Jaccard); LSH banding only affects recall.
+    assert(mh.subsetOf(exact))
+    val recall = mh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhashPairs finds the planted near-dup pair") {
+    val pairs = Dedup.simhashPairs(planted, "text", "doc_id", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 5L)) && !pairs.contains((3L, 5L)))
+  }
+
+  test("simhash of identical token multisets is identical") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sims = Dedup.simhash(df, "text", "doc_id")
+      .select("simhash").as[Long].collect()
+    assert(sims(0) == sims(1))
+  }
+}

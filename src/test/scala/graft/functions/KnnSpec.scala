@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model.Tables
+
+class KnnSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+    ).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12 && math.abs(got(1)) < 1e-12)
+  }
+
+  test("cosine is null on a zero vector (no NaN poisoning)") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
+  test("bruteForce returns k ranked neighbors, excluding self") {
+    val emb = Tables.embeddings(spark, sf)
+    val res = Knn.bruteForce(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", 5)
+    val rows = res.select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect()
+    assert(rows.length == 15)
+    assert(rows.forall { case (q, n, _) => q != n })
+    val perQuery = rows.groupBy(_._1)
+    assert(perQuery.values.forall(_.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("ivf recall@10 >= 0.6 vs brute force on the fixture embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Knn.bruteForce(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Knn.ivf(emb, queries, "vec_id", "embedding",
+      k = 10, centroids = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ivf recall $recall")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("shingles are order-sensitive distinct n-grams") {
+    val got = Seq("a b c d").toDF("t")
+      .select(TextFunctions.shingles($"t", 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+  }
+
+  test("shingles of short docs are empty, not an error") {
+    val got = Seq("a b").toDF("t")
+      .select(TextFunctions.shingles($"t", 3)).as[Seq[String]].head()
+    assert(got.isEmpty)
+  }
+
+  test("fingerprint normalizes case and internal whitespace") {
+    val fps = Seq("Hello  World", "hello world ").toDF("t")
+      .select(TextFunctions.fingerprint($"t")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("wordHits counts occurrences, not distinct matches") {
+    val got = Seq("the cat the dog the end").toDF("t")
+      .select(TextFunctions.wordHits($"t", Seq("the"))).as[Int].head()
+    assert(got == 3)
+  }
+
+  test("langId picks the language with the most marker hits") {
+    val samples = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("der hund und die katze sind nicht da", "de"),
+      ("el perro y la casa es que una maravilla por fin", "es"),
+      ("le chien est dans la maison pour une heure", "fr"),
+      ("我 是 一个 人 的 朋友 在 北京", "zh"),
+      ("xyzzy plugh quux", "und"),
+    ).toDF("t", "expected")
+    val got = samples.select($"expected", TextFunctions.langId($"t").as("got"))
+      .as[(String, String)].collect()
+    got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+}
