@@ -39,8 +39,11 @@ object Dedup {
     * than that many docs (stopword-gram skew guard; None keeps all). */
   def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+    val sh = df
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("shingle"))
     maxShingleDf match {
       case Some(cap) =>
         val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -80,15 +83,24 @@ object Dedup {
 
   /** LSH candidate pairs from banded MinHash signatures: two docs are
     * candidates iff some band of r rows hashes identically. With k = b*r,
-    * P(candidate) ≈ 1-(1-J^r)^b — b=8,r=2 catches J≥0.8 with ≥99.6%. */
+    * P(candidate) ≈ 1-(1-J^r)^b. Defaults b=8,r=4: J=0.9 → 0.9995 recall,
+    * while unrelated pairs (J≈0.1) collide at ~8·10⁻⁴ — r must be ≥4 when
+    * the corpus has high baseline similarity (small vocabularies), else
+    * random band collisions swamp verification (measured 218 s → 3 s at
+    * 5k docs going r=2 → r=4). */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df
-      .select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    // Signature as k min-aggregates over the exploded shingle table: one
+    // hash-agg shuffle, and each shingle is hashed exactly k times.
+    // (The array-expression form of minhashSignature gets its shingle
+    // input re-inlined per seed by CollapseProject — measured 10× slower.)
+    val sh = shingleTable(df, textCol, idCol, shingleN)
+    val minCols = (0 until k).map(s =>
+      min(xxhash64(col("shingle"), lit(s))).as(s"__m$s"))
+    val sig = sh.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
     val banded = sig.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -105,7 +117,7 @@ object Dedup {
     * standard candidate-then-verify pipeline. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
-      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val cand = minhashCandidates(df, textCol, idCol, shingleN, bands, rowsPerBand)
     val sh = shingleTable(df, textCol, idCol, shingleN)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))

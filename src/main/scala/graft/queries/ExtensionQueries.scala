@@ -46,8 +46,9 @@ object ExtensionQueries extends graft.QueryModule {
     "text_shingle_stats" -> { (s, dir) =>
       import s.implicits._
       Tables.documents(s, dir)
+        .select($"doc_id", TextFunctions.tokens($"text").as("__toks"))
         .select($"doc_id",
-          size(TextFunctions.shingles($"text", 3)).as("n_shingles"))
+          size(TextFunctions.shinglesFromTokens($"__toks", 3)).as("n_shingles"))
         .orderBy($"doc_id")
     },
 
