@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+import graft.functions.expressions.CosineSimilarity
+
+/** SQL surface for the engine's native expressions.
+  *
+  * Two registration paths:
+  *  - `.withExtensions(new GraftExtensions)` at session build time
+  *    (the SparkSessionExtensions route, for spark.sql users);
+  *  - [[GraftFunctions.register]] on an existing session (what Verify,
+  *    Bench, and the tests use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach { case (ident, info, builder) =>
+      e.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+
+  /** Idempotent registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+
+  /** Column-API form of the native cosine (goes through the registry, so
+    * [[register]] must have run on the session). */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}

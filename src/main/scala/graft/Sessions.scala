@@ -21,6 +21,7 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
     s
   }
 }

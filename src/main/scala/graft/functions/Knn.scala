@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,16 +21,31 @@ object Knn {
     * neighbor. Q is broadcast: the corpus is scanned once, unshuffled,
     * except the final per-query top-k window on |Q|×k rows. */
   def bruteForce(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosineFn(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("query_id", "neighbor_id", "cosine", "rk")
+  }
+
+  /** Exact all-pairs embedding near-dup detection: every unordered pair
+    * with cosine ≥ threshold. Quadratic — the exact baseline; at corpus
+    * scale, prune candidates with [[ivfAssign]] buckets or LSH first. */
+  def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double,
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineFn(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
   }
 
   /** IVF bucket assignment: nearest (by cosine) of C deterministic

@@ -1,0 +1,82 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * `ArrayType(FloatType)` columns, with whole-stage codegen.
+  *
+  * Semantics match [[graft.functions.VectorFunctions.cosine]] exactly
+  * (floats widened to double before any arithmetic; sequential
+  * accumulation; `sqrt(na)*sqrt(nb)` denominator; NULL when either norm is
+  * zero) — so it is interchangeable with the HOF composition and with the
+  * DuckDB oracle, but runs as one fused primitive loop instead of three
+  * zip_with/aggregate array traversals with intermediate array
+  * allocations. Compares over the common prefix when lengths differ
+  * (zip_with semantics).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0.0) dot / denom else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double x = (double) $a.getFloat($i);
+        |  double y = (double) $b.getFloat($i);
+        |  $dot += x * y; $na += x * x; $nb += y * y;
+        |}
+        |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        |if ($denom > 0.0) { ${ev.value} = $dot / $denom; }
+        |else { ${ev.isNull} = true; }
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+}

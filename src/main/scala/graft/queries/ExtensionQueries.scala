@@ -98,6 +98,24 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Same brute-force top-k through the native codegen'd
+    // CosineSimilarity expression — must match the same oracle bit for
+    // bit, and beats the HOF composition (one fused loop, no intermediate
+    // arrays).
+    "knn_cosine_topk_native" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.bruteForce(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10, graft.GraftFunctions.cosineSim)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Embedding-cosine near-dup pairs (exact all-pairs baseline).
+    "dedup_embedding_pairs" -> { (s, dir) =>
+      Knn.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        0.4, graft.GraftFunctions.cosineSim)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // IVF approximate top-10 (no oracle: recall vs brute force asserted in
     // KnnSpec).
     "knn_ivf_topk" -> { (s, dir) =>
@@ -200,6 +218,31 @@ object ExtensionQueries extends graft.QueryModule {
         |    FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
         |    WHERE q.vec_id <> c.vec_id))
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "knn_cosine_topk_native" ->
+      """SELECT query_id, neighbor_id, cosine, rk FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      CASE WHEN sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) > 0
+        |           THEN list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+        |             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+        |                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+        |      END AS cosine
+        |    FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |    WHERE q.vec_id <> c.vec_id))
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      """SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -6,12 +6,16 @@ import org.apache.spark.sql.SparkSession
   * lazy val; sharing across suites avoids repeated JVM-wide session setup
   * in the forked test JVM). */
 object SparkTestBase {
-  lazy val spark: SparkSession = Sessions.configure(
-    SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", "4"))
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = Sessions.configure(
+      SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-tests")
+        .config("spark.sql.shuffle.partitions", "4"))
+      .getOrCreate()
+    GraftFunctions.register(s)
+    s
+  }
 }
 
 trait SparkTestBase {
