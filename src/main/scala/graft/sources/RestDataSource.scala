@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for the paginated REST endpoints (SURVEY §2.1 S4/S7,
+  * §7 step 5): `spark.read.format("graft-rest")` with options
+  *
+  *  - `keys`            comma-separated scan keys (sub-categories, shop ids)
+  *  - `urlTemplate`     URL with `{key}` / `{page}` placeholders
+  *  - `terminator`      `product` (stop on data:null, etl.py:58) or
+  *                      `rating` (stop on empty array, etl.py:140)
+  *  - `transport`       name in [[TransportRegistry]] (tests) or `http`
+  *  - `maxPages`        per-key page cap (default 100000)
+  *  - `keysPerPartition` scan keys per input partition (default 1)
+  *
+  * Output schema: (key string, page int, body string). One InputPartition
+  * per `keysPerPartition` keys — partition planning mirrors the
+  * reference's per-key fetch loops but distributes them; the transport is
+  * constructed per partition reader (connection reuse, S6 note).
+  * Column pruning (SupportsPushDownRequiredColumns) reaches the reader:
+  * un-projected columns are never materialized into rows — though the
+  * fetch itself always happens, since pagination needs the body to find
+  * the last page.
+  */
+class RestDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rest"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RestDataSource.fullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RestTable(new CaseInsensitiveStringMap(properties))
+}
+
+object RestDataSource {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("page", IntegerType, nullable = false),
+    StructField("body", StringType, nullable = false)))
+}
+
+/** Transport lookup for executors. `http` builds a real [[HttpTransport]];
+  * other names resolve against an in-JVM registry populated by tests
+  * (valid in local mode; a cluster deployment would construct transports
+  * from options instead). */
+object TransportRegistry {
+  private val named = new java.util.concurrent.ConcurrentHashMap[String, Transport]()
+  def put(name: String, t: Transport): Unit = named.put(name, t)
+  def resolve(name: String): Transport =
+    if (name == "http") new HttpTransport(Seq.empty)
+    else Option(named.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"unknown transport '$name'"))
+}
+
+private[sources] class RestTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-rest(${options.getOrDefault("urlTemplate", "?")})"
+  override def schema(): StructType = RestDataSource.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ opts.asScala).asJava)
+    new RestScanBuilder(merged)
+  }
+}
+
+private[sources] class RestScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = RestDataSource.fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new RestBatchScan(options, required)
+}
+
+private[sources] class RestBatchScan(options: CaseInsensitiveStringMap,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val keys = options.get("keys").split(",").map(_.trim).filter(_.nonEmpty)
+    val perPart = options.getOrDefault("keysPerPartition", "1").toInt
+    keys.grouped(perPart).map(g => RestInputPartition(g.toSeq): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RestReaderFactory(
+      options.get("urlTemplate"),
+      options.getOrDefault("terminator", "product"),
+      options.getOrDefault("transport", "http"),
+      options.getOrDefault("maxPages", "100000").toInt,
+      required.fieldNames.toSeq)
+}
+
+private[sources] case class RestInputPartition(keys: Seq[String])
+  extends InputPartition
+
+private[sources] case class RestReaderFactory(urlTemplate: String,
+    terminator: String, transportName: String, maxPages: Int,
+    columns: Seq[String]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val keys = partition.asInstanceOf[RestInputPartition].keys
+    // One transport per partition reader: connection reuse per partition,
+    // never per row (SURVEY §2.1 S6 scale note).
+    val transport = TransportRegistry.resolve(transportName)
+    val isLast: String => Boolean = terminator match {
+      case "rating" => RestScan.ratingLastPage
+      case _ => RestScan.productLastPage
+    }
+    val rows: Iterator[(String, Int, String)] = keys.iterator.flatMap { key =>
+      Iterator.from(1)
+        .take(maxPages)
+        .map { page =>
+          val url = urlTemplate
+            .replace("{key}", key).replace("{page}", page.toString)
+          (key, page, transport.get(url))
+        }
+        .takeWhile { case (_, _, body) => !isLast(body) }
+    }
+    new PartitionReader[InternalRow] {
+      private var current: (String, Int, String) = _
+      override def next(): Boolean = {
+        if (rows.hasNext) { current = rows.next(); true } else false
+      }
+      override def get(): InternalRow = {
+        val values = columns.map {
+          case "key" => UTF8String.fromString(current._1)
+          case "page" => Int.box(current._2)
+          case "body" => UTF8String.fromString(current._3)
+        }
+        InternalRow.fromSeq(values)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Windowed event aggregations (SURVEY §2.7 streaming extension). Each
@@ -35,6 +36,28 @@ object EventsOps {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state beyond windowed aggregation (SURVEY §2.7): a
+    * per-user running total maintained across micro-batches with
+    * flatMapGroupsWithState. Update mode: each batch emits the new totals
+    * for users that received events. State is unbounded by design here;
+    * production variants bound it with a timeout. */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserTotals](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
+          val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var t = t0
+          it.foreach { e => n += 1; t += e.value }
+          state.update((n, t))
+          Iterator(UserTotals(uid, n, t))
+      }
+  }
 
   /** The streaming form of [[tumbling]]: watermarked for state eviction.
     * Late data beyond the watermark is dropped — the explicit policy

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain inner join on skewed data") {
+    // 90% of big rows share one hot key.
+    val big = ((1 to 900).map(i => (42, s"b$i")) ++
+      (1 to 100).map(i => (i % 20, s"t$i"))).toDF("k", "v")
+    val small = (0 to 50).map(i => (i, s"s$i")).toDF("k", "w")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "v", "w").as[(Int, String, String)].collect().sorted.toSeq
+    val salted = ScaleOps.saltedJoin(big, small, "k", saltFactor = 8)
+      .select("k", "v", "w").as[(Int, String, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.count(_._1 == 42) == 900)
+  }
+
+  test("coPartition aligns both sides on the key partitioning") {
+    val (a, b) = ScaleOps.coPartition(
+      Seq((1, "a")).toDF("k", "v"), Seq((1, "b")).toDF("k", "w"), "k", 4)
+    assert(a.rdd.getNumPartitions == 4 && b.rdd.getNumPartitions == 4)
+    // Joining co-partitioned sides must not add a new shuffle on top of
+    // the explicit repartitions.
+    val plan = a.join(b, Seq("k")).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.props
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkTestBase
+import graft.ops.RefOps
+import graft.sink.Upsert
+
+/** Property-based laws (SURVEY §5): upsert idempotency, dedup/filter
+  * containment, lossless split. Sized down (10 cases each) because every
+  * case runs real Spark jobs. */
+object LawsProps extends Properties("graft.laws") with SparkTestBase {
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val rowGen: Gen[(Int, String)] = for {
+    k <- Gen.choose(0, 20)
+    v <- Gen.alphaStr.map(_.take(5))
+  } yield (k, v)
+
+  private val tableGen: Gen[List[(Int, String)]] =
+    Gen.listOfN(15, rowGen)
+
+  private def df(rows: List[(Int, String)]): DataFrame =
+    rows.toDF("k", "v")
+
+  private def canon(d: DataFrame): Set[(Int, String)] =
+    d.select("k", "v").as[(Int, String)].collect().toSet
+
+  property("upsert idempotency: upsert(upsert(T,S),S) == upsert(T,S)") =
+    forAll(tableGen, tableGen) { (t, s) =>
+      val target = df(t).dropDuplicates("k")
+      val source = df(s)
+      val once = Upsert.upsert(target, source, Seq("k"),
+        winner = Some(Seq($"v")))
+      val twice = Upsert.upsert(once, source, Seq("k"),
+        winner = Some(Seq($"v")))
+      canon(once) == canon(twice)
+    }
+
+  property("upsert result keys = target keys ∪ source keys") =
+    forAll(tableGen, tableGen) { (t, s) =>
+      val target = df(t).dropDuplicates("k")
+      val source = df(s)
+      val merged = Upsert.upsert(target, source, Seq("k"))
+      val keys = merged.select("k").as[Int].collect().toSet
+      keys == (t.map(_._1).toSet ++ s.map(_._1).toSet)
+    }
+
+  property("dedupByKeyFirst output ⊆ input and unique per key") =
+    forAll(tableGen) { rows =>
+      val deduped = RefOps.dedupByKeyFirst(Seq("k"), Seq($"v"))(df(rows))
+      val got = canon(deduped)
+      got.subsetOf(rows.toSet) &&
+        got.groupBy(_._1).values.forall(_.size == 1)
+    }
+
+  property("riFilter output ⊆ input, keeps exactly matching keys") =
+    forAll(tableGen, Gen.listOf(Gen.choose(0, 20))) { (rows, valid) =>
+      val filtered = canon(RefOps.riFilter(valid.toDF("k"), "k")(df(rows)))
+      filtered == rows.filter(r => valid.contains(r._1)).toSet
+    }
+
+  property("splitEven(n) then drop part_id == identity (lossless)") =
+    forAll(tableGen, Gen.choose(1, 7)) { (rows, n) =>
+      val split = RefOps.splitEven(n, Seq($"k", $"v"))(df(rows))
+      canon(split.drop("part_id")) == rows.toSet ||
+        // canon() collapses duplicate rows; compare with multiplicity:
+        split.drop("part_id").as[(Int, String)].collect().sorted.toSeq ==
+          rows.sorted.toSeq
+    }
+
+  property("union-of-pages invariant under page size") =
+    forAll(tableGen, Gen.choose(1, 5)) { (rows, pageSize) =>
+      val pages = rows.grouped(pageSize).map(p => df(p)).toSeq
+      if (pages.isEmpty) true
+      else RefOps.unionAll(pages).as[(Int, String)].collect().sorted.toSeq ==
+        rows.sorted.toSeq
+    }
+}

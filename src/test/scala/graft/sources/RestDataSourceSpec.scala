@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class RestDataSourceSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def withFake(name: String, pages: Map[String, String])(f: => Unit): Unit = {
+    TransportRegistry.put(name, new FakeTransport(pages))
+    f
+  }
+
+  private def read(transport: String, keys: String = "a,b") =
+    spark.read.format("graft-rest")
+      .option("keys", keys)
+      .option("urlTemplate", "u/{key}/{page}")
+      .option("terminator", "product")
+      .option("transport", transport)
+      .load()
+
+  test("reads paginated rows per key through the DSv2 surface") {
+    withFake("t1", Map(
+      "u/a/1" -> """{"data": [1]}""", "u/a/2" -> """{"data": [2]}""",
+      "u/a/3" -> """{"data": null}""",
+      "u/b/1" -> """{"data": [9]}""", "u/b/2" -> """{"data": null}""")) {
+      val got = read("t1").as[(String, Int, String)].collect().toSet
+      assert(got == Set(
+        ("a", 1, """{"data": [1]}"""), ("a", 2, """{"data": [2]}"""),
+        ("b", 1, """{"data": [9]}""")))
+    }
+  }
+
+  test("plans one input partition per key by default") {
+    withFake("t2", Map(
+      "u/a/1" -> """{"data": null}""", "u/b/1" -> """{"data": null}""")) {
+      val df = read("t2")
+      assert(df.rdd.getNumPartitions == 2)
+    }
+  }
+
+  test("column pruning reaches the reader (key/page projection works)") {
+    withFake("t3", Map(
+      "u/a/1" -> """{"data": [1]}""", "u/a/2" -> """{"data": null}""",
+      "u/b/1" -> """{"data": null}""")) {
+      val got = read("t3").select("key", "page").as[(String, Int)].collect().toSet
+      assert(got == Set(("a", 1)))
+      val plan = read("t3").select("key", "page")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("key") && !plan.contains("body#"))
+    }
+  }
+
+  test("rating terminator option uses the empty-array convention") {
+    TransportRegistry.put("t4", new FakeTransport(Map(
+      "u/s/1" -> """{"data": {"ratings": [{"x": 1}]}}""",
+      "u/s/2" -> """{"data": {"ratings": []}}""")))
+    val got = spark.read.format("graft-rest")
+      .option("keys", "s")
+      .option("urlTemplate", "u/{key}/{page}")
+      .option("terminator", "rating")
+      .option("transport", "t4")
+      .load().as[(String, Int, String)].collect().toSeq
+    assert(got == Seq(("s", 1, """{"data": {"ratings": [{"x": 1}]}}""")))
+  }
+}
