@@ -70,6 +70,28 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** GPT-2-style pre-tokenizer pattern, ASCII-simplified: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+    * Valid in both Java regex and RE2, so the count is oracle-checkable. */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count: matches of [[BpePattern]] — the cheap proxy for
+    * LLM token budgeting that a whitespace split underestimates. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Order-sensitive polynomial rolling hash over the token sequence
+    * (Karp-Rabin): fold (acc*31 + h(token)) mod 1e9+7, h = first 8 md5
+    * hex digits. Unlike the set-based [[fingerprint]], token REORDERING
+    * changes this value. Bounded arithmetic — never overflows a long, so
+    * ANSI mode is safe and any engine folds to the same value. */
+  def rollingHash(toks: Column): Column = {
+    val hashes = transform(toks,
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    aggregate(hashes, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+  }
+
   /** Stopword profiles per language for the n-gram-free language-ID
     * heuristic: score = hits of each language's marker words; predict the
     * argmax, 'und' (undetermined) when nothing hits. Real-world marker

@@ -52,6 +52,25 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // BPE-ish token budgeting.
+    "text_bpe_tokens" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          TextFunctions.bpeTokenCount($"text").as("n_bpe_tokens"))
+        .orderBy($"doc_id")
+    },
+
+    // Order-sensitive rolling-hash document fingerprint.
+    "text_rolling_hash" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", TextFunctions.tokens($"text").as("__toks"))
+        .select($"doc_id",
+          TextFunctions.rollingHash($"__toks").as("rolling_hash"))
+        .orderBy($"doc_id")
+    },
+
     // Language-ID heuristic (marker-word argmax; no oracle — the synthetic
     // corpus shares one vocabulary across langs, accuracy is pinned by the
     // TextFunctionsSpec on real-language samples instead).
@@ -171,6 +190,20 @@ object ExtensionQueries extends graft.QueryModule {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,
+        |  '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'
+        |  )) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_rolling_hash" ->
+      """SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(lower(text), ' '),
+        |        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_shingle_stats" ->

@@ -32,6 +32,27 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == 3)
   }
 
+  test("bpeTokenCount counts contractions and punctuation as extra tokens") {
+    val got = Seq("it's fine, really 42").toDF("t")
+      .select(TextFunctions.bpeTokenCount($"t")).as[Int].head()
+    // it|'s| fine|,| really| 42
+    assert(got == 6)
+  }
+
+  test("rollingHash is order-sensitive where fingerprint is not") {
+    val df = Seq(("a b c", "c b a")).toDF("x", "y")
+    val (hx, hy) = df.select(
+      TextFunctions.rollingHash(TextFunctions.tokens($"x")),
+      TextFunctions.rollingHash(TextFunctions.tokens($"y")))
+      .as[(Long, Long)].head()
+    assert(hx != hy)
+    val same = Seq(("a b c", "a b c")).toDF("x", "y").select(
+      TextFunctions.rollingHash(TextFunctions.tokens($"x")),
+      TextFunctions.rollingHash(TextFunctions.tokens($"y")))
+      .as[(Long, Long)].head()
+    assert(same._1 == same._2)
+  }
+
   test("langId picks the language with the most marker hits") {
     val samples = Seq(
       ("the cat sat on the mat and it was happy", "en"),
