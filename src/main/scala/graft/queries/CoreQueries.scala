@@ -249,6 +249,68 @@ object CoreQueries extends graft.QueryModule {
         .crossJoin(statuses)
         .orderBy($"r_name", $"o_orderstatus")
     },
+
+    // Nation-to-nation trade flows (TPC-H Q7 shape): supplier nation ×
+    // customer nation revenue. Dims broadcast; one fact shuffle.
+    "q7_nation_flows" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+      val supp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+      val n1 = Tables.nation(s, dir)
+        .select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n1), $"s_nationkey" === $"sk")
+        .join(broadcast(n2), $"c_nationkey" === $"ck")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation")
+        .agg(sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
+          (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
+          .cast("double").as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation")
+    },
+
+    // Scalar subquery: parts priced above the global average.
+    "q_scalar_subquery" -> { (s, dir) =>
+      import s.implicits._
+      val part = Tables.part(s, dir)
+      val avgPrice = part.agg(
+        (sum($"p_retailprice".cast(DecimalType(18, 4))) / count(lit(1)))
+          .cast("double").as("avg_price"))
+      part.crossJoin(broadcast(avgPrice))
+        .filter($"p_retailprice" > $"avg_price")
+        .select($"p_partkey", $"p_retailprice")
+        .orderBy($"p_partkey")
+    },
+
+    // IN-subquery (planned as a semi join): orders of BUILDING customers.
+    "q_in_subquery" -> { (s, dir) =>
+      import s.implicits._
+      val building = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("o_custkey"))
+      Tables.orders(s, dir)
+        .join(building, Seq("o_custkey"), "left_semi")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    // Calendar aggregation: monthly order volume and revenue.
+    "q_monthly_orders" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy(trunc($"o_orderdate", "month").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast(DecimalType(18, 4)))
+            .cast("double").as("revenue"))
+        .orderBy($"month")
+    },
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables.lineitem(s, dir)
@@ -391,6 +453,37 @@ object CoreQueries extends graft.QueryModule {
       """SELECT r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
         |ORDER BY r_name, o_orderstatus""".stripMargin,
+
+    "q7_nation_flows" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY supp_nation, cust_nation
+        |ORDER BY supp_nation, cust_nation""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE)
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_monthly_orders" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -81,6 +81,32 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Per-source corpus profile (the grouping a crawl pipeline reports).
+    "docs_per_source" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          countDistinct($"lang").as("n_langs"))
+        .orderBy($"source")
+    },
+
+    // Composite pretraining-quality filter: keep docs inside token/char
+    // bounds with an acceptable stopword ratio — the filter-chain shape
+    // of a training-data pipeline, as one predicate pushdown-friendly
+    // select.
+    "docs_quality_filter" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"n_chars",
+          TextFunctions.tokenCount($"text").as("n_tokens"),
+          TextFunctions.stopwordRatio($"text").as("stopword_ratio"))
+        .filter($"n_tokens" >= 10 && $"n_tokens" <= 60 &&
+          $"n_chars" >= 50 && $"stopword_ratio" <= 0.3)
+        .orderBy($"doc_id")
+    },
+
     // Exact dedup groups by normalized-text fingerprint.
     "dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
@@ -212,6 +238,25 @@ object ExtensionQueries extends graft.QueryModule {
         |  )) AS INTEGER) AS n_shingles
         |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "docs_per_source" ->
+      """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "docs_quality_filter" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> list_contains($stopwordList, t))) AS DOUBLE)
+         |    / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) AS stopword_ratio
+         |FROM documents
+         |WHERE len(string_split(lower(text), ' ')) BETWEEN 10 AND 60
+         |  AND n_chars >= 50
+         |  AND CAST(len(list_filter(string_split(lower(text), ' '),
+         |    t -> list_contains($stopwordList, t))) AS DOUBLE)
+         |    / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) <= 0.3
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
