@@ -30,6 +30,46 @@ object MultimodalOps {
     out
   }
 
+  /** Deterministic fake "resize": downsample the payload to a fixed byte
+    * budget by strided sampling. STUB for image resize — preserves the
+    * real contract (binary in, smaller binary out, deterministic). */
+  def resizeStub(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
+    if (bytes.length <= targetLen) bytes
+    else {
+      val out = new Array[Byte](targetLen)
+      val stride = bytes.length.toDouble / targetLen
+      var i = 0
+      while (i < targetLen) { out(i) = bytes((i * stride).toInt); i += 1 }
+      out
+    }
+  }
+
+  /** Deterministic fake "frame sampling": split the payload into
+    * `frameSize`-byte frames and keep every `every`-th — the video
+    * frame-sample shape (one row in, N frame rows out). */
+  def frameSampleStub(bytes: Array[Byte], frameSize: Int,
+      every: Int): Seq[Array[Byte]] =
+    bytes.grouped(frameSize).zipWithIndex
+      .collect { case (frame, i) if i % every == 0 => frame }
+      .toSeq
+
+  case class MediaFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Frame extraction as a flatMap over partitions: one media row fans
+    * out to its sampled frames — the row-multiplying decode shape
+    * (video → frames, audio → windows). */
+  def extractFrames(media: Dataset[MediaRow], frameSize: Int,
+      every: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        frameSampleStub(r.bytes, frameSize, every).zipWithIndex.map {
+          case (f, i) => MediaFrame(r.media_id, i, f)
+        }
+      }
+    }
+  }
+
   /** Partition-local decode: mapPartitions so a real codec would be
     * initialized once per partition (the connection-reuse pattern of
     * reference dags/etl.py:89-96 applied to codecs), never per row and

@@ -33,4 +33,16 @@ object ScaleOps {
       numPartitions: Int): (DataFrame, DataFrame) =
     (a.repartition(numPartitions, col(key)),
       b.repartition(numPartitions, col(key)))
+
+  /** Durable co-location: write as a bucketed+sorted catalog table. Two
+    * tables bucketed on the same key with the same bucket count join with
+    * NO exchange — the shuffle is paid once at write time, amortized over
+    * every subsequent join/groupBy on the key. The 100 TB form of
+    * [[coPartition]]. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

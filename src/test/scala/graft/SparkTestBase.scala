@@ -11,7 +11,9 @@ object SparkTestBase {
       SparkSession.builder()
         .master("local[4]")
         .appName("graft-tests")
-        .config("spark.sql.shuffle.partitions", "4"))
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_wh_test").toString))
       .getOrCreate()
     GraftFunctions.register(s)
     s

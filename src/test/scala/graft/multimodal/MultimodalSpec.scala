@@ -22,6 +22,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     feats.unpersist()
   }
 
+  test("resizeStub hits the byte budget deterministically") {
+    val big = (0 until 1000).map(_.toByte).toArray
+    val small = MultimodalOps.resizeStub(big, 64)
+    assert(small.length == 64)
+    assert(small.sameElements(MultimodalOps.resizeStub(big, 64)))
+    val tiny = Array[Byte](1, 2)
+    assert(MultimodalOps.resizeStub(tiny, 64).sameElements(tiny))
+  }
+
+  test("extractFrames fans one media row out to sampled frames") {
+    val media = MultimodalOps.documentsAsMedia(spark, Tables.documents(spark, sf))
+      .limit(10)
+    val frames = MultimodalOps.extractFrames(media, frameSize = 32, every = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame.length <= 32))
+    // Every kept frame index is even in the source frame numbering, i.e.
+    // sampling dropped every other frame: count matches the stub.
+    val byId = frames.groupBy(_.media_id)
+    byId.foreach { case (_, fs) =>
+      assert(fs.map(_.frame_no).sorted.toSeq == (0 until fs.length))
+    }
+  }
+
   test("decodeStub is a pure function of the bytes") {
     val a = MultimodalOps.decodeStub("hello".getBytes("UTF-8"))
     val b = MultimodalOps.decodeStub("hello".getBytes("UTF-8"))

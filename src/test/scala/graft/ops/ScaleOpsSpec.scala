@@ -20,6 +20,31 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(plain.count(_._1 == 42) == 900)
   }
 
+  test("bucketed tables join with no exchange (shuffle paid at write time)") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_quantity")
+    val ord = graft.model.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice")
+    ScaleOps.writeBucketed(li, "li_bucketed", "l_orderkey", 4)
+    ScaleOps.writeBucketed(
+      ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "ord_bucketed", "l_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be exchange-free, got:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("coPartition aligns both sides on the key partitioning") {
     val (a, b) = ScaleOps.coPartition(
       Seq((1, "a")).toDF("k", "v"), Seq((1, "b")).toDF("k", "w"), "k", 4)
