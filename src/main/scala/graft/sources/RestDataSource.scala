@@ -79,15 +79,23 @@ private[sources] class RestTable(options: CaseInsensitiveStringMap)
 }
 
 private[sources] class RestScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = RestDataSource.fullSchema
+  private var limit: Int = Int.MaxValue
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new RestBatchScan(options, required)
+  /** LIMIT pushdown (SURVEY §4.3's optional rule, via the DSv2-native
+    * hook): a top-k over a scrape stops FETCHING after `limit` pages per
+    * partition instead of paginating to the end — the fetch loop itself
+    * is bounded, not just the rows returned. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed: Boolean = true // per-partition cap only
+  override def build(): Scan = new RestBatchScan(options, required, limit)
 }
 
 private[sources] class RestBatchScan(options: CaseInsensitiveStringMap,
-    required: StructType) extends Scan with Batch {
+    required: StructType, limit: Int = Int.MaxValue) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -104,7 +112,8 @@ private[sources] class RestBatchScan(options: CaseInsensitiveStringMap,
       options.getOrDefault("terminator", "product"),
       options.getOrDefault("transport", "http"),
       options.getOrDefault("maxPages", "100000").toInt,
-      required.fieldNames.toSeq)
+      required.fieldNames.toSeq,
+      limit)
 }
 
 private[sources] case class RestInputPartition(keys: Seq[String])
@@ -112,7 +121,8 @@ private[sources] case class RestInputPartition(keys: Seq[String])
 
 private[sources] case class RestReaderFactory(urlTemplate: String,
     terminator: String, transportName: String, maxPages: Int,
-    columns: Seq[String]) extends PartitionReaderFactory {
+    columns: Seq[String], limit: Int = Int.MaxValue)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val keys = partition.asInstanceOf[RestInputPartition].keys
@@ -132,7 +142,7 @@ private[sources] case class RestReaderFactory(urlTemplate: String,
           (key, page, transport.get(url))
         }
         .takeWhile { case (_, _, body) => !isLast(body) }
-    }
+    }.take(limit) // pushed LIMIT: stops the fetch loop, not just output
     new PartitionReader[InternalRow] {
       private var current: (String, Int, String) = _
       override def next(): Boolean = {

@@ -5,6 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
 
+object RestDataSourceSpec {
+  val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class RestDataSourceSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
@@ -51,6 +55,28 @@ class RestDataSourceSpec extends AnyFunSuite with SparkTestBase {
         .queryExecution.executedPlan.toString
       assert(plan.contains("key") && !plan.contains("body#"))
     }
+  }
+
+  test("pushed LIMIT stops the fetch loop itself, not just the output") {
+    RestDataSourceSpec.fetches.set(0)
+    TransportRegistry.put("tcount", new Transport {
+      override def get(url: String): String = {
+        RestDataSourceSpec.fetches.incrementAndGet()
+        """{"data": [1]}""" // endless pages — only the limit can stop us
+      }
+    })
+    val got = spark.read.format("graft-rest")
+      .option("keys", "a")
+      .option("urlTemplate", "u/{key}/{page}")
+      .option("transport", "tcount")
+      .load()
+      .limit(3)
+      .collect()
+    assert(got.length == 3)
+    // Without pushdown this source would paginate to maxPages (100000
+    // fetches); the pushed limit must bound fetching to ~limit pages.
+    assert(RestDataSourceSpec.fetches.get() <= 4,
+      s"fetched ${RestDataSourceSpec.fetches.get()} pages for LIMIT 3")
   }
 
   test("rating terminator option uses the empty-array convention") {

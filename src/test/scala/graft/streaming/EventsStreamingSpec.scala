@@ -38,6 +38,39 @@ class EventsStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding and session windows also run under readStream") {
+    val events = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("events_stream2").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+
+    val sq = EventsOps.sliding(stream.withWatermark("ts", "1 minute"),
+        "1 hour", "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sliding_out").start()
+    val ssq = EventsOps.sessions(stream.withWatermark("ts", "1 minute"),
+        "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      sq.processAllAvailable(); ssq.processAllAvailable()
+      // Append mode emits only watermark-closed windows; on a finite
+      // file-stream batch the final windows stay open, so compare against
+      // the batch results as a superset check plus non-emptiness.
+      val slidingBatch = EventsOps.sliding(events, "1 hour", "30 minutes")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val slidingStreamed = spark.table("sliding_out")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(slidingStreamed.nonEmpty && slidingStreamed.subsetOf(slidingBatch))
+
+      val sessionsBatch = EventsOps.sessions(events, "10 minutes")
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+      val sessionsStreamed = spark.table("sessions_out")
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+      assert(sessionsStreamed.nonEmpty && sessionsStreamed.subsetOf(sessionsBatch))
+    } finally { sq.stop(); ssq.stop() }
+  }
+
   test("sessions merge events within the gap and split beyond it") {
     val df = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:05:00"),
