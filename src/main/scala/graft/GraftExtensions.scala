@@ -16,10 +16,12 @@ import graft.functions.expressions.CosineSimilarity
   *    Bench, and the tests use).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach { case (ident, info, builder) =>
       e.injectFunction((ident, info, builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftFunctions {
@@ -29,12 +31,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
 
-  /** Idempotent registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent registration on an existing session (functions + the
+    * TopKPerKey planner strategy). */
+  def register(spark: SparkSession): Unit = {
     registrations.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    }
+  }
 
   /** Column-API form of the native cosine (goes through the registry, so
     * [[register]] must have run on the session). */

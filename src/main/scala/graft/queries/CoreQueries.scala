@@ -83,6 +83,18 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"o_custkey", $"rk")
     },
 
+    // Same grouped top-k through the engine's native TopKPerKey operator
+    // (partial bounded-heap -> shuffle -> final; no per-group full sort).
+    "q_topk_perkey_native" -> { (s, dir) =>
+      import s.implicits._
+      graft.plans.TopK.perKey(Tables.orders(s, dir),
+        keys = Seq($"o_custkey"),
+        orderBy = Seq($"o_totalprice".desc, $"o_orderkey"),
+        k = 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+    },
+
     // Window running aggregate: per-supplier running quantity by ship date.
     "q_window_running" -> { (s, dir) =>
       import s.implicits._
@@ -353,6 +365,13 @@ object CoreQueries extends graft.QueryModule {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_topk_perkey_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model.Tables
+
+class TopKPerKeySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("TopK.perKey equals the window row_number formulation") {
+    val orders = Tables.orders(spark, sf)
+    val native = TopK.perKey(orders,
+        Seq($"o_custkey"), Seq($"o_totalprice".desc, $"o_orderkey"), 3)
+      .select("o_custkey", "o_orderkey")
+      .as[(Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val windowed = orders.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3).select("o_custkey", "o_orderkey")
+      .as[(Long, Long)].collect().toSet
+    assert(native == windowed && native.nonEmpty)
+  }
+
+  test("plans as partial + final with one exchange between them") {
+    val plan = TopK.perKey(Tables.orders(spark, sf),
+        Seq($"o_custkey"), Seq($"o_totalprice".desc), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    assert(plan.contains("Exchange"), plan)
+  }
+
+  test("handles k larger than any group (no row loss)") {
+    val df = Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v")
+    val got = TopK.perKey(df, Seq($"k"), Seq($"v".desc), 100)
+      .as[(Int, Int)].collect().toSet
+    assert(got == Set((1, 10), (1, 20), (2, 5)))
+  }
+
+  test("tie-break ordering is respected (deterministic winners)") {
+    val df = Seq((1, 10, "a"), (1, 10, "b"), (1, 10, "c")).toDF("k", "v", "t")
+    val got = TopK.perKey(df, Seq($"k"), Seq($"v".desc, $"t"), 2)
+      .select("t").as[String].collect().toSet
+    assert(got == Set("a", "b"))
+  }
+}
