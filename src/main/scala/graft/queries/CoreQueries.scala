@@ -313,6 +313,51 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"o_orderkey")
     },
 
+    // Exact interpolated percentiles (the SQL-standard percentile_cont).
+    "q_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Equi-width histogram via arithmetic bucketing (width_bucket is
+    // absent in DuckDB 1.0; floor-divide is IEEE-identical anyway).
+    "q_histogram" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select(floor($"o_totalprice" / 40000.0).cast("int").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+
+    // Extremal-row aggregates: the order date of each customer's priciest
+    // order (max_by), and the cheapest (min_by).
+    "q_minmax_by" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(
+          max_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey"))
+            .as("best_order"),
+          min_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey"))
+            .as("worst_order"))
+        .orderBy($"o_custkey")
+    },
+
+    // Ordered string aggregation per group.
+    "q_string_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables.nation(s, dir)
+        .groupBy($"n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"))
+        .orderBy($"n_regionkey")
+    },
+
     // Calendar aggregation: monthly order volume and revenue.
     "q_monthly_orders" -> { (s, dir) =>
       import s.implicits._
@@ -497,6 +542,32 @@ object CoreQueries extends graft.QueryModule {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 40000.0) AS INTEGER) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_minmax_by" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  max(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
+        |  max(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order
+        |FROM ranked GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q_monthly_orders" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Locks in the plan shapes that matter at 100 TB: filters pushed into
+  * parquet scans, pruned read schemas, broadcast joins on dimension
+  * tables. A regression here means a future change silently reintroduced
+  * a full scan or a fact-table shuffle. */
+class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1_agg prunes the read schema to the needed columns") {
+    val p = planOf("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("q3_join_agg broadcasts the dimension sides (no fact shuffle for joins)") {
+    val p = planOf("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ref_p9_ri_semijoin plans as a broadcast semi join, not a collect") {
+    val p = planOf("ref_p9_ri_semijoin")
+    assert(p.contains("BroadcastHashJoin LeftSemi") ||
+      p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("q_topk_perkey_native uses the partial/final bounded-heap pipeline") {
+    val p = planOf("q_topk_perkey_native")
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+  }
+
+  test("knn brute force broadcasts the probe set (corpus never shuffles)") {
+    val p = planOf("knn_cosine_topk_native")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
