@@ -65,12 +65,75 @@ object Knn {
       .select(col("vid"), col("v"), col("centroid_id").as("bucket"))
   }
 
-  /** IVF top-k: search only the `nprobe` buckets nearest to each query. */
+  /** Lloyd's k-means over the embedding column, expressed as DataFrame
+    * iterations: assign (cross join C broadcast centroids + argmin
+    * distance window) then recompute means (zip_with elementwise sums /
+    * counts). Deterministic init = the C smallest-id vectors. Returns
+    * (centroid_id, centroid) with double elements.
+    *
+    * Scale: each iteration is one pass over the corpus (C small,
+    * broadcast) plus a C-group aggregate — the standard distributed
+    * k-means; iterations are driver-orchestrated like any iterative
+    * algorithm on Spark. */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Int, iterations: Int): DataFrame = {
+    val dims = VectorFunctions.toDouble(col(vecCol))
+    val vecs = corpus.select(col(idCol).as("vid"), dims.as("v"))
+    var cents = vecs.orderBy(col("vid")).limit(centroids)
+      .select(col("vid").as("centroid_id"), col("v").as("centv"))
+    for (_ <- 0 until iterations) {
+      val scored = vecs.crossJoin(broadcast(cents))
+        .withColumn("d2", aggregate(
+          zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _))
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("d2"), col("centroid_id"))
+      val assigned = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("centroid_id"), col("v"))
+      // Elementwise mean via position explode + avg — no whole-vector
+      // collect; decimal not needed (means are engine-internal).
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), e => e.getField("m")).as("centv"))
+    }
+    cents
+  }
+
+  /** IVF top-k with naive deterministic centroids. */
   def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int, nprobe: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
     val cents = corpus.orderBy(col(idCol)).limit(centroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    ivfWith(corpus, queries, idCol, vecCol, k, cents, nprobe)
+  }
+
+  /** IVF top-k with k-means-trained centroids (better-balanced buckets →
+    * better recall at the same nprobe). */
+  def ivfTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Int, nprobe: Int,
+      iterations: Int = 3): DataFrame =
+    ivfWith(corpus, queries, idCol, vecCol, k,
+      kmeans(corpus, idCol, vecCol, centroids, iterations), nprobe)
+
+  /** IVF top-k against a provided (centroid_id, centv) table: search only
+    * the `nprobe` buckets nearest to each query. */
+  def ivfWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: DataFrame, nprobe: Int): DataFrame = {
+    val assigned = {
+      val scored = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("sim", VectorFunctions.cosine(col("v"), col("centv")))
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("sim").desc, col("centroid_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vid"), col("v"), col("centroid_id").as("bucket"))
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("sim", VectorFunctions.cosine(col("qv"), col("centv")))

@@ -1,0 +1,66 @@
+package graft.functions
+
+import net.jpountz.xxhash.XXHashFactory
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** MinHash signature as a typed Aggregator (SURVEY §4.3 item 3): one pass
+  * over (id, shingle) rows, a k-long mutable min buffer, elementwise-min
+  * merge — the TypedImperativeAggregate-style alternative to the k
+  * min-column aggregation in [[graft.dedup.Dedup.minhashCandidates]].
+  *
+  * Hashing: XXH64 of the shingle's UTF-8 bytes, salted by the hash-function
+  * index as the seed (same family as Spark's `xxhash64`, via the lz4-java
+  * library Spark already ships). Usage:
+  * {{{
+  *   shingleTable.groupByKey(_.getLong(0))
+  *     .agg(new MinHashAgg(16).toColumn)
+  * }}}
+  */
+class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Seq[Long]] {
+
+  @transient private lazy val factory = XXHashFactory.fastestInstance()
+
+  private def hash(shingle: String, seed: Long): Long = {
+    val bytes = shingle.getBytes("UTF-8")
+    factory.hash64().hash(bytes, 0, bytes.length, seed)
+  }
+
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    var i = 0
+    while (i < k) {
+      val h = hash(shingle, i.toLong)
+      if (h < buf(i)) buf(i) = h
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object MinHashAgg {
+
+  /** MinHash-signature estimate of Jaccard similarity: fraction of
+    * matching signature positions. */
+  def estimateJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    require(a.length == b.length)
+    if (a.isEmpty) 0.0
+    else a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / a.length
+  }
+}
