@@ -74,6 +74,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact Jaccard pairs with PREFIX FILTERING (PPJoin-style): shingles
+    * get a global canonical order (ascending document frequency, then
+    * value); a doc only indexes its first |d| - floor(τ·|d|) + 1 shingles
+    * under that order, and any pair with J ≥ τ provably shares an indexed
+    * shingle. The candidate join therefore runs over ~(1-τ) of the rows,
+    * and — because rare shingles sort first — over the *smallest* join
+    * groups, which is what kills the quadratic hot-shingle blowup at
+    * scale. floor (not ceil) keeps the prefix a hair conservative, so
+    * float error can only ADD candidates, never lose a true pair.
+    * Verification is the same exact intersection count as [[jaccardPairs]];
+    * results are identical. */
+  def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(df, textCol, idCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfs, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+      .join(sizes, Seq("id"))
+      .filter(col("rk") <=
+        col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("shingle"))
+    val cand = ranked.as("a")
+      .join(ranked.as("b"), Seq("shingle"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shared = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash signature: k independent hash functions simulated by salting
     * xxhash64 with the function index; signature[i] = min over shingles.
     * One narrow projection — no shuffle, no UDF. */

@@ -113,8 +113,12 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("canonical_id"))
     },
 
-    // Exact all-pairs 3-gram Jaccard near-dup pairs (co-occurrence join,
-    // threshold calibrated to the fixture's planted near-dups).
+    // Exact all-pairs 3-gram Jaccard near-dup pairs (co-occurrence join;
+    // threshold calibrated to the planted near-dups). The prefix-filtered
+    // variant (Dedup.jaccardPairsPrefix, identical results) is the
+    // large-corpus path — at this fixture scale its df-join/window
+    // overhead measured slower (7.8s vs 5.7s at 5k docs), so the bench
+    // query keeps the naive join; DedupSpec pins their equality.
     "dedup_jaccard_pairs" -> { (s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.8)
         .orderBy(col("id_a"), col("id_b"))

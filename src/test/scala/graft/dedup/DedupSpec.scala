@@ -38,6 +38,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("jaccardPairsPrefix returns exactly the naive jaccardPairs results") {
+    val docs = Tables.documents(spark, sf)
+    val naive = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(naive.nonEmpty && prefix == naive)
+    // Lower threshold too (longer prefixes, more candidates — still exact).
+    val naiveLow = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefixLow = Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefixLow == naiveLow)
+  }
+
   test("minhashPairs recall >= 0.8 vs exact jaccard pairs on the fixture corpus") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
