@@ -199,6 +199,21 @@ object ExtensionQueries extends graft.QueryModule {
       EventsOps.sessions(Tables.events(s, dir), "10 minutes")
         .orderBy(col("user_id"), col("session_start"))
     },
+
+    // As-of join: each purchase enriched with the user's most recent view
+    // at or before it (union-merge implementation, one shuffle).
+    "events_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"value", $"event_type")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"ts", $"user_id", $"value")
+      val views = ev.filter($"event_type" === "view")
+      graft.ops.AsOfJoin.asOf(purchases, views, "user_id", "ts",
+        "event_id", "event_id",
+        Map("event_id" -> "last_view_event", "value" -> "last_view_value"))
+        .orderBy($"event_id")
+    },
   )
 
   private val stopwordList =
@@ -343,6 +358,29 @@ object ExtensionQueries extends graft.QueryModule {
         |    event_type
         |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "events_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id AS tb, 0 AS side,
+        |    value AS rv, event_id AS re,
+        |    CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'view'),
+        |l AS (
+        |  SELECT user_id, ts, event_id AS tb, 1 AS side,
+        |    CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS re,
+        |    event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |f AS (
+        |  SELECT *,
+        |    last_value(re IGNORE NULLS) OVER w AS fe,
+        |    last_value(rv IGNORE NULLS) OVER w AS fv
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, ts, user_id, value,
+        |  fe AS last_view_event, fv AS last_view_value
+        |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "events_session" ->
       """WITH ordered AS (
