@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,7 +71,7 @@ private[sources] class RestTable(options: CaseInsensitiveStringMap)
     s"graft-rest(${options.getOrDefault("urlTemplate", "?")})"
   override def schema(): StructType = RestDataSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ opts.asScala).asJava)
@@ -99,6 +100,9 @@ private[sources] class RestBatchScan(options: CaseInsensitiveStringMap,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RestMicroBatchStream(options, required)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val keys = options.get("keys").split(",").map(_.trim).filter(_.nonEmpty)
     val perPart = options.getOrDefault("keysPerPartition", "1").toInt
@@ -118,6 +122,93 @@ private[sources] class RestBatchScan(options: CaseInsensitiveStringMap,
 
 private[sources] case class RestInputPartition(keys: Seq[String])
   extends InputPartition
+
+/** Streaming form of the paginated scan: an incremental one-way sweep
+  * through page space. The offset is a global page index; each
+  * micro-batch fetches the next `pagesPerBatch` pages for every key, so
+  * a very long scrape spreads over many checkpointed micro-batches and a
+  * restarted query resumes from the recorded page offset instead of page
+  * 1. A page at/past a key's terminator contributes no rows. `maxPages`
+  * bounds the offset; once reached the stream stops advancing (idles). */
+private[sources] class RestMicroBatchStream(options: CaseInsensitiveStringMap,
+    required: StructType) extends MicroBatchStream {
+
+  private val pagesPerBatch = options.getOrDefault("pagesPerBatch", "1").toInt
+  private val maxPages = options.getOrDefault("maxPages", "100000").toInt
+
+  // Advance relative to the last PLANNED window, not the last committed
+  // one: the engine may query latestOffset() again before commit() has
+  // fired, and keying off commit would make the stream look caught-up
+  // after every batch.
+  @volatile private var planned = 0
+
+  override def initialOffset(): Offset = RestOffset(0)
+  override def latestOffset(): Offset = RestOffset(
+    math.min(planned + pagesPerBatch, maxPages))
+  override def commit(end: Offset): Unit = ()
+  override def deserializeOffset(json: String): Offset =
+    RestOffset(json.trim.toInt)
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[RestOffset].page
+    val to = end.asInstanceOf[RestOffset].page
+    planned = math.max(planned, to)
+    val keys = options.get("keys").split(",").map(_.trim).filter(_.nonEmpty)
+    val perPart = options.getOrDefault("keysPerPartition", "1").toInt
+    keys.grouped(perPart)
+      .map(g => RestStreamPartition(g.toSeq, from + 1, to): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RestStreamReaderFactory(
+      options.get("urlTemplate"),
+      options.getOrDefault("terminator", "product"),
+      options.getOrDefault("transport", "http"),
+      required.fieldNames.toSeq)
+}
+
+private[sources] case class RestOffset(page: Int) extends Offset {
+  override def json(): String = page.toString
+}
+
+private[sources] case class RestStreamPartition(keys: Seq[String],
+    fromPage: Int, toPage: Int) extends InputPartition
+
+private[sources] case class RestStreamReaderFactory(urlTemplate: String,
+    terminator: String, transportName: String,
+    columns: Seq[String]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RestStreamPartition]
+    val transport = TransportRegistry.resolve(transportName)
+    val isLast: String => Boolean = terminator match {
+      case "rating" => RestScan.ratingLastPage
+      case _ => RestScan.productLastPage
+    }
+    val rows: Iterator[(String, Int, String)] = p.keys.iterator.flatMap { key =>
+      Iterator.range(p.fromPage, p.toPage + 1)
+        .map { page =>
+          val url = urlTemplate
+            .replace("{key}", key).replace("{page}", page.toString)
+          (key, page, transport.get(url))
+        }
+        .takeWhile { case (_, _, body) => !isLast(body) }
+    }
+    new PartitionReader[InternalRow] {
+      private var current: (String, Int, String) = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = InternalRow.fromSeq(columns.map {
+        case "key" => UTF8String.fromString(current._1)
+        case "page" => Int.box(current._2)
+        case "body" => UTF8String.fromString(current._3)
+      })
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[sources] case class RestReaderFactory(urlTemplate: String,
     terminator: String, transportName: String, maxPages: Int,

@@ -79,6 +79,34 @@ class RestDataSourceSpec extends AnyFunSuite with SparkTestBase {
       s"fetched ${RestDataSourceSpec.fetches.get()} pages for LIMIT 3")
   }
 
+  test("streams the paginated scan incrementally across micro-batches") {
+    TransportRegistry.put("tstream", new FakeTransport(Map(
+      "u/a/1" -> """{"data": [1]}""",
+      "u/a/2" -> """{"data": [2]}""",
+      "u/a/3" -> """{"data": null}""",
+      "u/b/1" -> """{"data": [9]}""",
+      "u/b/2" -> """{"data": null}""",
+      "u/b/3" -> """{"data": null}""")))
+    val stream = spark.readStream.format("graft-rest")
+      .option("keys", "a,b")
+      .option("urlTemplate", "u/{key}/{page}")
+      .option("transport", "tstream")
+      .option("pagesPerBatch", "1") // one page per key per micro-batch
+      .option("maxPages", "3")      // saturates the offset so the query idles
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("rest_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rest_stream_out")
+        .select("key", "page").as[(String, Int)].collect().toSet
+      assert(got == Set(("a", 1), ("a", 2), ("b", 1)))
+      assert(q.exception.isEmpty)
+      // 3 micro-batches ran (one per page window up to maxPages).
+      assert(q.recentProgress.count(_.numInputRows >= 0) >= 3)
+    } finally q.stop()
+  }
+
   test("rating terminator option uses the empty-array convention") {
     TransportRegistry.put("t4", new FakeTransport(Map(
       "u/s/1" -> """{"data": {"ratings": [{"x": 1}]}}""",
