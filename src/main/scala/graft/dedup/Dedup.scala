@@ -116,6 +116,52 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components via
+    * iterative min-label propagation (each id adopts the smallest label
+    * among itself and its neighbors until fixpoint). Returns
+    * (id, canonical_id). Purely join+groupBy per iteration — no driver
+    * union-find, so it scales with the pair list; near-dup components are
+    * shallow in practice (chains are rare), so few iterations suffice —
+    * `maxIterations` bounds adversarial chains and is checked with a
+    * convergence count. */
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .union(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "y")
+          .withColumnRenamed("label", "nlabel"), Seq("y"))
+        .groupBy(col("x").as("id")).agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      val changed = updated.as("u")
+        .join(labels.as("l"), Seq("id"))
+        .filter(col("u.label") =!= col("l.label"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
+
+  /** Drop near-duplicates: keep only each cluster's canonical (minimum
+    * id) row plus all rows that appear in no pair. */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val clusters = clusterPairs(pairs)
+    val losers = clusters.filter(col("id") =!= col("canonical_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** MinHash signature: k independent hash functions simulated by salting
     * xxhash64 with the function index; signature[i] = min over shingles.
     * One narrow projection — no shuffle, no UDF. */

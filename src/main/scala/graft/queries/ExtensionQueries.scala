@@ -124,6 +124,15 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Near-dup clusters: connected components of the Jaccard pair graph
+    // (iterative min-label propagation), the survivor-selection step of a
+    // dedup pipeline.
+    "dedup_clusters" -> { (s, dir) =>
+      Dedup.clusterPairs(
+        Dedup.jaccardPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.8))
+        .orderBy(col("id"))
+    },
+
     // MinHash+LSH near-dup pairs verified by exact Jaccard (no oracle:
     // xxhash64 signatures are Spark-specific; recall vs exact pairs is
     // asserted in DedupSpec).
@@ -299,6 +308,31 @@ object ExtensionQueries extends graft.QueryModule {
         |JOIN sizes sb ON sb.id = id_b
         |WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |shared AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+        |SELECT x AS id, least(x, min(y)) AS canonical_id
+        |FROM reach GROUP BY x ORDER BY id""".stripMargin,
 
     "knn_cosine_topk" ->
       """SELECT query_id, neighbor_id, cosine, rk FROM (

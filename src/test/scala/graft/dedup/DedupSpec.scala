@@ -74,6 +74,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.contains((1L, 5L)) && !pairs.contains((3L, 5L)))
   }
 
+  test("clusterPairs finds connected components incl. chains") {
+    // Components: {1,2,3} via chain 1-2, 2-3; {7,9}; 5 appears in no pair.
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dropNearDuplicates keeps canonical rows and untouched rows") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "solo"), (7L, "x"), (9L, "y"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L, 7L))
+  }
+
+  test("end-to-end near-dup removal on the fixture corpus shrinks it by the planted dups") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+    val removed = docs.count() - kept.count()
+    val clusters = Dedup.clusterPairs(pairs)
+    val expectedRemoved = clusters.filter($"id" =!= $"canonical_id").count()
+    assert(removed == expectedRemoved && removed > 0)
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val sims = Dedup.simhash(df, "text", "doc_id")
