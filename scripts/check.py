@@ -71,6 +71,14 @@ def main(sf_dir, out_dir):
             continue
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)
+        # The driver fetches oracle results as a dataframe: DuckDB HUGEINT
+        # (e.g. SUM over BIGINT) converts to float64 there and the exact
+        # hash fails even though fetchall() Python ints compare equal here.
+        huge = [d[0] for d in exp.description
+                if str(d[1]).upper().startswith(("HUGEINT", "INT128"))]
+        if huge:
+            results[name] = f"HUGEINT-ORACLE-COLUMN {huge} (driver hash will FAIL — CAST to BIGINT)"
+            continue
         if gc != ec:
             results[name] = f"SCHEMA gcols={gc} ecols={ec}"
         elif len(gr) != len(er):

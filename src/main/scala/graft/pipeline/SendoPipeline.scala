@@ -169,20 +169,33 @@ object SendoPipeline {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  private def writeTable(df: DataFrame, warehouseDir: String, name: String): Unit =
-    df.write.mode("overwrite").parquet(s"$warehouseDir/$name")
-
   /** Staged MERGE of one table (L1-L3 idiom): read target, upsert, write.
     * The staging-table lifecycle lives inside [[Upsert.upsert]]'s
-    * semantics; parquet overwrite replaces MySQL's staging+merge+drop. */
+    * semantics; a write-to-stage + rename-swap replaces MySQL's
+    * staging+merge+drop. The merged plan still READS the current table
+    * files while the stage write runs, so no caching is needed and a
+    * lost/evicted partition recomputes safely — mode("overwrite") onto
+    * the path being read would delete its own input on recompute. (On a
+    * rename-less object store this swap becomes a metastore/manifest
+    * pointer flip; the two-rename window is the same one HDFS table
+    * swaps accept.) */
   def mergeTable(spark: SparkSession, warehouseDir: String, name: String,
       schema: StructType, source: DataFrame, pk: String): Unit = {
     val target = readTable(spark, warehouseDir, name, schema)
       .select(source.columns.map(col).toIndexedSeq: _*)
-    val merged = Upsert.upsert(target, source, Seq(pk)).persist()
-    merged.count() // materialize before overwriting the input path
-    writeTable(merged, warehouseDir, name)
-    merged.unpersist()
+    val merged = Upsert.upsert(target, source, Seq(pk))
+    val finalPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
+    val stage = new org.apache.hadoop.fs.Path(s"$warehouseDir/.$name.__stage__")
+    val old = new org.apache.hadoop.fs.Path(s"$warehouseDir/.$name.__old__")
+    val fs = finalPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(stage)) fs.delete(stage, true)
+    merged.write.mode("overwrite").parquet(stage.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(finalPath) && !fs.rename(finalPath, old))
+      throw new java.io.IOException(s"mergeTable: could not move $finalPath aside")
+    if (!fs.rename(stage, finalPath))
+      throw new java.io.IOException(s"mergeTable: could not publish $stage")
+    fs.delete(old, true)
   }
 
   /** The full DAG (etl.py:329-343). Returns the three final tables. */

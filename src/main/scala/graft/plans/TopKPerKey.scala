@@ -42,32 +42,86 @@ case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  /** The final pass streams key groups, so it needs them contiguous: a
+    * (spillable, radix) SortExec over the already-reduced shuffle output.
+    * The partial pass takes input in any order. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(e => SortOrder(e, Ascending)))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keyExprs = keys
     val sortOrder = ordering
     val childOutput = child.output
-    child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      // Heap priority = "worst first" so head is the eviction candidate.
-      val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](ord)
-            heaps.put(key.copy(), h)
-            h
+    if (partial) {
+      // Map-side reduction with BOUNDED memory: at most `maxPartialKeys`
+      // per-key heaps of ≤ k rows. Rows whose key misses a full map pass
+      // straight through — the partial output only has to be a superset
+      // of the true per-key top-k; the final pass makes it exact. This is
+      // the same degrade-to-passthrough Spark's partial aggregation uses
+      // when its hash map can't grow, so high-cardinality keys cost
+      // shuffle volume, never an OOM.
+      val maxKeys = conf.getConfString("graft.topk.maxPartialKeys", "131072").toInt
+      child.execute().mapPartitions { iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        // Heap priority = "worst first" so head is the eviction candidate.
+        val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
+        val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        val passThrough = iter.flatMap { row =>
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(heap) =>
+              if (heap.size < kLocal) heap += row.copy()
+              else if (ord.lt(row, heap.head)) {
+                heap.dequeue(); heap += row.copy()
+              }
+              Iterator.empty
+            case None if heaps.size < maxKeys =>
+              val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+              heaps.put(key.copy(), heap)
+              heap += row.copy()
+              Iterator.empty
+            case None => Iterator.single(row)
+          }
         }
-        if (heap.size < kLocal) heap += row.copy()
-        else if (ord.lt(row, heap.head)) {
-          heap.dequeue()
-          heap += row.copy()
-        }
+        // `++` is by-name: the flush runs after the input is exhausted.
+        passThrough ++ heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
       }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    } else {
+      // Keys arrive sorted (requiredChildOrdering), so groups are
+      // contiguous: keep ONE k-bounded heap at a time — O(k) memory
+      // regardless of key cardinality.
+      child.execute().mapPartitions { iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
+        val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+        var currentKey: UnsafeRow = null
+        def drain(): Iterator[InternalRow] = {
+          val out = heap.dequeueAll.reverseIterator
+          out
+        }
+        val grouped = iter.flatMap { row =>
+          val key = keyProj(row)
+          if (currentKey == null) {
+            currentKey = key.copy()
+            heap += row.copy()
+            Iterator.empty
+          } else if (key == currentKey) {
+            if (heap.size < kLocal) heap += row.copy()
+            else if (ord.lt(row, heap.head)) {
+              heap.dequeue(); heap += row.copy()
+            }
+            Iterator.empty
+          } else {
+            val out = drain().toVector
+            currentKey = key.copy()
+            heap += row.copy()
+            out.iterator
+          }
+        }
+        grouped ++ (if (currentKey == null) Iterator.empty else drain())
+      }
     }
   }
 

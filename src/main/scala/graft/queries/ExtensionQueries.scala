@@ -268,7 +268,7 @@ object ExtensionQueries extends graft.QueryModule {
         |ORDER BY doc_id""".stripMargin,
 
     "docs_per_source" ->
-      """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  COUNT(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -129,22 +129,32 @@ private[sources] case class RestInputPartition(keys: Seq[String])
   * a very long scrape spreads over many checkpointed micro-batches and a
   * restarted query resumes from the recorded page offset instead of page
   * 1. A page at/past a key's terminator contributes no rows. `maxPages`
-  * bounds the offset; once reached the stream stops advancing (idles). */
+  * bounds the offset; once reached the stream stops advancing (idles).
+  *
+  * Implements [[SupportsAdmissionControl]] so the engine hands the
+  * current start offset to `latestOffset(start, limit)`: the next window
+  * is derived STATELESSLY from it (`min(start + pagesPerBatch,
+  * maxPages)`), which makes restarts safe by construction. The
+  * stream-internal-state alternative (track the last planned page in a
+  * var) re-emits pages after a restart: the engine calls the zero-arg
+  * latestOffset() before it ever replays a checkpointed offset through
+  * deserializeOffset, so the fresh instance would report a window BELOW
+  * the committed offset and the recovery path re-plans already-delivered
+  * pages. */
 private[sources] class RestMicroBatchStream(options: CaseInsensitiveStringMap,
-    required: StructType) extends MicroBatchStream {
+    required: StructType) extends MicroBatchStream with SupportsAdmissionControl {
 
   private val pagesPerBatch = options.getOrDefault("pagesPerBatch", "1").toInt
   private val maxPages = options.getOrDefault("maxPages", "100000").toInt
 
-  // Advance relative to the last PLANNED window, not the last committed
-  // one: the engine may query latestOffset() again before commit() has
-  // fired, and keying off commit would make the stream look caught-up
-  // after every batch.
-  @volatile private var planned = 0
-
   override def initialOffset(): Offset = RestOffset(0)
-  override def latestOffset(): Offset = RestOffset(
-    math.min(planned + pagesPerBatch, maxPages))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[RestOffset].page
+    RestOffset(math.min(from + pagesPerBatch, maxPages))
+  }
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
   override def commit(end: Offset): Unit = ()
   override def deserializeOffset(json: String): Offset =
     RestOffset(json.trim.toInt)
@@ -153,7 +163,6 @@ private[sources] class RestMicroBatchStream(options: CaseInsensitiveStringMap,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[RestOffset].page
     val to = end.asInstanceOf[RestOffset].page
-    planned = math.max(planned, to)
     val keys = options.get("keys").split(",").map(_.trim).filter(_.nonEmpty)
     val perPart = options.getOrDefault("keysPerPartition", "1").toInt
     keys.grouped(perPart)

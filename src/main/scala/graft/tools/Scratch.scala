@@ -1,0 +1,29 @@
+package graft.tools
+
+import graft.Sessions
+import graft.dedup.Dedup
+import graft.model.Tables
+
+/** Throwaway timing harness for hotspot investigation (not part of the
+  * driver contract; kept out of SparkEntry). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(s"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f".replace("%.2f", ""))
+      r
+    }
+    val docs = Tables.documents(spark, dir)
+    time("jaccard.count warm0")(Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8).count())
+    time("jaccard.count warm1")(Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8).count())
+    time("clusterPairs total")(
+      Dedup.clusterPairs(Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)).count())
+    time("pairs.persist+count") {
+      val p = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8).select("id_a", "id_b").persist()
+      p.count(); p.collect(); p.unpersist()
+    }
+    spark.stop()
+  }
+}

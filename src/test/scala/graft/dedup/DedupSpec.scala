@@ -82,6 +82,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("clusterPairs distributed path (localEdgeLimit=0) matches the local path") {
+    // A 9-long chain exercises the pointer-doubling convergence, plus a
+    // separate component and string ids to cover type-generic labels.
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .union(Seq((100L, 101L)).toDF("id_a", "id_b"))
+    val local = Dedup.clusterPairs(chain).as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusterPairs(chain, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local == ((1L to 10L).map(_ -> 1L) ++ Seq(100L -> 100L, 101L -> 100L)).toMap)
+
+    val strPairs = Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b")
+    val strLocal = Dedup.clusterPairs(strPairs).as[(String, String)].collect().toMap
+    val strDist = Dedup.clusterPairs(strPairs, localEdgeLimit = 0L)
+      .as[(String, String)].collect().toMap
+    assert(strLocal == strDist && strLocal == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
+  test("clusterPairs throws instead of returning non-converged labels") {
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // 39 edges, diameter 39: 2 doubling iterations cannot converge.
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterPairs(chain, maxIterations = 2, localEdgeLimit = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dropNearDuplicates keeps canonical rows and untouched rows") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "solo"), (7L, "x"), (9L, "y"))
       .toDF("doc_id", "text")

@@ -39,6 +39,25 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1, 10), (1, 20), (2, 5)))
   }
 
+  test("partial-pass key overflow degrades to passthrough, stays exact") {
+    // maxPartialKeys=1: nearly every key overflows the partial map and
+    // rides the shuffle raw; the sort-based final pass must still
+    // produce exactly the per-key top-k.
+    spark.conf.set("graft.topk.maxPartialKeys", "1")
+    try {
+      val orders = Tables.orders(spark, sf)
+      val native = TopK.perKey(orders,
+          Seq($"o_custkey"), Seq($"o_totalprice".desc, $"o_orderkey"), 3)
+        .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      val windowed = orders.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3).select("o_custkey", "o_orderkey")
+        .as[(Long, Long)].collect().toSet
+      assert(native == windowed && native.nonEmpty)
+    } finally spark.conf.unset("graft.topk.maxPartialKeys")
+  }
+
   test("tie-break ordering is respected (deterministic winners)") {
     val df = Seq((1, 10, "a"), (1, 10, "b"), (1, 10, "c")).toDF("k", "v", "t")
     val got = TopK.perKey(df, Seq($"k"), Seq($"v".desc, $"t"), 2)

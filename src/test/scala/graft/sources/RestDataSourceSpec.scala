@@ -107,6 +107,42 @@ class RestDataSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("restart resumes from the checkpointed page offset without re-emitting") {
+    // Unit level: a FRESH stream instance (as after a restart) derives
+    // the next window from the engine-provided start offset, so it can
+    // never regress below the committed page.
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("keys", "a", "urlTemplate", "u/{key}/{page}",
+        "pagesPerBatch", "1", "maxPages", "10"))
+    val fresh = new RestMicroBatchStream(opts, RestDataSource.fullSchema)
+    val next = fresh.latestOffset(RestOffset(4),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(next.asInstanceOf[RestOffset].page == 5)
+
+    // End to end: run to saturation, stop, restart on the same
+    // checkpoint with a new transport that would happily serve dupes.
+    TransportRegistry.put("trestart", new FakeTransport(Map(
+      "u/a/1" -> """{"data": [1]}""",
+      "u/a/2" -> """{"data": [2]}""",
+      "u/a/3" -> """{"data": null}""")))
+    val ckpt = java.nio.file.Files.createTempDirectory("rest_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("rest_out").toString
+    def start() = spark.readStream.format("graft-rest")
+      .option("keys", "a").option("urlTemplate", "u/{key}/{page}")
+      .option("transport", "trestart")
+      .option("pagesPerBatch", "1").option("maxPages", "3")
+      .load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    val q2 = start() // fresh RestMicroBatchStream, restored offsets
+    try { q2.processAllAvailable(); assert(q2.exception.isEmpty) } finally q2.stop()
+    val pages = spark.read.parquet(out).select("key", "page")
+      .as[(String, Int)].collect().toSeq
+    assert(pages.sorted == Seq(("a", 1), ("a", 2)), s"duplicated rows: $pages")
+  }
+
   test("rating terminator option uses the empty-array convention") {
     TransportRegistry.put("t4", new FakeTransport(Map(
       "u/s/1" -> """{"data": {"ratings": [{"x": 1}]}}""",
