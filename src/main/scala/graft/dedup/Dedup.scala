@@ -245,12 +245,53 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Default 64-bit token/shingle hash: xxhash64 (codegen'd, fast). */
+  val xxHash: Column => Column = c => xxhash64(c)
+  val xxSeedHash: (Column, Column) => Column = (c, seed) => xxhash64(c, seed)
+
+  /** Cross-engine-deterministic 60-bit hash: the first 15 hex digits of
+    * md5, as a long. Any SQL engine with md5 reproduces it exactly
+    * (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`), so sketches
+    * built on it — SimHash values, MinHash signatures — are verifiable
+    * against an external oracle. Slower than xxhash64, which stays the
+    * default for production runs; 60 bits (not 64) keeps the value
+    * positive in a signed BIGINT in both engines. */
+  val md5Hash60: Column => Column =
+    c => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** A MinHash hash family split into `prepare` — the expensive digest,
+    * run ONCE per shingle — and `slot` — cheap arithmetic deriving the k
+    * per-seed hashes from the prepared value. Without the split, a
+    * k-slot signature digests every shingle k times. */
+  final case class MinHashFamily(prepare: Column => Column,
+      slot: (Column, Column) => Column)
+
+  /** Production default: xxhash64 re-seeded per slot (cheap enough to
+    * skip preparation). */
+  val xxFamily: MinHashFamily =
+    MinHashFamily(identity, (sh, seed) => xxhash64(sh, seed))
+
+  /** Oracle-replayable family: 28-bit md5-prefix base, then the affine
+    * universal family (a_i * base + i) mod 2^31-1 with multipliers
+    * a_i = (2654435761 * (i+1)) mod 2^30 + 1 (Knuth's multiplier;
+    * any nonzero a mod a prime is a valid universal-family member).
+    * Bounds: a ≤ 2^30, base < 2^28 — products stay far under 2^63, so
+    * ANSI-mode arithmetic never overflows in either engine. */
+  val md5AffineFamily: MinHashFamily = MinHashFamily(
+    c => conv(substring(md5(c), 1, 7), 16, 10).cast("long"),
+    (base, seed) => {
+      val s = seed.cast("long")
+      val a = (lit(2654435761L) * (s + lit(1L))) % lit(1073741824L) + lit(1L)
+      (a * base + s) % lit(2147483647L)
+    })
+
   /** MinHash signature: k independent hash functions simulated by salting
-    * xxhash64 with the function index; signature[i] = min over shingles.
+    * `hashFn` with the function index; signature[i] = min over shingles.
     * One narrow projection — no shuffle, no UDF. */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
+  def minhashSignature(shinglesCol: Column, k: Int,
+      hashFn: (Column, Column) => Column = xxSeedHash): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shinglesCol, sh => xxhash64(sh, seed))))
+      seed => array_min(transform(shinglesCol, sh => hashFn(sh, seed))))
 
   /** LSH candidate pairs from banded MinHash signatures: two docs are
     * candidates iff some band of r rows hashes identically. With k = b*r,
@@ -298,16 +339,27 @@ object Dedup {
     * aggregate formulation in [[minhashCandidates]] avoids). */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 4,
+      family: MinHashFamily = xxFamily): DataFrame = {
     val k = bands * rowsPerBand
+    // `prepare` runs on the exploded shingle ROWS, so each shingle is
+    // digested exactly once; the aggregate boundary then pins `bases` as
+    // a real attribute — CollapseProject cannot re-inline the digest
+    // into the per-seed signature lambda (the 10× trap).
     val sets = shingleTable(df, textCol, idCol, shingleN)
-      .groupBy("id").agg(collect_set(col("shingle")).as("shset"))
+      .select(col("id"), col("shingle"),
+        family.prepare(col("shingle")).as("base"))
+      .groupBy("id").agg(collect_set(col("shingle")).as("shset"),
+        collect_list(col("base")).as("bases"))
+    // The band's r signature rows join AS the key (array equality) — no
+    // second-level band hash to keep in sync with the oracle.
     val banded = sets
-      .select(col("id"), col("shset"), minhashSignature(col("shset"), k).as("sig"))
+      .select(col("id"), col("shset"),
+        minhashSignature(col("bases"), k, family.slot).as("sig"))
       .select(col("id"), col("shset"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
               .as("bh")))).as("bb"))
       .select(col("id"), col("shset"), col("bb.band"), col("bb.bh"))
     banded.as("x").join(banded.as("y"), Seq("band", "bh"))
@@ -326,10 +378,11 @@ object Dedup {
     * sum over tokens of ±1 (sign of bit b of xxhash64(token)) is positive.
     * Computed as 64 conditional sums in one aggregation — one shuffle,
     * no UDF, no per-bit row blowup. */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+      tokenHash: Column => Column = xxHash): DataFrame = {
     val hashed = df.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .select(col("id"), tokenHash(col("tok")).as("h"))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$b")
@@ -345,8 +398,8 @@ object Dedup {
     * (any pair within Hamming distance 3 must agree on ≥1 chunk), verified
     * by popcount(xor) ≤ maxHamming. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sims = simhash(df, textCol, idCol)
+      maxHamming: Int = 3, tokenHash: Column => Column = xxHash): DataFrame = {
+    val sims = simhash(df, textCol, idCol, tokenHash)
     val withChunk = sims
       .withColumn("chunk", explode(array((0 until 4).map(lit): _*)))
       .withColumn("cval",

@@ -71,9 +71,9 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
-    // Language-ID heuristic (marker-word argmax; no oracle — the synthetic
-    // corpus shares one vocabulary across langs, accuracy is pinned by the
-    // TextFunctionsSpec on real-language samples instead).
+    // Language-ID heuristic (marker-word argmax; oracle mirrors the
+    // hits-then-lang tiebreak; accuracy on real-language samples is
+    // pinned by TextFunctionsSpec).
     "text_langid" -> { (s, dir) =>
       import s.implicits._
       Tables.documents(s, dir)
@@ -133,17 +133,22 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("id"))
     },
 
-    // MinHash+LSH near-dup pairs verified by exact Jaccard (no oracle:
-    // xxhash64 signatures are Spark-specific; recall vs exact pairs is
-    // asserted in DedupSpec).
+    // MinHash+LSH near-dup pairs verified by exact Jaccard. Runs with
+    // the md5-prefix hash family so the ENTIRE pipeline — signatures,
+    // banding, candidate join, verification — is replayed by the DuckDB
+    // oracle; the xxhash64 default stays the production fast path
+    // (recall vs exact pairs asserted in DedupSpec).
     "dedup_minhash_pairs" -> { (s, dir) =>
-      Dedup.minhashPairs(Tables.documents(s, dir), "text", "doc_id")
+      Dedup.minhashPairs(Tables.documents(s, dir), "text", "doc_id",
+        family = Dedup.md5AffineFamily)
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash per document (no oracle: xxhash64-based).
+    // SimHash per document, on the md5-prefix hash family so the bit
+    // votes are oracle-replayable (xxhash64 default = production path).
     "dedup_simhash" -> { (s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir), "text", "doc_id")
+      Dedup.simhash(Tables.documents(s, dir), "text", "doc_id",
+        Dedup.md5Hash60)
         .orderBy(col("id"))
     },
 
@@ -174,8 +179,9 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // IVF approximate top-10 (no oracle: recall vs brute force asserted in
-    // KnnSpec).
+    // IVF approximate top-10 (deterministic smallest-id centroids, so the
+    // full assign→probe→search pipeline is oracle-checked; recall vs
+    // brute force asserted in KnnSpec).
     "knn_ivf_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Knn.ivf(emb, emb.filter(col("vec_id") < 5),
@@ -365,6 +371,125 @@ object ExtensionQueries extends graft.QueryModule {
         |    FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
         |    WHERE q.vec_id <> c.vec_id))
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    // Replays the full md5-family MinHash pipeline: per-doc distinct
+    // 3-gram sets, 32 min-hash signature slots, 8 bands of 4 rows joined
+    // on the raw signature slice, exact-Jaccard verification.
+    "dedup_minhash_pairs" -> {
+      val sigCols = (0 until 32).map { i =>
+        val a = (2654435761L * (i + 1)) % 1073741824L + 1
+        s"""list_min(list_transform(shset,
+           |      s -> ($a * (('0x' || substr(md5(s), 1, 7))::BIGINT) + $i) % 2147483647)) AS m$i""".stripMargin
+      }.mkString(",\n    ")
+      val bandSelects = (0 until 8).map { b =>
+        val key = (0 until 4).map(r => s"m${b * 4 + r}").mkString("[", ", ", "]")
+        s"SELECT id, $b AS band, $key AS bh FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH sets AS (
+         |  SELECT doc_id AS id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shset
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+         |  WHERE len(toks) >= 3),
+         |sig AS (
+         |  SELECT id, shset,
+         |    $sigCols
+         |  FROM sets),
+         |banded AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.id < y.id),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(a.shset, b.shset)) AS shared,
+         |    len(a.shset) AS na, len(b.shset) AS nb
+         |  FROM cand JOIN sig a ON a.id = id_a JOIN sig b ON b.id = id_b)
+         |SELECT id_a, id_b,
+         |  CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS jaccard
+         |FROM j
+         |WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Replays the md5-family SimHash bit votes: 60 per-bit sign sums
+    // (bits 60-63 of the 60-bit hash are always 0 on both sides).
+    "dedup_simhash" -> {
+      val bitSums = (0 until 60).map(b =>
+        s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(",\n    ")
+      val assemble = (0 until 60).map(b =>
+        s"(CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+        .mkString(" +\n  ")
+      s"""WITH th AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         |        FROM documents)),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM th GROUP BY doc_id)
+         |SELECT doc_id AS id,
+         |  $assemble AS simhash
+         |FROM bits ORDER BY id""".stripMargin
+    },
+
+    // Mirrors Knn.ivf exactly: centroids = the 16 smallest-id vectors,
+    // cosine with precomputed norms (same float ops as the Spark fold),
+    // argmax bucket assignment with centroid_id tiebreak, nprobe=4
+    // buckets per query, top-10 with neighbor-id tiebreak.
+    "knn_ivf_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vid AS centroid_id, v AS centv, nv AS nc
+        |  FROM corpus ORDER BY vid LIMIT 16),
+        |assigned AS (
+        |  SELECT vid, v, nv, bucket FROM (
+        |    SELECT vid, v, nv, centroid_id AS bucket,
+        |      row_number() OVER (PARTITION BY vid ORDER BY
+        |        CASE WHEN nv * nc > 0 THEN list_dot_product(v, centv) / (nv * nc) END
+        |          DESC, centroid_id) AS rk
+        |    FROM corpus CROSS JOIN cents)
+        |  WHERE rk = 1),
+        |probed AS (
+        |  SELECT query_id, qv, nq, bucket FROM (
+        |    SELECT q.vid AS query_id, q.v AS qv, q.nv AS nq, centroid_id AS bucket,
+        |      row_number() OVER (PARTITION BY q.vid ORDER BY
+        |        CASE WHEN q.nv * nc > 0 THEN list_dot_product(q.v, centv) / (q.nv * nc) END
+        |          DESC, centroid_id) AS rk
+        |    FROM (SELECT * FROM corpus WHERE vid < 5) q CROSS JOIN cents)
+        |  WHERE rk <= 4)
+        |SELECT query_id, neighbor_id, cosine, rk FROM (
+        |  SELECT query_id, vid AS neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vid) AS rk
+        |  FROM (
+        |    SELECT query_id, vid,
+        |      CASE WHEN nq * nv > 0 THEN list_dot_product(qv, v) / (nq * nv) END AS cosine
+        |    FROM assigned JOIN probed USING (bucket)
+        |    WHERE query_id <> vid))
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "text_langid" -> {
+      val perLang = TextFunctions.LangMarkers.toSeq.sortBy(_._1).map {
+        case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"""SELECT doc_id, lang, '$lang' AS cand,
+             |    len(list_filter(string_split(lower(text), ' '),
+             |      t -> list_contains($list, t))) AS hits FROM documents""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH scored AS (
+         |  $perLang),
+         |best AS (
+         |  SELECT doc_id, lang, cand, hits,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand DESC) AS rk
+         |  FROM scored)
+         |SELECT doc_id, lang,
+         |  CASE WHEN hits > 0 THEN cand ELSE 'und' END AS lang_pred
+         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_embedding_pairs" ->
       """SELECT id_a, id_b, cosine FROM (
