@@ -245,6 +245,20 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** STREAMING exact dedup: drop any document whose normalized-text
+    * fingerprint was already emitted, with state bounded by the event-time
+    * watermark (`dropDuplicatesWithinWatermark` expires fingerprint state
+    * once it can no longer collide) — the ingestion-time form of
+    * [[exactDedup]] for a continuously-arriving corpus. State is
+    * per-fingerprint, partitioned by Spark's streaming state store, so it
+    * scales out with the cluster rather than any single host's memory. */
+  def exactDedupStream(df: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Default 64-bit token/shingle hash: xxhash64 (codegen'd, fast). */
   val xxHash: Column => Column = c => xxhash64(c)
   val xxSeedHash: (Column, Column) => Column = (c, seed) => xxhash64(c, seed)

@@ -105,6 +105,70 @@ object Knn {
     cents
   }
 
+  /** Per-dimension scalar-quantization stats over the corpus: ONE row
+    * (mins array<double>, scales array<double>), scale_d = (max_d -
+    * min_d) / (levels - 1). min/max are order-independent, so the stats
+    * are exactly reproducible anywhere. */
+  def quantizeStats(corpus: DataFrame, vecCol: String,
+      levels: Int = 256): DataFrame =
+    corpus.select(posexplode(VectorFunctions.toDouble(col(vecCol)))
+        .as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("pm"))
+      .select(transform(col("pm"), e => e.getField("mn")).as("mins"),
+        transform(col("pm"), e =>
+          (e.getField("mx") - e.getField("mn")) / lit((levels - 1).toDouble))
+          .as("scales"))
+
+  /** int8-style code vectors plus their reconstructions: code_d =
+    * floor((x_d - min_d) / scale_d) clamped to [0, levels-1] (zero-range
+    * dimensions code to 0), recon_d = min_d + code_d * scale_d. The
+    * 1-byte codes are what a 100 TB store persists (4x smaller scans);
+    * reconstruction happens at score time, never materialized at rest.
+    * All arithmetic is IEEE-deterministic, so codes AND reconstructions
+    * are exactly reproducible on any engine. The stats row is broadcast;
+    * the corpus is never shuffled. */
+  def quantizeCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      stats: DataFrame, levels: Int = 256): DataFrame =
+    corpus.crossJoin(broadcast(stats))
+      .select(col(idCol).as("vid"), col("mins"), col("scales"),
+        transform(VectorFunctions.toDouble(col(vecCol)), (x, i) => {
+          val mn = element_at(col("mins"), i + 1)
+          val sc = element_at(col("scales"), i + 1)
+          when(sc > 0.0,
+            least(greatest(floor((x - mn) / sc), lit(0L)), lit(levels - 1L)))
+            .otherwise(lit(0L))
+        }).as("codes"))
+      // Separate projection: `codes` is a multi-use attribute here, so
+      // CollapseProject keeps the floor/clamp chain computed once.
+      .select(col("vid"), col("codes"),
+        transform(col("codes"), (c, i) =>
+          element_at(col("mins"), i + 1) +
+            c.cast("double") * element_at(col("scales"), i + 1)).as("recon"))
+
+  /** Brute-force top-k over QUANTIZED vectors, ranked by the dot product
+    * of code reconstructions (asymmetric-distance style: store 1-byte
+    * codes, de-quantize at score time). Against an exact-dot baseline
+    * the only error left is 8-bit rounding. Deterministic tiebreaks. */
+  def bruteForceQuantized(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, levels: Int = 256): DataFrame = {
+    val stats = quantizeStats(corpus, vecCol, levels)
+    val c = quantizeCodes(corpus, idCol, vecCol, stats, levels)
+    val q = quantizeCodes(queries, idCol, vecCol, stats, levels)
+      .select(col("vid").as("query_id"), col("recon").as("qr"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vid"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qr"), col("recon"), (a, b) => a * b),
+          lit(0.0), _ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("dot"),
+        col("rk"))
+  }
+
   /** IVF top-k with naive deterministic centroids. */
   def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int, nprobe: Int): DataFrame = {

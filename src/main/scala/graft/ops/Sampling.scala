@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for training-data pipelines
+  * (SURVEY §2.7 scope): held-out splits, Bernoulli subsampling, and
+  * per-source mixture weighting.
+  *
+  * Every decision is a pure function of (row key, salt) — an md5-derived
+  * uniform in [0, 1) — so results are reproducible across runs, engines,
+  * partition layouts, and cluster sizes: no RNG state, no
+  * `rand()`-per-partition seed sensitivity, and any SQL engine replays
+  * the exact same sample (the DuckDB oracles do). At 100 TB this also
+  * means a split never has to be materialized: membership is recomputable
+  * from the key alone, and re-ingesting a source assigns previously-seen
+  * rows to the same split.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) from the first 52 bits (13 hex digits) of
+    * md5(key ":" salt). 52 bits fit a double's mantissa exactly and
+    * 2^52 is a power of two, so the division is exact — both engines
+    * produce the identical double. */
+  def hashUnit(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0) // / 2^52
+
+  /** Split assignment: named buckets with weights (need not sum to 1;
+    * they are normalized). Rows hash into buckets by cumulative weight,
+    * e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. */
+  def splitColumn(key: Column, salt: String,
+      splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "split weights must be positive")
+    val total = splits.map(_._2).sum
+    val u = hashUnit(key, salt)
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    // Last bucket is the otherwise-branch: covers u up to 1 exactly.
+    splits.init.zip(cums.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cum), rest) => when(u < lit(cum), name).otherwise(rest)
+    }
+  }
+
+  /** Keep ~fraction of rows, chosen deterministically by key hash. */
+  def sampleByHash(df: DataFrame, key: Column, fraction: Double,
+      salt: String): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(hashUnit(key, salt) < lit(fraction))
+  }
+
+  /** Mixture sampling: per-group keep fractions (a training-data mixture
+    * reweighting — e.g. downsample a crawl source to 25% while keeping
+    * curated sources whole). Groups absent from `weights` keep
+    * `defaultWeight`. */
+  def mixture(df: DataFrame, groupCol: Column, key: Column,
+      weights: Map[String, Double], defaultWeight: Double,
+      salt: String): DataFrame = {
+    val w = weights.toSeq.sortBy(_._1).foldRight(lit(defaultWeight): Column) {
+      case ((g, f), rest) => when(groupCol === lit(g), lit(f)).otherwise(rest)
+    }
+    df.filter(hashUnit(key, salt) < w)
+  }
+}

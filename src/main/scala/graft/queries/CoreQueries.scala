@@ -368,6 +368,19 @@ object CoreQueries extends graft.QueryModule {
             .cast("double").as("revenue"))
         .orderBy($"month")
     },
+    // PIVOT: order counts and revenue restructured wide by order status.
+    // Explicit pivot values keep the schema static (no extra distinct
+    // pass over the data, and a plan Catalyst can fully pre-resolve).
+    "q_pivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P")) // empty cells: 0, like the SQL form
+        .orderBy($"o_orderpriority")
+    },
+
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables.lineitem(s, dir)
@@ -385,6 +398,14 @@ object CoreQueries extends graft.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q3_join_agg" ->
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,

@@ -189,6 +189,38 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Quantized ANN: int8 scalar-quantized codes, ranked by the dot of
+    // score-time reconstructions — the memory-bandwidth scale path
+    // (4x smaller stored vectors).
+    "knn_quantized_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.bruteForceQuantized(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Deterministic train/val/test split by key hash: reproducible on
+    // any engine/run/partitioning, never materialized.
+    "docs_hash_split" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          graft.ops.Sampling.splitColumn($"doc_id", "split-v1",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy($"doc_id")
+    },
+
+    // Mixture reweighting: per-source keep fractions (downsample two
+    // crawl sources, keep the rest whole) — deterministic by key hash.
+    "docs_mixture_sample" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Sampling.mixture(Tables.documents(s, dir), $"source",
+        $"doc_id", Map("src0" -> 0.25, "src1" -> 0.5),
+        defaultWeight = 1.0, salt = "mix-v1")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
     // Multimodal: opaque binary payload + typed metadata.
     "multimodal_bytes" -> { (s, dir) =>
       import s.implicits._
@@ -371,6 +403,60 @@ object ExtensionQueries extends graft.QueryModule {
         |    FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
         |    WHERE q.vec_id <> c.vec_id))
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    // Quantized ANN replay: per-dim min/scale stats, int8 codes via the
+    // identical floor/clamp arithmetic, reconstruction dot ranking.
+    "knn_quantized_topk" ->
+      """WITH exploded AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS pos,
+        |         unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT pos, min(x) AS mn, (max(x) - min(x)) / 255.0 AS sc
+        |  FROM exploded GROUP BY pos),
+        |codes AS (
+        |  SELECT vec_id AS vid, list(recon ORDER BY pos) AS recon FROM (
+        |    SELECT e.vec_id, e.pos,
+        |      s.mn + (CASE WHEN s.sc > 0
+        |        THEN least(greatest(CAST(floor((e.x - s.mn) / s.sc) AS BIGINT), 0), 255)
+        |        ELSE 0 END) * s.sc AS recon
+        |    FROM exploded e JOIN stats s ON e.pos = s.pos)
+        |  GROUP BY vec_id)
+        |SELECT query_id, neighbor_id, dot, rk FROM (
+        |  SELECT query_id, neighbor_id, dot,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rk
+        |  FROM (
+        |    SELECT q.vid AS query_id, c.vid AS neighbor_id,
+        |      list_dot_product(q.recon, c.recon) AS dot
+        |    FROM codes c CROSS JOIN (SELECT * FROM codes WHERE vid < 5) q
+        |    WHERE q.vid <> c.vid))
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    // Split thresholds are generated by the SAME Scala arithmetic as
+    // Sampling.splitColumn (cumulative-sum floating point included), so
+    // the embedded literals round-trip to identical doubles.
+    "docs_hash_split" -> {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val total = splits.map(_._2).sum
+      val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+      val u = "(('0x' || substr(md5(doc_id::VARCHAR || ':split-v1'), 1, 13))::BIGINT" +
+        " / 4503599627370496.0)"
+      val cases = splits.init.zip(cums.init).reverse
+        .foldLeft(s"'${splits.last._1}'") {
+          case (rest, ((name, _), cum)) =>
+            s"CASE WHEN $u < $cum THEN '$name' ELSE $rest END"
+        }
+      s"""SELECT doc_id, source, $cases AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "docs_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (('0x' || substr(md5(doc_id::VARCHAR || ':mix-v1'), 1, 13))::BIGINT
+        |       / 4503599627370496.0)
+        |  < CASE WHEN source = 'src0' THEN 0.25
+        |         WHEN source = 'src1' THEN 0.5 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
 
     // Replays the full md5-family MinHash pipeline: per-doc distinct
     // 3-gram sets, 32 min-hash signature slots, 8 bands of 4 rows joined

@@ -1,0 +1,106 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** SQL generation for pushing the staged-MERGE load into a JDBC
+  * warehouse — the literal load path of the reference (staging table +
+  * chunked multi-row INSERT + merge + drop, dags/etl.py:178-199 with
+  * `chunksize=1000, method="multi"`), re-expressed as statement
+  * generation so the engine stays dependency-free: callers hand the
+  * statements to any JDBC connection (per PARTITION on executors — the
+  * driver never materializes the table; each partition streams its own
+  * chunked inserts, which is the distributed form of the reference's
+  * single-process load).
+  *
+  * Two merge dialects:
+  *  - mysql:    INSERT ... SELECT ... ON DUPLICATE KEY UPDATE col=VALUES(col)
+  *  - postgres: INSERT ... SELECT ... ON CONFLICT (pk) DO UPDATE SET
+  *              col = EXCLUDED.col
+  * Both implement the same semantics as [[Upsert.upsert]]: insert absent
+  * PKs, overwrite every non-PK column for present ones, never delete.
+  */
+object MergeSql {
+
+  private def q(ident: String): String = {
+    require(ident.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe identifier: $ident")
+    ident
+  }
+
+  /** CREATE the staging table with the target's shape. */
+  def createStaging(staging: String, target: String): String =
+    s"CREATE TABLE ${q(staging)} LIKE ${q(target)}"
+
+  /** One chunked multi-row INSERT into staging (the reference's
+    * `method="multi"`); values are SQL-escaped literals. */
+  def insertChunk(staging: String, columns: Seq[String],
+      rows: Seq[Seq[Any]]): String = {
+    require(rows.nonEmpty, "empty chunk")
+    val cols = columns.map(q).mkString(", ")
+    val values = rows.map(_.map(sqlLiteral).mkString("(", ", ", ")"))
+      .mkString(",\n")
+    s"INSERT INTO ${q(staging)} ($cols) VALUES\n$values"
+  }
+
+  /** The MERGE from staging into the target. */
+  def merge(dialect: String, target: String, staging: String,
+      pk: Seq[String], columns: Seq[String]): String = {
+    val nonPk = columns.filterNot(pk.contains)
+    require(pk.nonEmpty && nonPk.nonEmpty, "need pk and non-pk columns")
+    val cols = columns.map(q).mkString(", ")
+    dialect match {
+      case "mysql" =>
+        val updates = nonPk.map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")
+        s"""INSERT INTO ${q(target)} ($cols)
+           |SELECT $cols FROM ${q(staging)}
+           |ON DUPLICATE KEY UPDATE $updates""".stripMargin
+      case "postgres" =>
+        val updates = nonPk.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+        val keys = pk.map(q).mkString(", ")
+        s"""INSERT INTO ${q(target)} ($cols)
+           |SELECT $cols FROM ${q(staging)}
+           |ON CONFLICT ($keys) DO UPDATE SET $updates""".stripMargin
+      case other => throw new IllegalArgumentException(
+        s"unknown dialect '$other' (mysql|postgres)")
+    }
+  }
+
+  def dropStaging(staging: String): String = s"DROP TABLE ${q(staging)}"
+
+  /** The full statement sequence for one load of `df`, chunked like the
+    * reference (1000 rows/statement). Returns per-partition iterators of
+    * INSERT statements via `mapPartitions` shape — exposed here as a
+    * DataFrame of statements so tests (and JDBC-less environments) can
+    * inspect the exact SQL; a production sink would execute each
+    * partition's statements over its own connection. */
+  def loadPlan(df: DataFrame, dialect: String, target: String,
+      staging: String, pk: Seq[String],
+      chunkSize: Int = 1000): LoadPlan = {
+    val columns = df.columns.toSeq
+    import df.sparkSession.implicits._
+    val inserts = df.mapPartitions { rows =>
+      rows.grouped(chunkSize).map { chunk =>
+        insertChunk(staging, columns,
+          chunk.map((r: Row) => r.toSeq))
+      }
+    }.toDF("statement")
+    LoadPlan(
+      createStaging(staging, target),
+      inserts,
+      merge(dialect, target, staging, pk, columns),
+      dropStaging(staging))
+  }
+
+  final case class LoadPlan(create: String, inserts: DataFrame,
+      merge: String, drop: String)
+
+  private[sink] def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    case t: java.sql.Timestamp => s"'$t'"
+    case d: java.sql.Date => s"'$d'"
+    case n: java.lang.Number => n.toString
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case other => throw new IllegalArgumentException(
+      s"unsupported literal type: ${other.getClass.getName}")
+  }
+}

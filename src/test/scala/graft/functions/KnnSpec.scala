@@ -60,6 +60,33 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     assert(trained >= 0.7, s"trained recall $trained")
   }
 
+  test("quantized codes are in [0,255] and dot ranking tracks exact cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    val stats = Knn.quantizeStats(emb, "embedding")
+    val codes = Knn.quantizeCodes(emb, "vec_id", "embedding", stats)
+    val bounds = codes.select(array_min($"codes").as("lo"), array_max($"codes").as("hi"))
+      .agg(min($"lo"), max($"hi")).as[(Long, Long)].collect().head
+    assert(bounds._1 >= 0L && bounds._2 <= 255L)
+    // Baseline with the SAME objective (max inner product) on raw
+    // doubles: the only difference left is 8-bit quantization error, so
+    // agreement should be near-perfect.
+    val queries = emb.filter($"vec_id" < 10)
+    val q = queries.select($"vec_id".as("query_id"),
+      VectorFunctions.toDouble($"embedding").as("qv"))
+    val c = emb.select($"vec_id".as("neighbor_id"),
+      VectorFunctions.toDouble($"embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"dot".desc, $"neighbor_id")
+    val exactDot = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .withColumn("dot", aggregate(zip_with($"qv", $"cv", _ * _), lit(0.0), _ + _))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Knn.bruteForceQuantized(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = quant.intersect(exactDot).size.toDouble / exactDot.size
+    assert(recall >= 0.8, s"quantized-vs-exact-dot recall $recall")
+  }
+
   test("ivf recall@10 >= 0.6 vs brute force on the fixture embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 10)

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model.Tables
+
+class SamplingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("splitColumn proportions approach the weights") {
+    val n = docs.count().toDouble
+    val counts = docs
+      .select(Sampling.splitColumn($"doc_id", "s1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") / n - 0.8) < 0.06)
+    assert(math.abs(counts("val") / n - 0.1) < 0.06)
+    assert(math.abs(counts("test") / n - 0.1) < 0.06)
+  }
+
+  test("split assignment is deterministic and partitioning-invariant") {
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", Sampling.splitColumn($"doc_id", "s1",
+        Seq("train" -> 0.8, "val" -> 0.2)).as("split"))
+      .as[(Long, String)].collect().toMap
+    val a = assign(docs)
+    val b = assign(docs.repartition(7, $"source"))
+    assert(a == b)
+  }
+
+  test("sampleByHash keeps ~fraction and is stable across runs") {
+    val s1 = Sampling.sampleByHash(docs, $"doc_id", 0.3, "x")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.sampleByHash(docs, $"doc_id", 0.3, "x")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size / docs.count().toDouble - 0.3) < 0.06)
+    // Different salt draws a genuinely different sample.
+    val s3 = Sampling.sampleByHash(docs, $"doc_id", 0.3, "y")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 != s1)
+  }
+
+  test("mixture keeps unweighted groups whole and downsamples weighted ones") {
+    val kept = Sampling.mixture(docs, $"source", $"doc_id",
+      Map("src0" -> 0.2), defaultWeight = 1.0, salt = "m1")
+    val bySource = kept.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    val origBySource = docs.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(bySource("src0") < origBySource("src0"))
+    origBySource.keys.filter(_ != "src0").foreach { s =>
+      assert(bySource(s) == origBySource(s), s"source $s should be whole")
+    }
+  }
+
+  test("splitColumn rejects non-positive weights") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn($"doc_id", "s", Seq("a" -> 0.0, "b" -> 1.0))
+    }
+  }
+}
