@@ -25,14 +25,24 @@ object AsOfJoin {
     * @param ts            event-time column (both sides)
     * @param leftTiebreak  disambiguates equal-ts rows on the left
     * @param rightTiebreak disambiguates equal-ts rows on the right
-    * @param rightCols     right columns to carry (renamed as given) */
+    * @param rightCols     right columns to carry (renamed as given)
+    * @param direction     "backward" (most recent right.ts <= left.ts,
+    *                      the default) or "forward" (earliest right.ts >=
+    *                      left.ts); both inclusive at equal ts
+    * @param tolerance     optional max |left.ts - right.ts| as an SQL
+    *                      interval string (e.g. "15 minutes"); matches
+    *                      farther away resolve to NULL, the left row is
+    *                      kept (pandas merge_asof semantics). Requires a
+    *                      timestamp `ts` column. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       leftTiebreak: String, rightTiebreak: String,
-      rightCols: Map[String, String]): DataFrame = {
+      rightCols: Map[String, String], direction: String = "backward",
+      tolerance: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    val carried = rightCols.toSeq.sortBy(_._2)
+    // "__rts" rides along so tolerance can compare the matched row's ts.
+    val carried = (rightCols.toSeq ++ Seq(ts -> "__rts")).sortBy(_._2)
     // Side 0 = right (sorts before left on equal ts, so a same-instant
-    // right row is visible to the left row).
+    // right row is visible to the left row in either direction).
     val r = right.select(
       Seq(col(key), col(ts), col(rightTiebreak).as("__tb"), lit(0).as("__side")) ++
         carried.map { case (src, dst) => col(src).as(s"__r_$dst") }: _*)
@@ -41,15 +51,32 @@ object AsOfJoin {
         carried.map { case (_, dst) => lit(null).as(s"__r_$dst") } ++
         leftCols.filterNot(c => c == key || c == ts).map(col): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"), col("__tb"))
+    val order = direction match {
+      case "backward" => Seq(col(ts).asc, col("__side").asc, col("__tb").asc)
+      // Scan from the future toward the past: "last right seen" is the
+      // EARLIEST right row at/after the left row. Equal-ts right rows
+      // resolve to the smallest tiebreak (mirror of backward's largest).
+      case "forward" => Seq(col(ts).desc, col("__side").asc, col("__tb").desc)
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward, got '$other'")
+    }
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = carried.foldLeft(unioned) { case (df, (_, dst)) =>
       df.withColumn(s"__f_$dst",
         last(col(s"__r_$dst"), ignoreNulls = true).over(w))
     }
+    val inTolerance: Column = tolerance match {
+      case None => lit(true)
+      case Some(t) =>
+        val iv = expr(s"INTERVAL $t")
+        if (direction == "backward") col("__f___rts") >= col(ts) - iv
+        else col("__f___rts") <= col(ts) + iv
+    }
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        carried.map { case (_, dst) => col(s"__f_$dst").as(dst) }: _*)
+        rightCols.toSeq.sortBy(_._2).map { case (_, dst) =>
+          when(inTolerance, col(s"__f_$dst")).otherwise(lit(null)).as(dst)
+        }: _*)
   }
 }

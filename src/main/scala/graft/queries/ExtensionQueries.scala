@@ -221,6 +221,23 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Interval join via the binned equi-join (never a nested loop):
+    // parts histogrammed into price bands [k*250, (k+1)*250).
+    "q_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val bands = s.range(0, 10)
+        .select($"id".as("band_id"), ($"id" * lit(250.0)).as("lo"),
+          (($"id" + 1) * lit(250.0)).as("hi"))
+      graft.ops.RangeJoin.binned(
+        Tables.part(s, dir).select($"p_partkey", $"p_retailprice"),
+        $"p_retailprice", bands, $"lo", $"hi", binWidth = 250.0)
+        .groupBy($"band_id")
+        .agg(count(lit(1)).as("n_parts"),
+          sum($"p_retailprice".cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("total_price"))
+        .orderBy($"band_id")
+    },
+
     // Multimodal: opaque binary payload + typed metadata.
     "multimodal_bytes" -> { (s, dir) =>
       import s.implicits._
@@ -259,6 +276,22 @@ object ExtensionQueries extends graft.QueryModule {
       graft.ops.AsOfJoin.asOf(purchases, views, "user_id", "ts",
         "event_id", "event_id",
         Map("event_id" -> "last_view_event", "value" -> "last_view_value"))
+        .orderBy($"event_id")
+    },
+
+    // Forward as-of with tolerance: each view enriched with the NEXT
+    // purchase within 30 minutes (conversion attribution shape).
+    "events_asof_forward" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"value", $"event_type")
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id", $"ts", $"user_id")
+      val purchases = ev.filter($"event_type" === "purchase")
+      graft.ops.AsOfJoin.asOf(views, purchases, "user_id", "ts",
+        "event_id", "event_id",
+        Map("event_id" -> "next_purchase_event", "value" -> "next_purchase_value"),
+        direction = "forward", tolerance = Some("30 minutes"))
         .orderBy($"event_id")
     },
   )
@@ -403,6 +436,16 @@ object ExtensionQueries extends graft.QueryModule {
         |    FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
         |    WHERE q.vec_id <> c.vec_id))
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "q_range_join" ->
+      """WITH bands AS (
+        |  SELECT band_id, band_id * 250.0 AS lo, (band_id + 1) * 250.0 AS hi
+        |  FROM (SELECT unnest(range(10)) AS band_id))
+        |SELECT band_id, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM part p JOIN bands b
+        |  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
 
     // Quantized ANN replay: per-dim min/scale stats, int8 codes via the
     // identical floor/clamp arithmetic, reconstruction dot ranking.
@@ -625,6 +668,34 @@ object ExtensionQueries extends graft.QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, ts, user_id, value,
         |  fe AS last_view_event, fv AS last_view_value
+        |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    // Mirror of the forward as-of union-merge: scan DESC so last_value
+    // IGNORE NULLS is the earliest right row at/after; tolerance gates
+    // the filled values back to NULL.
+    "events_asof_forward" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id AS tb, 0 AS side,
+        |    value AS rv, event_id AS re, ts AS rts,
+        |    CAST(NULL AS BIGINT) AS event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT user_id, ts, event_id AS tb, 1 AS side,
+        |    CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS re,
+        |    CAST(NULL AS TIMESTAMP) AS rts, event_id
+        |  FROM events WHERE event_type = 'view'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |f AS (
+        |  SELECT *,
+        |    last_value(re IGNORE NULLS) OVER w AS fe,
+        |    last_value(rv IGNORE NULLS) OVER w AS fv,
+        |    last_value(rts IGNORE NULLS) OVER w AS fts
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side, tb DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, ts, user_id,
+        |  CASE WHEN fts <= ts + INTERVAL 30 MINUTE THEN fe END AS next_purchase_event,
+        |  CASE WHEN fts <= ts + INTERVAL 30 MINUTE THEN fv END AS next_purchase_value
         |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "events_session" ->

@@ -38,6 +38,39 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains(5.0))
   }
 
+  test("forward direction picks the earliest right row at or after") {
+    val left = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1L),
+      (101L, ts("2024-01-01 12:30:00"), 1L), // after every right row
+    ).toDF("event_id", "t", "user_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 5.0),  // in the past: invisible
+      (1L, ts("2024-01-01 11:00:00"), 20.0),
+      (1L, ts("2024-01-01 12:00:00"), 30.0),
+    ).toDF("user_id", "t", "v")
+    val got = AsOfJoin.asOf(left, right, "user_id", "t", "event_id", "v",
+      Map("v" -> "next_v"), direction = "forward")
+      .select("event_id", "next_v").as[(Long, Option[Double])].collect().toMap
+    assert(got(100L).contains(20.0))
+    assert(got(101L).isEmpty, "no right row after the last left row")
+  }
+
+  test("tolerance nulls out matches farther than the interval") {
+    val left = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1L), // last view 09:55 — in range
+      (101L, ts("2024-01-01 12:00:00"), 1L), // last view 10:05 — too old
+    ).toDF("event_id", "t", "user_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:55:00"), 1.0),
+      (1L, ts("2024-01-01 10:05:00"), 2.0),
+    ).toDF("user_id", "t", "v")
+    val got = AsOfJoin.asOf(left, right, "user_id", "t", "event_id", "v",
+      Map("v" -> "last_v"), tolerance = Some("15 minutes"))
+      .select("event_id", "last_v").as[(Long, Option[Double])].collect().toMap
+    assert(got(100L).contains(1.0))
+    assert(got(101L).isEmpty, "match beyond tolerance resolves to null")
+  }
+
   test("keys never cross: a right row of another user is invisible") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("event_id", "t", "user_id")
     val right = Seq((2L, ts("2024-01-01 09:00:00"), 99.0)).toDF("user_id", "t", "v")
