@@ -46,4 +46,24 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     val p = planOf("knn_cosine_topk_native")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("docs_hash_split is a pure projection: no exchange except the output sort") {
+    val p = planOf("docs_hash_split")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 1, p) // only the ORDER BY range exchange
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+  }
+
+  test("q_range_join plans the interval join as a hash join, never a nested loop") {
+    val p = planOf("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("docs_mixture_sample pushes nothing but keeps the scan pruned") {
+    val p = planOf("docs_mixture_sample")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text"), readSchema) // filter needs only ids
+  }
 }
