@@ -245,6 +245,37 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark-contamination ratio: for every corpus document, the
+    * fraction of its distinct n-gram shingles that also occur anywhere
+    * in `bench` (the eval/benchmark set) — the standard n-gram-overlap
+    * decontamination signal for training corpora. One join against the
+    * bench shingle VOCABULARY (distinct shingles, not per-doc): eval
+    * sets are small relative to a training corpus, so that side
+    * broadcasts and the corpus is never shuffled for the join. */
+  def contaminationRatio(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val cs = shingleTable(corpus, textCol, idCol, n)
+    val bs = bench
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    cs.join(broadcast(bs.withColumn("__hit", lit(1))), Seq("shingle"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_sh").cast("double"))
+  }
+
+  /** Drop corpus documents whose contamination ratio reaches
+    * `threshold` (1.0 = only fully-contained docs, the conservative
+    * default; common practice is 0.8). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val dropIds = contaminationRatio(corpus, bench, textCol, idCol, n)
+      .filter(col("contamination") >= threshold)
+      .select(col("id").as(idCol))
+    corpus.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** STREAMING exact dedup: drop any document whose normalized-text
     * fingerprint was already emitted, with state bounded by the event-time
     * watermark (`dropDuplicatesWithinWatermark` expires fingerprint state

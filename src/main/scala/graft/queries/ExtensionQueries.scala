@@ -189,6 +189,20 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Benchmark decontamination signal: fraction of each corpus doc's
+    // 3-gram shingles that appear anywhere in the eval set (source
+    // 'src0' stands in as the benchmark). Only contaminated docs listed.
+    "docs_contamination" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationRatio(
+        docs.filter($"source" =!= "src0"),
+        docs.filter($"source" === "src0"),
+        "text", "doc_id", 3)
+        .filter($"n_hit" > 0)
+        .orderBy($"id")
+    },
+
     // Quantized ANN: int8 scalar-quantized codes, ranked by the dot of
     // score-time reconstructions — the memory-bandwidth scale path
     // (4x smaller stored vectors).
@@ -446,6 +460,23 @@ object ExtensionQueries extends graft.QueryModule {
         |FROM part p JOIN bands b
         |  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "docs_contamination" ->
+      """WITH cs AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents WHERE source <> 'src0')),
+        |bs AS (
+        |  SELECT DISTINCT shingle FROM (
+        |    SELECT unnest(list_distinct(
+        |      [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+        |    FROM (SELECT string_split(lower(text), ' ') AS toks
+        |          FROM documents WHERE source = 'src0')))
+        |SELECT id, count(*) AS n_sh, count(b.shingle) AS n_hit,
+        |  CAST(count(b.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+        |FROM cs LEFT JOIN bs b ON cs.shingle = b.shingle
+        |GROUP BY id HAVING count(b.shingle) > 0 ORDER BY id""".stripMargin,
 
     // Quantized ANN replay: per-dim min/scale stats, int8 codes via the
     // identical floor/clamp arithmetic, reconstruction dot ranking.

@@ -128,6 +128,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(removed == expectedRemoved && removed > 0)
   }
 
+  test("decontaminate drops docs contained in the benchmark, keeps the rest") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // fully in bench
+      (2L, "totally unrelated content words here now"),
+      (3L, "alpha beta gamma something else entirely different"), // partial
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val ratios = Dedup.contaminationRatio(corpus, bench, "text", "doc_id", 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(ratios(1L) == 1.0)
+    assert(ratios(2L) == 0.0)
+    assert(ratios(3L) > 0.0 && ratios(3L) < 0.5)
+    val kept = Dedup.decontaminate(corpus, bench, "text", "doc_id", 3, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val sims = Dedup.simhash(df, "text", "doc_id")
