@@ -73,9 +73,15 @@ def main(sf_dir, out_dir):
         ec, er = canon(erows, ecols)
         # The driver fetches oracle results as a dataframe: DuckDB HUGEINT
         # (e.g. SUM over BIGINT) converts to float64 there and the exact
-        # hash fails even though fetchall() Python ints compare equal here.
-        huge = [d[0] for d in exp.description
-                if str(d[1]).upper().startswith(("HUGEINT", "INT128"))]
+        # hash fails even though fetchall() Python ints compare equal
+        # here. DBAPI description type codes are the generic 'NUMBER', so
+        # inspect the real types via the relation API.
+        try:
+            rel = con.sql(sql)
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()]
+        except Exception:  # noqa: BLE001
+            huge = []
         if huge:
             results[name] = f"HUGEINT-ORACLE-COLUMN {huge} (driver hash will FAIL — CAST to BIGINT)"
             continue

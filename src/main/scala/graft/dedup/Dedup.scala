@@ -130,7 +130,7 @@ object Dedup {
     * instead solved with driver-side union-find (see inline comment) —
     * same labels, one job instead of ~20. */
   def clusterPairs(rawPairs: DataFrame, maxIterations: Int = 25,
-      localEdgeLimit: Long = 5000000L): DataFrame = {
+      localEdgeLimit: Long = 1000000L): DataFrame = {
     // Materialize the pair list once, BEFORE the both-directions union:
     // the union's two branches and the iteration below all reference it,
     // and without a persist the (possibly expensive) pair pipeline
@@ -144,11 +144,13 @@ object Dedup {
     // proportional to the number of duplicates, not the corpus — after
     // LSH + verification it is typically orders of magnitude smaller
     // than the input (47 clusters from 5k docs on the fixture corpus).
-    // When it fits comfortably on the driver, α(n) union-find there
-    // beats ~5 distributed rounds of 4 shuffles each by ~10×: the
-    // rounds are pure job-scheduling overhead at that size. Graphs
-    // above the limit (adversarial corpora, low thresholds) take the
-    // distributed pointer-doubling path below, which never collects.
+    // When it fits comfortably on the driver (1M edges ≈ 500k pairs ≈
+    // tens of MB of Rows — safe even at a 1g default driver heap),
+    // α(n) union-find there beats ~5 distributed rounds of 4 shuffles
+    // each by ~10×: the rounds are pure job-scheduling overhead at that
+    // size. Graphs above the limit (adversarial corpora, low
+    // thresholds) take the distributed pointer-doubling path below,
+    // which never collects.
     if (nEdges <= localEdgeLimit) {
       val spark = pairs.sparkSession
       val idType = pairs.schema("id_a").dataType
@@ -266,8 +268,8 @@ object Dedup {
   }
 
   /** Drop corpus documents whose contamination ratio reaches
-    * `threshold` (1.0 = only fully-contained docs, the conservative
-    * default; common practice is 0.8). */
+    * `threshold`. The default 0.8 follows common decontamination
+    * practice; raise to 1.0 to drop only fully-contained docs. */
   def decontaminate(corpus: DataFrame, bench: DataFrame, textCol: String,
       idCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val dropIds = contaminationRatio(corpus, bench, textCol, idCol, n)

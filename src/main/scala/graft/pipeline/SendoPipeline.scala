@@ -181,13 +181,20 @@ object SendoPipeline {
     * swaps accept.) */
   def mergeTable(spark: SparkSession, warehouseDir: String, name: String,
       schema: StructType, source: DataFrame, pk: String): Unit = {
-    val target = readTable(spark, warehouseDir, name, schema)
-      .select(source.columns.map(col).toIndexedSeq: _*)
-    val merged = Upsert.upsert(target, source, Seq(pk))
     val finalPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
     val stage = new org.apache.hadoop.fs.Path(s"$warehouseDir/.$name.__stage__")
     val old = new org.apache.hadoop.fs.Path(s"$warehouseDir/.$name.__old__")
     val fs = finalPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // CRASH RECOVERY first: a previous run that died inside the
+    // two-rename window leaves the only copy of the table at `old`
+    // (finalPath moved aside, stage not yet published). Restore it
+    // BEFORE reading the target — deleting `old` here instead would
+    // destroy the table and merge this batch into an empty frame.
+    if (!fs.exists(finalPath) && fs.exists(old) && !fs.rename(old, finalPath))
+      throw new java.io.IOException(s"mergeTable: could not restore $old")
+    val target = readTable(spark, warehouseDir, name, schema)
+      .select(source.columns.map(col).toIndexedSeq: _*)
+    val merged = Upsert.upsert(target, source, Seq(pk))
     if (fs.exists(stage)) fs.delete(stage, true)
     merged.write.mode("overwrite").parquet(stage.toString)
     if (fs.exists(old)) fs.delete(old, true)

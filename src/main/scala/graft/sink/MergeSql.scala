@@ -31,13 +31,16 @@ object MergeSql {
     s"CREATE TABLE ${q(staging)} LIKE ${q(target)}"
 
   /** One chunked multi-row INSERT into staging (the reference's
-    * `method="multi"`); values are SQL-escaped literals. */
+    * `method="multi"`); values are SQL-escaped literals using the
+    * dialect's string rules — mysql interprets backslash escapes by
+    * default, postgres (standard_conforming_strings) treats backslash
+    * literally and needs only quote doubling. */
   def insertChunk(staging: String, columns: Seq[String],
-      rows: Seq[Seq[Any]]): String = {
+      rows: Seq[Seq[Any]], dialect: String = "mysql"): String = {
     require(rows.nonEmpty, "empty chunk")
     val cols = columns.map(q).mkString(", ")
-    val values = rows.map(_.map(sqlLiteral).mkString("(", ", ", ")"))
-      .mkString(",\n")
+    val values = rows.map(_.map(v => sqlLiteral(v, dialect))
+      .mkString("(", ", ", ")")).mkString(",\n")
     s"INSERT INTO ${q(staging)} ($cols) VALUES\n$values"
   }
 
@@ -80,7 +83,7 @@ object MergeSql {
     val inserts = df.mapPartitions { rows =>
       rows.grouped(chunkSize).map { chunk =>
         insertChunk(staging, columns,
-          chunk.map((r: Row) => r.toSeq))
+          chunk.map((r: Row) => r.toSeq), dialect)
       }
     }.toDF("statement")
     LoadPlan(
@@ -93,14 +96,23 @@ object MergeSql {
   final case class LoadPlan(create: String, inserts: DataFrame,
       merge: String, drop: String)
 
-  private[sink] def sqlLiteral(v: Any): String = v match {
-    case null => "NULL"
-    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
-    case t: java.sql.Timestamp => s"'$t'"
-    case d: java.sql.Date => s"'$d'"
-    case n: java.lang.Number => n.toString
-    case b: Boolean => if (b) "TRUE" else "FALSE"
-    case other => throw new IllegalArgumentException(
-      s"unsupported literal type: ${other.getClass.getName}")
-  }
+  private[sink] def sqlLiteral(v: Any, dialect: String = "mysql"): String =
+    v match {
+      case null => "NULL"
+      case s: String =>
+        // mysql's default sql_mode interprets backslash escapes inside
+        // string literals, so backslashes must double; postgres with
+        // standard_conforming_strings (default since 9.1) takes them
+        // literally — doubling there would corrupt the stored data.
+        val body = if (dialect == "mysql")
+          s.replace("\\", "\\\\").replace("'", "''")
+        else s.replace("'", "''")
+        "'" + body + "'"
+      case t: java.sql.Timestamp => s"'$t'"
+      case d: java.sql.Date => s"'$d'"
+      case n: java.lang.Number => n.toString
+      case b: Boolean => if (b) "TRUE" else "FALSE"
+      case other => throw new IllegalArgumentException(
+        s"unsupported literal type: ${other.getClass.getName}")
+    }
 }

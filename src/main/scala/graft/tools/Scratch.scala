@@ -12,7 +12,7 @@ object Scratch {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(s"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f".replace("%.2f", ""))
+      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f")
       r
     }
     val docs = Tables.documents(spark, dir)

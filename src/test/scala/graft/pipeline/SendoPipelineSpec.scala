@@ -51,6 +51,24 @@ class SendoPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mergeTable recovers a table stranded at the backup path by a mid-swap crash") {
+    val wh = freshDir()
+    SendoPipeline.run(spark, SendoFixtures.transport(), wh)
+    val before = SendoPipeline
+      .readTable(spark, wh, "rating", graft.model.Schemas.rating).collect().toSet
+    // Simulate a crash between the two publish renames: the table only
+    // exists at .rating.__old__.
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$wh/rating"),
+      new org.apache.hadoop.fs.Path(s"$wh/.rating.__old__")))
+    // The next merge must restore the backup, not merge into nothing.
+    SendoPipeline.run(spark, SendoFixtures.transport(), wh)
+    val after = SendoPipeline
+      .readTable(spark, wh, "rating", graft.model.Schemas.rating).collect().toSet
+    assert(after == before, "historical rows must survive the recovery")
+  }
+
   test("re-run with one changed field overwrites only that PK's row") {
     val wh = freshDir()
     SendoPipeline.run(spark, SendoFixtures.transport(), wh)

@@ -33,6 +33,12 @@ class MergeSqlSpec extends AnyFunSuite with SparkTestBase {
         |(2, NULL)""".stripMargin)
   }
 
+  test("string escaping is dialect-aware (backslash doubling is mysql-only)") {
+    assert(MergeSql.sqlLiteral("""C:\tmp""", "mysql") == """'C:\\tmp'""")
+    assert(MergeSql.sqlLiteral("""C:\tmp""", "postgres") == """'C:\tmp'""")
+    assert(MergeSql.sqlLiteral("it's", "postgres") == "'it''s'")
+  }
+
   test("identifiers are validated against injection") {
     intercept[IllegalArgumentException] {
       MergeSql.merge("mysql", "t; DROP TABLE x", "s", Seq("id"), Seq("id", "v"))
