@@ -19,9 +19,18 @@ import graft.model.Tables
   */
 object CoreQueries extends graft.QueryModule {
 
-  /** Exact decimal sum of a double column, surfaced as double. */
+  /** Exact decimal sum of a double column, surfaced as double.
+    *
+    * The sum is rounded to scale 2 (HALF_UP, mirrored by DuckDB's
+    * `round(x, 2)`) BEFORE the double cast: a decimal whose scaled
+    * integer exceeds 2^53 converts to double with engine-dependent
+    * 1-ulp rounding (DuckDB divides int128 by 10^scale in floating
+    * point; Java rounds exactly), so high-scale sums break exact
+    * hashing once totals pass ~9e7 at scale 8. At scale 2 the cast is
+    * exact up to ~4.5e13. */
   private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast("double")
+    sum(c.cast(DecimalType(18, 4))).cast(DecimalType(38, 2)).cast("double")
+
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -40,7 +49,7 @@ object CoreQueries extends graft.QueryModule {
         .agg(
           sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
             (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
-            .cast("double").as("revenue"),
+            .cast(DecimalType(38, 2)).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"c_mktsegment")
     },
@@ -66,7 +75,7 @@ object CoreQueries extends graft.QueryModule {
         .groupBy($"r_name", $"n_name")
         .agg(sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
           (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
-          .cast("double").as("revenue"))
+          .cast(DecimalType(38, 2)).cast("double").as("revenue"))
         .orderBy($"r_name", $"n_name")
     },
 
@@ -105,7 +114,7 @@ object CoreQueries extends graft.QueryModule {
       Tables.lineitem(s, dir)
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
           sum($"l_quantity".cast(DecimalType(18, 4))).over(w)
-            .cast("double").as("running_qty"))
+            .cast(DecimalType(38, 2)).cast("double").as("running_qty"))
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
     },
 
@@ -284,7 +293,7 @@ object CoreQueries extends graft.QueryModule {
         .groupBy($"supp_nation", $"cust_nation")
         .agg(sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
           (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
-          .cast("double").as("revenue"))
+          .cast(DecimalType(38, 2)).cast("double").as("revenue"))
         .orderBy($"supp_nation", $"cust_nation")
     },
 
@@ -292,9 +301,13 @@ object CoreQueries extends graft.QueryModule {
     "q_scalar_subquery" -> { (s, dir) =>
       import s.implicits._
       val part = Tables.part(s, dir)
+      // Exact double of the scale-2-rounded sum, then IEEE double
+      // division — both engine-independent (decimal division would
+      // produce an engine-specific quotient scale, and its high-scale
+      // double cast is the 1-ulp trap dsum documents).
       val avgPrice = part.agg(
-        (sum($"p_retailprice".cast(DecimalType(18, 4))) / count(lit(1)))
-          .cast("double").as("avg_price"))
+        (dsum($"p_retailprice") /
+          count(lit(1)).cast("double")).as("avg_price"))
       part.crossJoin(broadcast(avgPrice))
         .filter($"p_retailprice" > $"avg_price")
         .select($"p_partkey", $"p_retailprice")
@@ -365,7 +378,7 @@ object CoreQueries extends graft.QueryModule {
         .groupBy(trunc($"o_orderdate", "month").as("month"))
         .agg(count(lit(1)).as("n_orders"),
           sum($"o_totalprice".cast(DecimalType(18, 4)))
-            .cast("double").as("revenue"))
+            .cast(DecimalType(38, 2)).cast("double").as("revenue"))
         .orderBy($"month")
     },
     // PIVOT: order counts and revenue restructured wide by order status.
@@ -391,7 +404,7 @@ object CoreQueries extends graft.QueryModule {
           dsum($"l_extendedprice").as("sum_base_price"),
           sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
             (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
-            .cast("double").as("sum_disc_price"),
+            .cast(DecimalType(38, 2)).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -408,7 +421,7 @@ object CoreQueries extends graft.QueryModule {
 
     "q3_join_agg" ->
       """SELECT c_mktsegment,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -416,7 +429,7 @@ object CoreQueries extends graft.QueryModule {
 
     "q5_multiway_join" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -441,9 +454,9 @@ object CoreQueries extends graft.QueryModule {
 
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q_window_lag_lead" ->
@@ -468,7 +481,7 @@ object CoreQueries extends graft.QueryModule {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
@@ -478,9 +491,9 @@ object CoreQueries extends graft.QueryModule {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_having" ->
-      """SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      """SELECT l_suppkey, CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
         |FROM lineitem GROUP BY l_suppkey
-        |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 5000.0
+        |HAVING CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) > 5000.0
         |ORDER BY l_suppkey""".stripMargin,
 
     "q_distinct_agg" ->
@@ -541,7 +554,7 @@ object CoreQueries extends graft.QueryModule {
 
     "q7_nation_flows" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -555,7 +568,8 @@ object CoreQueries extends graft.QueryModule {
     "q_scalar_subquery" ->
       """SELECT p_partkey, p_retailprice FROM part
         |WHERE p_retailprice > (
-        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE)
+        |  SELECT CAST(round(SUM(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)
         |  FROM part)
         |ORDER BY p_partkey""".stripMargin,
 
@@ -593,13 +607,13 @@ object CoreQueries extends graft.QueryModule {
     "q_monthly_orders" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY month ORDER BY month""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -248,6 +248,7 @@ object ExtensionQueries extends graft.QueryModule {
         .groupBy($"band_id")
         .agg(count(lit(1)).as("n_parts"),
           sum($"p_retailprice".cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2))
             .cast("double").as("total_price"))
         .orderBy($"band_id")
     },
@@ -456,7 +457,7 @@ object ExtensionQueries extends graft.QueryModule {
         |  SELECT band_id, band_id * 250.0 AS lo, (band_id + 1) * 250.0 AS hi
         |  FROM (SELECT unnest(range(10)) AS band_id))
         |SELECT band_id, COUNT(*) AS n_parts,
-        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |  CAST(round(SUM(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
         |FROM part p JOIN bands b
         |  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
@@ -668,7 +669,7 @@ object ExtensionQueries extends graft.QueryModule {
     "events_tumbling_hour" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "events_sliding" ->
@@ -745,7 +746,7 @@ object ExtensionQueries extends graft.QueryModule {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM flagged)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
   )
