@@ -118,6 +118,22 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
     },
 
+    // RANGE-framed window: trailing 7-day quantity per supplier — the
+    // time-based frame (peers by value distance), vs the ROWS frames
+    // above. Ordered by epoch seconds so both engines frame identically.
+    "q_window_range" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_suppkey")
+        .orderBy(unix_timestamp($"l_shipdate"))
+        .rangeBetween(-7L * 86400L, 0L)
+      Tables.lineitem(s, dir)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          sum($"l_quantity".cast(DecimalType(18, 4))).over(w)
+            .cast(DecimalType(38, 2)).cast("double").as("qty_7d"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+
     // Window lag/lead: previous and next order value per customer.
     "q_window_lag_lead" -> { (s, dir) =>
       import s.implicits._
@@ -457,6 +473,13 @@ object CoreQueries extends graft.QueryModule {
         |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY CAST(epoch(l_shipdate) AS BIGINT)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS qty_7d
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q_window_lag_lead" ->
