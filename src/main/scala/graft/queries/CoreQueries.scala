@@ -172,6 +172,21 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
 
+    // Explicit GROUPING SETS: the general form rollup/cube specialize.
+    "q_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+            Seq($"o_orderstatus"), Seq.empty),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(DecimalType(18, 4)))
+            .cast(DecimalType(38, 2)).cast("double").as("revenue"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    },
+
     // CUBE over the same dimensions.
     "q_cube" -> { (s, dir) =>
       import s.implicits._
@@ -507,6 +522,13 @@ object CoreQueries extends graft.QueryModule {
         |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n

@@ -24,6 +24,14 @@ object Scratch {
       val p = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8).select("id_a", "id_b").persist()
       p.count(); p.collect(); p.unpersist()
     }
+    // Distributed path (pointer doubling) at the same scale: must agree
+    // with the local union-find labels exactly.
+    val localLabels = Dedup.clusterPairs(
+      Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)).collect().toSet
+    val distLabels = time("clusterPairs DISTRIBUTED")(
+      Dedup.clusterPairs(Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8),
+        localEdgeLimit = 0L).collect().toSet)
+    println(s"[scratch] labels equal: ${localLabels == distLabels} (${localLabels.size} rows)")
     spark.stop()
   }
 }
