@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import scala.util.chaining._
 
 import graft.model.Tables
 
@@ -19,17 +20,10 @@ import graft.model.Tables
   */
 object CoreQueries extends graft.QueryModule {
 
-  /** Exact decimal sum of a double column, surfaced as double.
-    *
-    * The sum is rounded to scale 2 (HALF_UP, mirrored by DuckDB's
-    * `round(x, 2)`) BEFORE the double cast: a decimal whose scaled
-    * integer exceeds 2^53 converts to double with engine-dependent
-    * 1-ulp rounding (DuckDB divides int128 by 10^scale in floating
-    * point; Java rounds exactly), so high-scale sums break exact
-    * hashing once totals pass ~9e7 at scale 8. At scale 2 the cast is
-    * exact up to ~4.5e13. */
+  /** Exact decimal sum of a double column, surfaced as an
+    * engine-independent double (see [[Parity.roundedDouble]]). */
   private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast(DecimalType(38, 2)).cast("double")
+    Parity.roundedDouble(sum(c.cast(DecimalType(18, 4))))
 
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -49,7 +43,7 @@ object CoreQueries extends graft.QueryModule {
         .agg(
           sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
             (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
-            .cast(DecimalType(38, 2)).cast("double").as("revenue"),
+            .pipe(Parity.roundedDouble).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"c_mktsegment")
     },
@@ -75,7 +69,7 @@ object CoreQueries extends graft.QueryModule {
         .groupBy($"r_name", $"n_name")
         .agg(sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
           (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
-          .cast(DecimalType(38, 2)).cast("double").as("revenue"))
+          .pipe(Parity.roundedDouble).as("revenue"))
         .orderBy($"r_name", $"n_name")
     },
 
@@ -114,7 +108,7 @@ object CoreQueries extends graft.QueryModule {
       Tables.lineitem(s, dir)
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
           sum($"l_quantity".cast(DecimalType(18, 4))).over(w)
-            .cast(DecimalType(38, 2)).cast("double").as("running_qty"))
+            .pipe(Parity.roundedDouble).as("running_qty"))
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
     },
 
@@ -130,7 +124,7 @@ object CoreQueries extends graft.QueryModule {
       Tables.lineitem(s, dir)
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
           sum($"l_quantity".cast(DecimalType(18, 4))).over(w)
-            .cast(DecimalType(38, 2)).cast("double").as("qty_7d"))
+            .pipe(Parity.roundedDouble).as("qty_7d"))
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
     },
 
@@ -182,7 +176,7 @@ object CoreQueries extends graft.QueryModule {
           $"o_orderstatus", $"o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum($"o_totalprice".cast(DecimalType(18, 4)))
-            .cast(DecimalType(38, 2)).cast("double").as("revenue"))
+            .pipe(Parity.roundedDouble).as("revenue"))
         .orderBy($"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
     },
@@ -324,7 +318,7 @@ object CoreQueries extends graft.QueryModule {
         .groupBy($"supp_nation", $"cust_nation")
         .agg(sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
           (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
-          .cast(DecimalType(38, 2)).cast("double").as("revenue"))
+          .pipe(Parity.roundedDouble).as("revenue"))
         .orderBy($"supp_nation", $"cust_nation")
     },
 
@@ -409,7 +403,7 @@ object CoreQueries extends graft.QueryModule {
         .groupBy(trunc($"o_orderdate", "month").as("month"))
         .agg(count(lit(1)).as("n_orders"),
           sum($"o_totalprice".cast(DecimalType(18, 4)))
-            .cast(DecimalType(38, 2)).cast("double").as("revenue"))
+            .pipe(Parity.roundedDouble).as("revenue"))
         .orderBy($"month")
     },
     // PIVOT: order counts and revenue restructured wide by order status.
@@ -435,7 +429,7 @@ object CoreQueries extends graft.QueryModule {
           dsum($"l_extendedprice").as("sum_base_price"),
           sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
             (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
-            .cast(DecimalType(38, 2)).cast("double").as("sum_disc_price"),
+            .pipe(Parity.roundedDouble).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },

@@ -11,10 +11,10 @@ import graft.streaming.EventsOps
 
 /** LLM-data-pipeline operator surface (SURVEY §2.7): text analysis, dedup
   * (exact / Jaccard / MinHash / SimHash), vector similarity search,
-  * multimodal binary columns, and windowed event aggregation. Queries
-  * without an oracle entry (MinHash, SimHash, IVF) use engine-specific
-  * hashing that no other engine reproduces; their correctness is pinned by
-  * unit tests against exact baselines instead.
+  * sampling/splits, multimodal binary columns, and windowed event
+  * aggregation. EVERY query here has an exact DuckDB oracle — the sketch
+  * queries run on md5-derived hash families the oracle replays, while
+  * xxhash64 stays each operator's library default.
   */
 object ExtensionQueries extends graft.QueryModule {
 
@@ -247,9 +247,9 @@ object ExtensionQueries extends graft.QueryModule {
         $"p_retailprice", bands, $"lo", $"hi", binWidth = 250.0)
         .groupBy($"band_id")
         .agg(count(lit(1)).as("n_parts"),
-          sum($"p_retailprice".cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 2))
-            .cast("double").as("total_price"))
+          Parity.roundedDouble(
+            sum($"p_retailprice".cast(org.apache.spark.sql.types.DecimalType(18, 4))))
+            .as("total_price"))
         .orderBy($"band_id")
     },
 

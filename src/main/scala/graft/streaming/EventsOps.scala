@@ -12,11 +12,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventsOps {
 
-  // Scale-2 rounding before the double cast: see CoreQueries.dsum — a
-  // high-scale decimal whose scaled integer exceeds 2^53 casts to double
-  // with engine-dependent 1-ulp rounding.
   private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 6))).cast(DecimalType(38, 2)).cast("double")
+    graft.queries.Parity.roundedDouble(sum(c.cast(DecimalType(18, 6))))
 
   /** Tumbling window aggregate per event type. */
   def tumbling(events: DataFrame, width: String): DataFrame =

@@ -25,12 +25,17 @@ object Scratch {
       p.count(); p.collect(); p.unpersist()
     }
     // Distributed path (pointer doubling) at the same scale: must agree
-    // with the local union-find labels exactly.
-    val localLabels = Dedup.clusterPairs(
-      Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)).collect().toSet
-    val distLabels = time("clusterPairs DISTRIBUTED")(
-      Dedup.clusterPairs(Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8),
-        localEdgeLimit = 0L).collect().toSet)
+    // with the local union-find labels exactly. One persisted pair list
+    // feeds both calls so the timings isolate the clustering step;
+    // localEdgeLimit = -1 forces the distributed branch even when the
+    // pair list is empty (0 edges <= 0 would take the local branch).
+    val pairsDf = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8).persist()
+    pairsDf.count()
+    val localLabels = time("clusterPairs LOCAL only")(
+      Dedup.clusterPairs(pairsDf).collect().toSet)
+    val distLabels = time("clusterPairs DISTRIBUTED only")(
+      Dedup.clusterPairs(pairsDf, localEdgeLimit = -1L).collect().toSet)
+    pairsDf.unpersist()
     println(s"[scratch] labels equal: ${localLabels == distLabels} (${localLabels.size} rows)")
     spark.stop()
   }
