@@ -81,6 +81,25 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Repetition quality signal: distinct-token fraction and the top
+    // token's share of the document — high repetition flags boilerplate
+    // and degenerate generations.
+    "text_repetition" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max($"c").as("top_count"))
+        .withColumn("distinct_ratio",
+          $"n_distinct".cast("double") / $"n_tokens".cast("double"))
+        .withColumn("top_share",
+          $"top_count".cast("double") / $"n_tokens".cast("double"))
+        .orderBy($"doc_id")
+    },
+
     // Per-source corpus profile (the grouping a crawl pipeline reports).
     "docs_per_source" -> { (s, dir) =>
       import s.implicits._
@@ -352,6 +371,18 @@ object ExtensionQueries extends graft.QueryModule {
         |  )) AS INTEGER) AS n_shingles
         |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_ratio,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "docs_per_source" ->
       """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
