@@ -37,6 +37,18 @@ object Scratch {
       Dedup.clusterPairs(pairsDf, localEdgeLimit = -1L).collect().toSet)
     pairsDf.unpersist()
     println(s"[scratch] labels equal: ${localLabels == distLabels} (${localLabels.size} rows)")
+
+    // 10x-corpus stress of the PRODUCTION minhash path (xxhash64): the
+    // copies are exact dups of each other, so LSH candidate volume grows
+    // ~45x per original near-dup pair — a deliberate worst case for the
+    // candidate-then-verify pipeline's scaling behaviour.
+    import org.apache.spark.sql.functions._
+    val big = (0 until 10).map(i => docs.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val t0 = System.nanoTime()
+    val nBig = Dedup.minhashPairs(big, "text", "doc_id").count()
+    println(f"[scratch] minhash 10x (${big.count()} docs): $nBig%d pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }
