@@ -128,6 +128,28 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
     },
 
+    // Gap-aware rankings + frame endpoints: rank/dense_rank (ties share
+    // a rank, unlike row_number) and the partition's first/cheapest
+    // order via first_value over an explicitly ordered frame.
+    "q_window_rank" -> { (s, dir) =>
+      import s.implicits._
+      // rank's ORDER BY deliberately has ties (status only): tied rows
+      // share a rank value, so the output is still deterministic.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority")
+        .orderBy($"o_orderstatus")
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.orders(s, dir)
+        .select($"o_orderpriority", $"o_orderkey",
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          first_value($"o_orderkey").over(wf).as("cheapest_key"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    },
+
     // Window lag/lead: previous and next order value per customer.
     "q_window_lag_lead" -> { (s, dir) =>
       import s.implicits._
@@ -490,6 +512,17 @@ object CoreQueries extends graft.QueryModule {
         |    PARTITION BY l_suppkey ORDER BY CAST(epoch(l_shipdate) AS BIGINT)
         |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS qty_7d
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderstatus) AS rnk,
+        |  dense_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderstatus) AS drnk,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_key
+        |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_window_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
