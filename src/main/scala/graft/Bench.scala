@@ -35,10 +35,33 @@ object Bench {
     runOnce("text_stats")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def fmt(v: Double): String = f"$v%.3f"
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+
+    // The driver keeps only the TAIL of our stdout, so the ONE reported
+    // JSON line must stay small or it gets truncated mid-line and fails
+    // to parse (this happened in rounds 1-2: 72 per-query timings made
+    // the line ~2.5 KB). Report a headline subset — one representative
+    // per operator family — on the contract line, and dump the complete
+    // per-query map to a sidecar file + stderr for humans.
+    val headline = Seq(
+      "q1_agg", "q3_join_agg", "q5_multiway_join", "q7_nation_flows",
+      "q_window_rank", "q_topk_perkey_native", "ref_l2_upsert",
+      "dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
+      "knn_cosine_topk_native", "knn_ivf_topk", "events_session",
+      "events_asof_join", "text_langid", "docs_quality_filter")
+    val byName = results.toMap
+    val head = headline.flatMap(n => byName.get(n).map(n -> _))
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    System.err.println(s"[bench-full] $full")
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL_LOCAL.json")
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

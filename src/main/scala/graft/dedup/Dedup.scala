@@ -135,7 +135,11 @@ object Dedup {
     // the union's two branches and the iteration below all reference it,
     // and without a persist the (possibly expensive) pair pipeline
     // behind it re-executes per reference (measured 2-4x cost).
-    val pairs = rawPairs.select("id_a", "id_b").persist()
+    // Null ids cannot be clustered (min-label over null is undefined and
+    // the distributed path's least/min would silently skip them); drop
+    // those edges up front so both branches see the same graph.
+    val pairs = rawPairs.select("id_a", "id_b")
+      .where(col("id_a").isNotNull && col("id_b").isNotNull).persist()
     val nEdges = 2L * pairs.count()
     val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
       .union(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
@@ -171,12 +175,23 @@ object Dedup {
         while (parent(cur) != cur) { val n = parent(cur); parent(cur) = root; cur = n }
         root
       }
+      // Canonical id = minimum under SPARK's ordering for the column
+      // type. For strings that is binary UTF-8 byte order (UTF8String),
+      // NOT java.lang.String's UTF-16 code-unit order — they disagree for
+      // supplementary-plane vs U+E000..U+FFFF characters, and the
+      // distributed branch (least/min) and the DuckDB oracle both use
+      // byte order, so the local branch must too.
+      def sparkCompare(a: Any, b: Any): Int = (a, b) match {
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+        case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+      }
       edgeIdx.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) {
-          val cmp = values(ra).asInstanceOf[Comparable[Any]]
-            .compareTo(values(rb))
-          if (cmp < 0) parent(rb) = ra else parent(ra) = rb
+          if (sparkCompare(values(ra), values(rb)) < 0) parent(rb) = ra
+          else parent(ra) = rb
         }
       }
       val schema = StructType(Seq(

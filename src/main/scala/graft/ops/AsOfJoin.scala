@@ -69,6 +69,17 @@ object AsOfJoin {
     val inTolerance: Column = tolerance match {
       case None => lit(true)
       case Some(t) =>
+        // Validate eagerly: the string is spliced into INTERVAL syntax, so
+        // a malformed value would otherwise surface as an obscure parse
+        // error deep in plan analysis (and the parameter would accept
+        // arbitrary expression text). safeStringToInterval returns null
+        // for anything that is not a pure interval literal.
+        val parsed = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .safeStringToInterval(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"interval $t"))
+        if (parsed == null) throw new IllegalArgumentException(
+          s"asOf tolerance is not a valid interval literal: '$t' " +
+            "(expected e.g. \"15 minutes\", \"1 hour 30 minutes\")")
         val iv = expr(s"INTERVAL $t")
         if (direction == "backward") col("__f___rts") >= col(ts) - iv
         else col("__f___rts") <= col(ts) + iv

@@ -21,6 +21,11 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object MergeSql {
 
+  // microsecond precision (DATETIME(6) / timestamptz both accept it)
+  private val utcFormatter = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
+    .withZone(java.time.ZoneOffset.UTC)
+
   private def q(ident: String): String = {
     require(ident.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe identifier: $ident")
     ident
@@ -108,8 +113,20 @@ object MergeSql {
           s.replace("\\", "\\\\").replace("'", "''")
         else s.replace("'", "''")
         "'" + body + "'"
-      case t: java.sql.Timestamp => s"'$t'"
+      // Timestamp.toString renders in the JVM default timezone — the
+      // generated literal would shift whenever executor TZ differs from
+      // the warehouse session TZ. Format the instant explicitly in UTC
+      // (warehouse sessions are expected to run with time_zone='+00:00').
+      case t: java.sql.Timestamp => "'" + utcFormatter.format(t.toInstant) + "'"
+      case t: java.time.Instant => "'" + utcFormatter.format(t) + "'"
       case d: java.sql.Date => s"'$d'"
+      case d: java.time.LocalDate => s"'$d'"
+      // NaN/Infinity have no SQL literal form (Number.toString emits bare
+      // NaN/Infinity tokens that fail only at execution on the warehouse)
+      // and neither mysql DOUBLE nor standard SQL can store them — NULL is
+      // the only representable value.
+      case n: java.lang.Double if n.isNaN || n.isInfinite => "NULL"
+      case n: java.lang.Float if n.isNaN || n.isInfinite => "NULL"
       case n: java.lang.Number => n.toString
       case b: Boolean => if (b) "TRUE" else "FALSE"
       case other => throw new IllegalArgumentException(

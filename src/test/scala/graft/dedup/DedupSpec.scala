@@ -146,6 +146,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(2L, 3L))
   }
 
+  test("clusterPairs local path uses Spark's binary UTF-8 string order") {
+    // U+E000 (private use, UTF-8 EE 80 80) vs U+1F600 (emoji, UTF-8
+    // F0 9F 98 80): Java's UTF-16 compareTo says emoji < U+E000 (high
+    // surrogate 0xD83D < 0xE000) but Spark's UTF8String byte order says
+    // U+E000 < emoji. The canonical id must follow Spark's order on BOTH
+    // branches or the same input clusters differently by path.
+    val emoji = "😀"
+    val pua = ""
+    assert(emoji.compareTo(pua) < 0, "precondition: UTF-16 disagrees")
+    val pairs = Seq((emoji, pua)).toDF("id_a", "id_b")
+    val local = Dedup.clusterPairs(pairs).as[(String, String)]
+      .collect().toMap
+    val dist = Dedup.clusterPairs(pairs, localEdgeLimit = 0L)
+      .as[(String, String)].collect().toMap
+    assert(local(emoji) == pua && local(pua) == pua)
+    assert(local == dist)
+  }
+
+  test("clusterPairs drops null-id edges instead of NPEing") {
+    val pairs = Seq((Some(1L), None: Option[Long]), (Some(2L), Some(3L)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 2L, 3L -> 2L))
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val sims = Dedup.simhash(df, "text", "doc_id")

@@ -71,6 +71,20 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got(101L).isEmpty, "match beyond tolerance resolves to null")
   }
 
+  test("malformed tolerance fails eagerly with a clear message") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("event_id", "t", "user_id")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("user_id", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "user_id", "t", "event_id", "v",
+        Map("v" -> "last_v"), tolerance = Some("15 minutes); DROP TABLE x"))
+    }
+    assert(e.getMessage.contains("not a valid interval literal"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "user_id", "t", "event_id", "v",
+        Map("v" -> "last_v"), tolerance = Some("banana"))
+    }
+  }
+
   test("keys never cross: a right row of another user is invisible") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("event_id", "t", "user_id")
     val right = Seq((2L, ts("2024-01-01 09:00:00"), 99.0)).toDF("user_id", "t", "v")

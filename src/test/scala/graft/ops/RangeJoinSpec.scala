@@ -37,6 +37,22 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(naive.contains((2L, 0L)) && !naive.exists(_._2 == 1L))
   }
 
+  test("a corrupt very-wide interval fails fast with a named width") {
+    val values = Seq((1L, 5.0)).toDF("vid", "v")
+    val intervals = Seq((1L, 0.0, 1.0e12)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.binned(values, $"v", intervals, $"lo", $"hi", 1.0).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("RangeJoin.binned"), msg)
+    // A raised limit admits the same interval.
+    val ok = RangeJoin.binned(values, $"v", intervals, $"lo", $"hi", 1.0e11,
+      maxBinsPerInterval = 100L).select("vid", "iid")
+      .as[(Long, Long)].collect().toSet
+    assert(ok == Set((1L, 1L)))
+  }
+
   test("binned plans as a hash join, never a nested loop") {
     val part = Tables.part(spark, sf).select("p_partkey", "p_retailprice")
     val plan = RangeJoin.binned(part, $"p_retailprice", bands, $"lo", $"hi", 250.0)

@@ -39,6 +39,26 @@ class MergeSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(MergeSql.sqlLiteral("it's", "postgres") == "'it''s'")
   }
 
+  test("non-finite doubles render as NULL, not invalid NaN/Infinity tokens") {
+    assert(MergeSql.sqlLiteral(Double.NaN) == "NULL")
+    assert(MergeSql.sqlLiteral(Double.PositiveInfinity) == "NULL")
+    assert(MergeSql.sqlLiteral(Float.NegativeInfinity) == "NULL")
+    assert(MergeSql.sqlLiteral(1.5d) == "1.5")
+  }
+
+  test("timestamps render in UTC regardless of JVM default timezone") {
+    val instant = java.time.Instant.parse("2024-01-02T03:04:05.123456Z")
+    val expected = "'2024-01-02 03:04:05.123456'"
+    val prev = java.util.TimeZone.getDefault
+    try {
+      for (tz <- Seq("America/New_York", "Asia/Ho_Chi_Minh")) {
+        java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone(tz))
+        assert(MergeSql.sqlLiteral(java.sql.Timestamp.from(instant)) == expected)
+        assert(MergeSql.sqlLiteral(instant) == expected)
+      }
+    } finally java.util.TimeZone.setDefault(prev)
+  }
+
   test("identifiers are validated against injection") {
     intercept[IllegalArgumentException] {
       MergeSql.merge("mysql", "t; DROP TABLE x", "s", Seq("id"), Seq("id", "v"))
