@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopK
+
+/** Distinct-count sketches for corpus profiling at 100 TB scale, built on
+  * a deterministic md5-derived hash family so results are reproducible
+  * across runs/partitionings AND replayable by any engine with md5 (the
+  * correctness oracle re-derives them in SQL).
+  *
+  * Two sketches, two trade-offs:
+  *  - KMV (k minimum values): keep the k smallest distinct hash values
+  *    per group; estimate = (k-1) / fraction-of-hash-space they span.
+  *    One top-k pass (our [[TopK]] bounded-heap operator — partial heaps
+  *    per partition, no full sort), exact integer arithmetic end-to-end.
+  *  - HyperLogLog bucket table: bucket by the hash's low bits, keep the
+  *    max leading-zero run of the rest. Build is ONE partial-aggregable
+  *    groupBy (constant state per group — the 100 TB path); buckets from
+  *    disjoint shards merge by element-wise max, which is why this is
+  *    the sketch warehouses actually ship.
+  *
+  * Neither uses floating point until the final estimate, so sketch
+  * CONTENTS (the oracle-checked part) are engine-exact.
+  */
+object Sketches {
+
+  /** 52-bit uniform hash of (key, salt) — the same md5-prefix family as
+    * [[graft.ops.Sampling]]: 13 hex digits fit a long exactly and the
+    * oracle replays it as ('0x'||substr(md5(s),1,13))::BIGINT. */
+  def hash52(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 13),
+      16, 10).cast("long")
+
+  val HashSpace: Long = 1L << 52
+
+  /** KMV distinct-count estimate of `key` per `group`.
+    *
+    * Output: (group, n_kept, kth_hash, est_distinct). For groups with
+    * fewer than k distinct hashes the estimate IS the exact count
+    * (standard KMV small-set rule). Estimate arithmetic stays in longs:
+    * (k-1) * 2^52 / kth — (k-1) <= 2^11 keeps the product under 2^63.
+    */
+  def kmvDistinct(df: DataFrame, group: Column, key: Column, k: Int = 256,
+      salt: String = "kmv"): DataFrame = {
+    require(k > 1 && k <= 2048, "k must be in (1, 2048]")
+    val hashed = df.select(group.as("group"), hash52(key, salt).as("__h"))
+      .distinct()
+    val topk = TopK.perKey(hashed, Seq(col("group")), Seq(col("__h").asc), k)
+    topk.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("kth_hash"))
+      .select(col("group"), col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div kth_hash"))
+          .as("est_distinct"))
+  }
+
+  /** HLL bucket table: (group, bucket, max_rho) with 2^p buckets.
+    * bucket = low p bits of the hash; rho = leading-zero run of the
+    * remaining (52-p)-bit value, + 1. Pure integer arithmetic (bit length
+    * via the base-2 string — no libm), partial-aggregable max. */
+  def hllBuckets(df: DataFrame, group: Column, key: Column, p: Int = 6,
+      salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 14, "p must be in [4, 14]")
+    val m = 1 << p
+    val rest = 52 - p
+    val h = hash52(key, salt)
+    val v = (h / m).cast("long") // hash is non-negative: / == floor div
+    val rho = when(v === 0, lit(rest + 1))
+      .otherwise(lit(rest + 1) - length(conv(v, 10, 2)))
+    df.select(group.as("group"), pmod(h, lit(m)).as("bucket"), rho.as("__rho"))
+      .groupBy(col("group"), col("bucket"))
+      .agg(max(col("__rho")).cast("int").as("max_rho"))
+  }
+
+  /** Fold a bucket table into the HLL cardinality estimate (with the
+    * standard small-range linear-counting correction). Floating point —
+    * accuracy is pinned by tolerance tests, not the exact-hash oracle. */
+  def hllEstimate(buckets: DataFrame, p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    // groups may have absent buckets (no key hashed there): they
+    // contribute 2^0 = 1 to the harmonic sum and count as zero-registers.
+    buckets.groupBy(col("group"))
+      .agg(sum(pow(lit(2.0), -col("max_rho"))).as("__s"),
+        count(lit(1)).as("__nb"),
+        sum(when(col("max_rho") === 0, 1).otherwise(0)).as("__z0"))
+      .select(col("group"), {
+        val zeros = col("__z0") + (lit(m) - col("__nb")) // absent = zero
+        val harm = col("__s") + (lit(m) - col("__nb")) * lit(1.0)
+        val raw = lit(alpha * m * m) / harm
+        when(raw <= lit(2.5 * m) && zeros > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / zeros)))
+          .otherwise(round(raw)).cast("long").as("est_distinct")
+      })
+  }
+}

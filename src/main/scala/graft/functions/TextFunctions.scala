@@ -111,4 +111,50 @@ object TextFunctions {
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** PII patterns, kept valid in BOTH Java regex and RE2 (no lookaround,
+    * no backrefs) so redaction is oracle-checkable and portable to RE2-
+    * based scrubbers. Ordered: emails first (an email contains digit runs
+    * a later pass must not re-tag), then URLs, then long digit runs
+    * (phone/account/SSN-ish). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ \\t\\n]+" -> "<URL>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** Redact PII spans with typed placeholder tags — the standard
+    * pretraining-corpus scrubbing pass. Pure per-row projection:
+    * pipelines over any row count with zero shuffle. */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Count of matches of `re` (for scrub audit stats). */
+  def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Adjacent word bigrams (with repeats — frequency-analysis unit, unlike
+    * the distinct [[shinglesFromTokens]]). `toks` must be a materialized
+    * array column (same O(n²) re-evaluation caveat). */
+  def bigramsFromTokens(toks: Column): Column =
+    filter(
+      transform(toks, (t, i) => when(i < size(toks) - 1,
+        concat(t, lit(" "), element_at(toks, i + 2)))),
+      x => x.isNotNull)
+
+  /** Shannon entropy (bits/char) over the character distribution — the
+    * classic gibberish/boilerplate quality signal: low for repeated
+    * filler, high for random noise; natural text sits in between.
+    * Computed as log2(n) - (Σ cnt·log2(cnt))/n over per-char counts, so
+    * the only floating-point steps are log2/divide on exact integers. */
+  def charEntropy(text: Column): Column = {
+    val counts = transform(
+      array_distinct(split(text, "")),
+      ch => size(filter(split(text, ""), c => c === ch)).cast("double"))
+    val n = length(text).cast("double")
+    when(length(text) === 0, lit(0.0)).otherwise(
+      log2(n) - aggregate(counts, lit(0.0),
+        (acc, c) => acc + c * log2(c)) / n)
+  }
 }

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Sketches, TextFunctions}
+import graft.model.Tables
+
+/** Corpus-profiling analytics: distinct-count sketches (KMV, HLL bucket
+  * build), PII redaction, n-gram frequency, character entropy, and a
+  * moment-based dispersion/correlation battery. Every query has an exact
+  * DuckDB oracle; the sketches use the md5 hash family the oracle
+  * replays, and the stats battery derives stddev/corr from EXACT decimal
+  * moment sums (rounded once at scale 6) so the final double formula is
+  * bit-identical across engines — never the engines' own streaming
+  * stddev/corr aggregates, whose merge order is engine-specific.
+  */
+object AnalyticsQueries extends graft.QueryModule {
+
+  private val emailRe = TextFunctions.PiiPatterns(0)._1
+  private val urlRe = TextFunctions.PiiPatterns(1)._1
+  private val numRe = TextFunctions.PiiPatterns(2)._1
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // KMV distinct sketch: k smallest hash values per group via the
+    // native TopKPerKey operator (bounded heaps, no full sort), integer
+    // estimate arithmetic. Estimates ~60k distinct keys per flag from a
+    // 256-value sketch.
+    "sketch_kmv_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Sketches.kmvDistinct(Tables.lineitem(s, dir), $"l_returnflag",
+          $"l_orderkey")
+        .withColumnRenamed("group", "l_returnflag")
+        .orderBy($"l_returnflag")
+    },
+
+    // HLL sketch build: 64-bucket max-leading-zero table per group — ONE
+    // partial-aggregable groupBy; buckets merge by max across shards.
+    // (The float estimate fold is hllEstimate, pinned by tolerance spec.)
+    "sketch_hll_buckets" -> { (s, dir) =>
+      import s.implicits._
+      Sketches.hllBuckets(Tables.lineitem(s, dir), $"l_returnflag",
+          $"l_orderkey")
+        .withColumnRenamed("group", "l_returnflag")
+        .orderBy($"l_returnflag", $"bucket")
+    },
+
+    // PII redaction + audit counts. The fixture corpus is synthetic word
+    // soup with no PII, so the query plants a deterministic email/URL/
+    // digit-run per row (a pure function of doc_id, mirrored by the
+    // oracle) and then scrubs it — the patterns are genuinely exercised.
+    "text_scrub_pii" -> { (s, dir) =>
+      import s.implicits._
+      val planted = concat($"text", lit(" contact user"),
+        $"doc_id".cast("string"),
+        lit("@mail.example.com or https://ex.org/d/"),
+        $"doc_id".cast("string"), lit(" ref "),
+        ($"doc_id" * $"doc_id" + 123456L).cast("string"), lit("."))
+      Tables.documents(s, dir)
+        .select($"doc_id", planted.as("__txt"))
+        .select($"doc_id",
+          TextFunctions.countMatches($"__txt", emailRe).as("n_emails"),
+          TextFunctions.countMatches($"__txt", urlRe).as("n_urls"),
+          TextFunctions.countMatches($"__txt", numRe).as("n_nums"),
+          TextFunctions.scrubPii($"__txt").as("scrubbed"))
+        .orderBy($"doc_id")
+    },
+
+    // Corpus-level bigram frequency top-20 (count desc, bigram asc —
+    // fully deterministic). Shuffle = one partial-aggregated groupBy on
+    // the bigram, then a 20-row limit.
+    "text_top_bigrams" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(TextFunctions.tokens($"text").as("__toks"))
+        .select(explode(TextFunctions.bigramsFromTokens($"__toks")).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy($"n_occurrences".desc, $"bigram")
+        .limit(20)
+    },
+
+    // Character-entropy quality signal, rounded to 4 decimals (the only
+    // libm use in the oracle surface; the round absorbs sub-ulp
+    // summation-order and libm differences).
+    "text_char_entropy" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          round(TextFunctions.charEntropy($"text"), 4).as("char_entropy"))
+        .orderBy($"doc_id")
+    },
+
+    // Dispersion/correlation from exact decimal moments: Σx, Σx², Σd,
+    // Σd², Σxd summed in decimal, rounded once at scale 6, then combined
+    // with the textbook formulas in doubles. Engine-independent where the
+    // built-in stddev/corr aggregates (streaming merges) are not.
+    "q_stats_battery" -> { (s, dir) =>
+      import s.implicits._
+      def d(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+      def m6(c: org.apache.spark.sql.Column) =
+        c.cast(DecimalType(38, 6)).cast("double")
+      val agg = Tables.lineitem(s, dir).groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        m6(sum(d($"l_quantity"))).as("sx"),
+        m6(sum(d($"l_quantity") * d($"l_quantity"))).as("sxx"),
+        m6(sum(d($"l_discount"))).as("sd"),
+        m6(sum(d($"l_discount") * d($"l_discount"))).as("sdd"),
+        m6(sum(d($"l_quantity") * d($"l_discount"))).as("sxd"))
+      val nD = $"n".cast("double")
+      agg.select($"l_returnflag", $"n",
+        ($"sx" / nD).as("mean_qty"),
+        sqrt((nD * $"sxx" - $"sx" * $"sx") / (nD * (nD - lit(1.0))))
+          .as("stddev_qty"),
+        ((nD * $"sxd" - $"sx" * $"sd") /
+          (sqrt(nD * $"sxx" - $"sx" * $"sx") *
+            sqrt(nD * $"sdd" - $"sd" * $"sd"))).as("corr_qty_disc"))
+        .orderBy($"l_returnflag")
+    })
+
+  private def plantedSql =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |  '@mail.example.com or https://ex.org/d/' || CAST(doc_id AS VARCHAR) ||
+      |  ' ref ' || CAST(doc_id*doc_id + 123456 AS VARCHAR) || '.'""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "sketch_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':kmv'), 1, 13))::BIGINT AS hv
+        |  FROM lineitem),
+        |k AS (SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+        |  FROM h)
+        |SELECT l_returnflag, COUNT(*) AS n_kept, MAX(hv) AS kth_hash,
+        |  CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+        |       ELSE (255 * 4503599627370496) // MAX(hv) END AS est_distinct
+        |FROM k WHERE rn <= 256 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sketch_hll_buckets" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':hll'), 1, 13))::BIGINT AS hv
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, hv % 64 AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN 47
+        |         ELSE 47 - len(bin(hv // 64)) END AS rho
+        |  FROM h)
+        |SELECT l_returnflag, bucket, CAST(MAX(rho) AS INTEGER) AS max_rho
+        |FROM r GROUP BY l_returnflag, bucket ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "text_scrub_pii" -> s"""
+      |WITH f AS (SELECT doc_id, $plantedSql AS txt FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(txt, '$emailRe')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(txt, '$urlRe')) AS INTEGER) AS n_urls,
+      |  CAST(len(regexp_extract_all(txt, '$numRe')) AS INTEGER) AS n_nums,
+      |  regexp_replace(regexp_replace(regexp_replace(txt,
+      |    '$emailRe', '<EMAIL>', 'g'),
+      |    '$urlRe', '<URL>', 'g'),
+      |    '$numRe', '<NUM>', 'g') AS scrubbed
+      |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_top_bigrams" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
+        |SELECT bigram, COUNT(*) AS n_occurrences
+        |FROM b GROUP BY bigram
+        |ORDER BY n_occurrences DESC, bigram LIMIT 20""".stripMargin,
+
+    "text_char_entropy" ->
+      """WITH c AS (SELECT doc_id, len(text) AS n,
+        |    unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |g AS (SELECT doc_id, n, COUNT(*) AS cnt FROM c GROUP BY doc_id, n, ch)
+        |SELECT doc_id,
+        |  round(log2(CAST(n AS DOUBLE)) -
+        |    SUM(cnt * log2(CAST(cnt AS DOUBLE))) / CAST(n AS DOUBLE), 4)
+        |    AS char_entropy
+        |FROM g GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    "q_stats_battery" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS sx,
+        |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS sxx,
+        |    CAST(round(SUM(CAST(l_discount AS DECIMAL(18,4))), 6) AS DOUBLE) AS sd,
+        |    CAST(round(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 6) AS DOUBLE) AS sdd,
+        |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 6) AS DOUBLE) AS sxd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sx / CAST(n AS DOUBLE) AS mean_qty,
+        |  sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) /
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+        |  (CAST(n AS DOUBLE) * sxd - sx * sd) /
+        |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * sdd - sd * sd)) AS corr_qty_disc
+        |FROM s ORDER BY l_returnflag""".stripMargin)
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model.Tables
+
+class SketchesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("kmv returns the exact count for groups smaller than k") {
+    val df = (1 to 50).map(i => ("g", i.toLong)).toDF("g", "k")
+    val got = Sketches.kmvDistinct(df, $"g", $"k", k = 256)
+      .select("n_kept", "est_distinct").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((50L, 50L)))
+  }
+
+  test("kmv estimate is within 20% of the true distinct count") {
+    val orders = Tables.orders(spark, sf).select($"o_orderkey")
+    val truth = orders.distinct().count()
+    val est = Sketches.kmvDistinct(orders.withColumn("g", lit(1)),
+        $"g", $"o_orderkey", k = 256)
+      .select("est_distinct").as[Long].head()
+    assert(math.abs(est - truth).toDouble / truth < 0.20, s"est=$est truth=$truth")
+  }
+
+  test("kmv is partitioning-invariant (same sketch any layout)") {
+    val df = Tables.orders(spark, sf).select(lit("g").as("g"), $"o_orderkey")
+    val a = Sketches.kmvDistinct(df.repartition(1), $"g", $"o_orderkey")
+      .collect().map(_.toSeq).toSet
+    val b = Sketches.kmvDistinct(df.repartition(7), $"g", $"o_orderkey")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("hll buckets merge by max: union of shards == whole") {
+    val df = Tables.orders(spark, sf).select(lit("g").as("g"), $"o_orderkey")
+    val whole = Sketches.hllBuckets(df, $"g", $"o_orderkey")
+    val shard1 = Sketches.hllBuckets(df.filter($"o_orderkey" % 2 === 0), $"g", $"o_orderkey")
+    val shard2 = Sketches.hllBuckets(df.filter($"o_orderkey" % 2 =!= 0), $"g", $"o_orderkey")
+    val merged = shard1.unionByName(shard2)
+      .groupBy($"group", $"bucket").agg(max($"max_rho").as("max_rho"))
+    assert(merged.collect().map(_.toSeq).toSet ==
+      whole.collect().map(_.toSeq).toSet)
+  }
+
+  test("hll estimate is within 25% of the true distinct count") {
+    val orders = Tables.orders(spark, sf).select(lit("g").as("g"), $"o_orderkey")
+    val truth = orders.select("o_orderkey").distinct().count()
+    val est = Sketches.hllEstimate(
+        Sketches.hllBuckets(orders, $"g", $"o_orderkey"))
+      .select("est_distinct").as[Long].head()
+    assert(math.abs(est - truth).toDouble / truth < 0.25, s"est=$est truth=$truth")
+  }
+
+  test("scrubPii redacts emails, urls and digit runs with typed tags") {
+    val got = Seq("mail a.b+c@x-corp.io now, see https://x.io/p?q=1 or call 0123456789 ext 12345")
+      .toDF("t").select(TextFunctions.scrubPii($"t")).as[String].head()
+    assert(got == "mail <EMAIL> now, see <URL> or call <NUM> ext 12345")
+  }
+
+  test("bigramsFromTokens keeps repeats and order") {
+    val got = Seq("a b a b").toDF("t")
+      .select(TextFunctions.bigramsFromTokens(TextFunctions.tokens($"t")))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b", "b a", "a b"))
+    val one = Seq("solo").toDF("t")
+      .select(TextFunctions.bigramsFromTokens(TextFunctions.tokens($"t")))
+      .as[Seq[String]].head()
+    assert(one.isEmpty)
+  }
+
+  test("charEntropy: zero for uniform repeats, log2(n) for all-distinct") {
+    val got = Seq(("aaaa", 1), ("abcd", 2), ("aabb", 3)).toDF("t", "id")
+      .select($"id", TextFunctions.charEntropy($"t")).as[(Int, Double)]
+      .collect().toMap
+    assert(math.abs(got(1) - 0.0) < 1e-12)
+    assert(math.abs(got(2) - 2.0) < 1e-12)
+    assert(math.abs(got(3) - 1.0) < 1e-12)
+  }
+}
