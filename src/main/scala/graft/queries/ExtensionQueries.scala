@@ -328,6 +328,24 @@ object ExtensionQueries extends graft.QueryModule {
         direction = "forward", tolerance = Some("30 minutes"))
         .orderBy($"event_id")
     },
+
+    // Interval (stream-stream) join: clicks attributed to same-user views
+    // they follow within 10 minutes. Batch here for the oracle; the same
+    // transform joins two watermarked streams (IntervalJoinStreamingSpec).
+    "events_interval_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      EventsOps.intervalJoin(views, clicks, "user_id",
+          "view_ts", "click_ts", "10 minutes")
+        .select($"user_id", $"view_id", $"click_id",
+          (unix_micros($"click_ts") - unix_micros($"view_ts")).as("delay_us"))
+        .orderBy($"view_id", $"click_id")
+    },
   )
 
   private val stopwordList =
@@ -760,6 +778,15 @@ object ExtensionQueries extends graft.QueryModule {
         |  CASE WHEN fts <= ts + INTERVAL 30 MINUTE THEN fe END AS next_purchase_event,
         |  CASE WHEN fts <= ts + INTERVAL 30 MINUTE THEN fv END AS next_purchase_value
         |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "events_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
 
     "events_session" ->
       """WITH ordered AS (

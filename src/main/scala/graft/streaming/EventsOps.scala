@@ -59,6 +59,36 @@ object EventsOps {
       }
   }
 
+  /** Interval (stream-stream) join: pair each left row with right rows of
+    * the same key whose timestamp falls in [leftTs, leftTs + maxDelay] —
+    * the view→click attribution shape. The time bound lives IN the join
+    * condition, which is what lets Structured Streaming bound both sides'
+    * state by the watermark + interval (the canonical stream-stream join
+    * pattern); in batch, Catalyst plans the same expression as a hash
+    * equi-join on the key with the range as a residual filter — never a
+    * nested loop. Non-key column names must be disjoint (rename first).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, maxDelay: String): DataFrame = {
+    // validate eagerly, as AsOfJoin does for tolerance
+    val parsed = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .safeStringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"interval $maxDelay"))
+    if (parsed == null) throw new IllegalArgumentException(
+      s"intervalJoin maxDelay is not a valid interval literal: '$maxDelay'")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint, overlapping: ${overlap.mkString(", ")}")
+    val l = left.alias("l")
+    val r = right.alias("r")
+    l.join(r, col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxDelay"))
+      .select(Seq(col(s"l.$key").as(key)) ++
+        left.columns.filterNot(_ == key).map(c => col(s"l.$c")) ++
+        right.columns.filterNot(_ == key).map(c => col(s"r.$c")): _*)
+  }
+
   /** The streaming form of [[tumbling]]: watermarked for state eviction.
     * Late data beyond the watermark is dropped — the explicit policy
     * (SURVEY §7 risk note). */
