@@ -99,11 +99,15 @@ object CoreQueries extends graft.QueryModule {
     },
 
     // Window running aggregate: per-supplier running quantity by ship date.
+    // The ORDER BY ends with l_quantity because (shipdate, orderkey,
+    // linenumber) is NOT unique in the fixture (sf0.1 has a duplicate
+    // triple with different quantities): a ROWS frame over tied sort keys
+    // is engine-order-dependent, so the sort must be total.
     "q_window_running" -> { (s, dir) =>
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       Tables.lineitem(s, dir)
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
@@ -519,7 +523,8 @@ object CoreQueries extends graft.QueryModule {
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
