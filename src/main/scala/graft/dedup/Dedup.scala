@@ -381,7 +381,9 @@ object Dedup {
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
               .as("bh")))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
-    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+    // shuffle_hash: keep both sides as identical shuffle exchanges so the
+    // second is a ReusedExchange (see minhashPairs for the full story).
+    banded.as("x").join(banded.as("y").hint("shuffle_hash"), Seq("band", "bh"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
@@ -424,7 +426,15 @@ object Dedup {
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
               .as("bh")))).as("bb"))
       .select(col("id"), col("shset"), col("bb.band"), col("bb.bh"))
-    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+    // shuffle_hash hint: without it AQE converts this self-join to a
+    // broadcast join, which replaces one side's shuffle with a broadcast
+    // exchange and DEFEATS ReusedExchange — the whole sets-aggregation
+    // subtree (shingle digest + collect_set + signature) runs TWICE
+    // (measured: 4 ObjectHashAggregates, 0 ReusedExchange at sf0.1).
+    // With identical shuffle exchanges on both sides the second is a
+    // ReusedExchange and the pipeline runs once. At 100 TB a broadcast
+    // of the banded table is infeasible anyway.
+    banded.as("x").join(banded.as("y").hint("shuffle_hash"), Seq("band", "bh"))
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(first(col("x.shset")).as("set_a"), first(col("y.shset")).as("set_b"))

@@ -83,12 +83,22 @@ object AnalyticsQueries extends graft.QueryModule {
 
     // Character-entropy quality signal, rounded to 4 decimals (the only
     // libm use in the oracle surface; the round absorbs sub-ulp
-    // summation-order and libm differences).
+    // summation-order and libm differences). Computed as explode →
+    // per-(doc, char) counts → per-doc fold: linear work and partial-
+    // aggregable, where the per-row array-lambda form
+    // (TextFunctions.charEntropy, kept for inline filter use) is
+    // O(distinct·len) per document — measured 4× slower at sf0.1.
     "text_char_entropy" -> { (s, dir) =>
       import s.implicits._
       Tables.documents(s, dir)
+        .select($"doc_id", length($"text").as("n"),
+          explode(split($"text", "")).as("ch"))
+        .groupBy($"doc_id", $"n", $"ch").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id", $"n")
+        .agg(sum($"cnt".cast("double") * log2($"cnt".cast("double"))).as("__s"))
         .select($"doc_id",
-          round(TextFunctions.charEntropy($"text"), 4).as("char_entropy"))
+          round(log2($"n".cast("double")) - $"__s" / $"n".cast("double"), 4)
+            .as("char_entropy"))
         .orderBy($"doc_id")
     },
 
