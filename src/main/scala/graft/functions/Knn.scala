@@ -56,13 +56,30 @@ object Knn {
       centroids: Int): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(centroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-    val scored = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("sim", VectorFunctions.cosine(col("v"), col("centv")))
-    val w = Window.partitionBy(col("vid"))
-      .orderBy(col("sim").desc, col("centroid_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vid"), col("v"), col("centroid_id").as("bucket"))
+    assignBuckets(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")),
+      cents, VectorFunctions.cosine)
+  }
+
+  /** Shuffle-free nearest-centroid assignment: the centroid table folds
+    * into ONE array row, rides a broadcast, and each vector picks its
+    * bucket with an inline argmax over that array — a pure projection.
+    * The window formulation (partition per VECTOR over |N|×C scored
+    * rows) shuffles the entire corpus×centroid product, which is exactly
+    * what dies first at 100 TB. Tiebreak mirrors the window's
+    * (sim DESC, centroid_id ASC): the struct max takes the largest sim,
+    * then the largest negated id = smallest id; null sims (zero vectors)
+    * rank below every real cosine via coalesce(-2). */
+  private def assignBuckets(vecs: DataFrame, cents: DataFrame,
+      cosineFn: (Column, Column) => Column): DataFrame = {
+    val centArr = cents.groupBy()
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("centv"))))
+        .as("__cents"))
+    vecs.crossJoin(broadcast(centArr))
+      .select(col("vid"), col("v"), array_max(transform(col("__cents"),
+        c => struct(
+          coalesce(cosineFn(col("v"), c.getField("centv")), lit(-2.0)).as("sim"),
+          (-c.getField("centroid_id")).as("negid")))).as("__best"))
+      .select(col("vid"), col("v"), (-col("__best.negid")).as("bucket"))
   }
 
   /** Lloyd's k-means over the embedding column, expressed as DataFrame
@@ -82,15 +99,20 @@ object Knn {
     var cents = vecs.orderBy(col("vid")).limit(centroids)
       .select(col("vid").as("centroid_id"), col("v").as("centv"))
     for (_ <- 0 until iterations) {
-      val scored = vecs.crossJoin(broadcast(cents))
-        .withColumn("d2", aggregate(
-          zip_with(col("v"), col("centv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _))
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("d2"), col("centroid_id"))
-      val assigned = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("centroid_id"), col("v"))
+      // Same shuffle-free argmin trick as assignBuckets: centroids fold
+      // to one broadcast array row; each vector picks the nearest with
+      // an inline struct max over (-d2, -centroid_id) — no |N|×C window
+      // shuffle per iteration.
+      val centArr = cents.groupBy()
+        .agg(array_sort(collect_list(struct(col("centroid_id"), col("centv"))))
+          .as("__cents"))
+      val assigned = vecs.crossJoin(broadcast(centArr))
+        .select(col("v"), array_max(transform(col("__cents"), c =>
+          struct((-aggregate(
+            zip_with(col("v"), c.getField("centv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), _ + _)).as("negd2"),
+            (-c.getField("centroid_id")).as("negid")))).as("__best"))
+        .select((-col("__best.negid")).as("centroid_id"), col("v"))
       // Elementwise mean via position explode + avg — no whole-vector
       // collect; decimal not needed (means are engine-internal).
       cents = assigned
@@ -171,10 +193,11 @@ object Knn {
 
   /** IVF top-k with naive deterministic centroids. */
   def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroids: Int, nprobe: Int): DataFrame = {
+      vecCol: String, k: Int, centroids: Int, nprobe: Int,
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(centroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-    ivfWith(corpus, queries, idCol, vecCol, k, cents, nprobe)
+    ivfWith(corpus, queries, idCol, vecCol, k, cents, nprobe, cosineFn)
   }
 
   /** IVF top-k with k-means-trained centroids (better-balanced buckets →
@@ -186,21 +209,18 @@ object Knn {
       kmeans(corpus, idCol, vecCol, centroids, iterations), nprobe)
 
   /** IVF top-k against a provided (centroid_id, centv) table: search only
-    * the `nprobe` buckets nearest to each query. */
+    * the `nprobe` buckets nearest to each query. Assignment is the
+    * shuffle-free [[assignBuckets]] projection; the only shuffles left
+    * are the final per-query top-k (|Q| partitions) and none for the
+    * corpus itself. */
   def ivfWith(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, cents: DataFrame, nprobe: Int): DataFrame = {
-    val assigned = {
-      val scored = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("sim", VectorFunctions.cosine(col("v"), col("centv")))
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("sim").desc, col("centroid_id"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("vid"), col("v"), col("centroid_id").as("bucket"))
-    }
+      vecCol: String, k: Int, cents: DataFrame, nprobe: Int,
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+    val assigned = assignBuckets(
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("v")), cents, cosineFn)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("sim", VectorFunctions.cosine(col("qv"), col("centv")))
+      .withColumn("sim", cosineFn(col("qv"), col("centv")))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("centroid_id"))
     val probed = probes.withColumn("rk", row_number().over(wp))
@@ -208,7 +228,7 @@ object Knn {
       .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
     val scored = assigned.join(broadcast(probed), Seq("bucket"))
       .filter(col("query_id") =!= col("vid"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("v")))
+      .withColumn("cosine", cosineFn(col("qv"), col("v")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

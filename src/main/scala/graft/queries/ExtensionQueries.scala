@@ -204,7 +204,8 @@ object ExtensionQueries extends graft.QueryModule {
     "knn_ivf_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Knn.ivf(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", k = 10, centroids = 16, nprobe = 4)
+        "vec_id", "embedding", k = 10, centroids = 16, nprobe = 4,
+        cosineFn = graft.GraftFunctions.cosineSim)
         .orderBy(col("query_id"), col("rk"))
     },
 
