@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, DotProduct}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -29,7 +29,10 @@ object GraftFunctions {
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
 
   /** Idempotent registration on an existing session (functions + the
     * TopKPerKey planner strategy). */
@@ -47,4 +50,7 @@ object GraftFunctions {
   /** Column-API form of the native cosine (goes through the registry, so
     * [[register]] must have run on the session). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Column-API form of the native dot product (same registry caveat). */
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
 }

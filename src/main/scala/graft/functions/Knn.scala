@@ -175,15 +175,14 @@ object Knn {
     * codes, de-quantize at score time). Against an exact-dot baseline
     * the only error left is 8-bit rounding. Deterministic tiebreaks. */
   def bruteForceQuantized(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, levels: Int = 256): DataFrame = {
+      idCol: String, vecCol: String, k: Int, levels: Int = 256,
+      dotFn: (Column, Column) => Column = VectorFunctions.dot): DataFrame = {
     val stats = quantizeStats(corpus, vecCol, levels)
     val c = quantizeCodes(corpus, idCol, vecCol, stats, levels)
     val q = quantizeCodes(queries, idCol, vecCol, stats, levels)
       .select(col("vid").as("query_id"), col("recon").as("qr"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vid"))
-      .withColumn("dot",
-        aggregate(zip_with(col("qr"), col("recon"), (a, b) => a * b),
-          lit(0.0), _ + _))
+      .withColumn("dot", dotFn(col("qr"), col("recon")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("vid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

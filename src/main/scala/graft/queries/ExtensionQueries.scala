@@ -229,7 +229,7 @@ object ExtensionQueries extends graft.QueryModule {
     "knn_quantized_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Knn.bruteForceQuantized(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", 10)
+        "vec_id", "embedding", 10, dotFn = graft.GraftFunctions.dotProduct)
         .orderBy(col("query_id"), col("rk"))
     },
 

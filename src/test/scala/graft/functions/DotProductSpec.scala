@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftFunctions, SparkTestBase}
+import graft.model.Tables
+
+class DotProductSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("native expression equals the HOF composition bit for bit (float arrays)") {
+    val emb = Tables.embeddings(spark, sf)
+    val both = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .limit(2000)
+      .select(
+        VectorFunctions.dot($"a.embedding", $"b.embedding").as("hof"),
+        GraftFunctions.dotProduct($"a.embedding", $"b.embedding").as("native"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (h, n) => assert(h == n, s"$h != $n") }
+  }
+
+  test("double arrays and mixed float/double inputs work") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0f, 5.0f, 6.0f))).toDF("d", "f")
+    val got = df.select(
+      GraftFunctions.dotProduct($"d", transform($"f", _.cast("double"))).as("dd"),
+      GraftFunctions.dotProduct($"d", $"f").as("df")).as[(Double, Double)].head()
+    assert(got._1 == 32.0 && got._2 == 32.0)
+  }
+
+  test("empty and length-mismatched arrays use the common prefix, 0.0 baseline") {
+    val df = Seq(
+      (Array.empty[Float], Array(1.0f, 2.0f)),
+      (Array(2.0f, 3.0f, 99.0f), Array(10.0f, 10.0f)),
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.dotProduct($"a", $"b"))
+      .as[Double].collect()
+    assert(got(0) == 0.0 && got(1) == 50.0)
+  }
+
+  test("registered in SQL: dot_product callable from spark.sql") {
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_dot_tmp")
+    val got = spark.sql(
+      """SELECT dot_product(a.embedding, b.embedding) AS d
+        |FROM emb_dot_tmp a JOIN emb_dot_tmp b ON a.vec_id = 0 AND b.vec_id = 1
+        |""".stripMargin).as[Double].head()
+    assert(!got.isNaN)
+  }
+}
