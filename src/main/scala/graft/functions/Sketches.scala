@@ -56,6 +56,41 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Materialized per-group KMV sketch: the k smallest distinct hashes as
+    * a sorted array — the form a warehouse persists per shard/day and
+    * merges later. */
+  def kmvSketch(df: DataFrame, group: Column, key: Column, k: Int = 256,
+      salt: String = "kmv"): DataFrame = {
+    require(k > 1 && k <= 2048, "k must be in (1, 2048]")
+    val hashed = df.select(group.as("group"), hash52(key, salt).as("__h"))
+      .distinct()
+    TopK.perKey(hashed, Seq(col("group")), Seq(col("__h").asc), k)
+      .groupBy(col("group"))
+      .agg(array_sort(collect_list(col("__h"))).as("hashes"))
+  }
+
+  /** Merge sketch tables (same k and salt): sketches of DISJOINT or
+    * overlapping shards combine into the sketch of their union — union
+    * the kept hashes, dedupe, keep the k smallest. This is what makes
+    * KMV additive across partitions/days without touching raw data. */
+  def kmvMerge(sketches: DataFrame, k: Int = 256): DataFrame = {
+    val exploded = sketches
+      .select(col("group"), explode(col("hashes")).as("__h")).distinct()
+    TopK.perKey(exploded, Seq(col("group")), Seq(col("__h").asc), k)
+      .groupBy(col("group"))
+      .agg(array_sort(collect_list(col("__h"))).as("hashes"))
+  }
+
+  /** Fold a sketch table into the same (n_kept, kth_hash, est_distinct)
+    * shape [[kmvDistinct]] produces directly. */
+  def kmvEstimate(sketch: DataFrame, k: Int = 256): DataFrame =
+    sketch.select(col("group"), size(col("hashes")).cast("long").as("n_kept"),
+        element_at(col("hashes"), size(col("hashes"))).as("kth_hash"))
+      .select(col("group"), col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div kth_hash"))
+          .as("est_distinct"))
+
   /** HLL bucket table: (group, bucket, max_rho) with 2^p buckets.
     * bucket = low p bits of the hash; rho = leading-zero run of the
     * remaining (52-p)-bit value, + 1. Pure integer arithmetic (bit length

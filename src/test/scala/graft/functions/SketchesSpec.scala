@@ -34,6 +34,23 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("kmv sketches merge: shard sketches combine into the whole-corpus sketch") {
+    val df = Tables.orders(spark, sf).select(lit("g").as("g"), $"o_orderkey")
+    val whole = Sketches.kmvSketch(df, $"g", $"o_orderkey")
+      .as[(String, Seq[Long])].collect().toMap
+    val shard1 = Sketches.kmvSketch(df.filter($"o_orderkey" % 2 === 0), $"g", $"o_orderkey")
+    val shard2 = Sketches.kmvSketch(df.filter($"o_orderkey" % 2 =!= 0), $"g", $"o_orderkey")
+    val merged = Sketches.kmvMerge(shard1.unionByName(shard2))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged == whole && whole("g").size == 256)
+    // and the estimate folded from the merged sketch equals the direct one
+    val direct = Sketches.kmvDistinct(df, $"g", $"o_orderkey")
+      .collect().map(_.toSeq).toSet
+    val folded = Sketches.kmvEstimate(Sketches.kmvMerge(shard1.unionByName(shard2)))
+      .collect().map(_.toSeq).toSet
+    assert(folded == direct)
+  }
+
   test("hll buckets merge by max: union of shards == whole") {
     val df = Tables.orders(spark, sf).select(lit("g").as("g"), $"o_orderkey")
     val whole = Sketches.hllBuckets(df, $"g", $"o_orderkey")
