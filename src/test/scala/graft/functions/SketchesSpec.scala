@@ -71,6 +71,36 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est - truth).toDouble / truth < 0.25, s"est=$est truth=$truth")
   }
 
+  test("sketches are duplication-invariant (distinct semantics)") {
+    val df = Tables.orders(spark, sf).select(lit("g").as("g"), $"o_orderkey")
+    val doubled = df.unionByName(df)
+    assert(Sketches.kmvDistinct(df, $"g", $"o_orderkey").collect().map(_.toSeq).toSet ==
+      Sketches.kmvDistinct(doubled, $"g", $"o_orderkey").collect().map(_.toSeq).toSet)
+    assert(Sketches.hllBuckets(df, $"g", $"o_orderkey").collect().map(_.toSeq).toSet ==
+      Sketches.hllBuckets(doubled, $"g", $"o_orderkey").collect().map(_.toSeq).toSet)
+  }
+
+  test("hllBuckets runs as a streaming aggregation with bounded state") {
+    // The bucket table has FIXED size (groups × 2^p rows), so the same
+    // transform streams with complete-mode output and constant state —
+    // a live distinct-count sketch over an unbounded stream.
+    val batch = Tables.orders(spark, sf).select(lit("g").as("g"), $"o_orderkey")
+    val dir = java.nio.file.Files.createTempDirectory("hll_stream").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = Sketches.hllBuckets(stream, col("g"), col("o_orderkey"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream_out")
+        .collect().map(_.toSeq).toSet
+      val direct = Sketches.hllBuckets(batch, col("g"), col("o_orderkey"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == direct && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("scrubPii redacts emails, urls and digit runs with typed tags") {
     val got = Seq("mail a.b+c@x-corp.io now, see https://x.io/p?q=1 or call 0123456789 ext 12345")
       .toDF("t").select(TextFunctions.scrubPii($"t")).as[String].head()
