@@ -11,9 +11,19 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val sb = new StringBuilder
     names.foreach { n =>
-      println(s"\n########## $n ##########")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val header = s"\n########## $n ##########"
+      val plan = SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      println(header); println(plan)
+      sb.append(header).append('\n').append(plan).append('\n')
+    }
+    // full dump survives terminal scrollback truncation
+    sys.env.get("SPARK_GRAFT_EXPLAIN_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        sb.toString.getBytes("UTF-8"))
     }
     spark.stop()
   }
