@@ -47,6 +47,23 @@ object Scratch {
     println(f"[scratch] 10x truth=$truth kmv=$kEst (${100.0 * (kEst - truth) / truth}%.1f%%) " +
       f"hll=$hEst (${100.0 * (hEst - truth) / truth}%.1f%%)")
 
+    // PPJoin prefix filter vs naive shingle co-occurrence at 10x corpus:
+    // settles the r02 open question of where the prefix pays.
+    {
+      val docs1 = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val big = (0 until 10).map(i => docs1.select(
+          ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"), $"text"))
+        .reduce(_ unionByName _)
+      time("jaccard NAIVE 5k")(noop(
+        graft.dedup.Dedup.jaccardPairs(docs1, "text", "doc_id", 3, 0.8)))
+      time("jaccard PREFIX 5k")(noop(
+        graft.dedup.Dedup.jaccardPairsPrefix(docs1, "text", "doc_id", 3, 0.8)))
+      time("jaccard NAIVE 50k")(noop(
+        graft.dedup.Dedup.jaccardPairs(big, "text", "doc_id", 3, 0.8)))
+      time("jaccard PREFIX 50k")(noop(
+        graft.dedup.Dedup.jaccardPairsPrefix(big, "text", "doc_id", 3, 0.8)))
+    }
+
     // 10x documents (50k docs): entropy + scrub + bigrams stay linear.
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
     val docs10 = (0 until 10).map(i => docs.select(

@@ -82,4 +82,38 @@ object LawsProps extends Properties("graft.laws") with SparkTestBase {
       else RefOps.unionAll(pages).as[(Int, String)].collect().sorted.toSeq ==
         rows.sorted.toSeq
     }
+
+  private val textGen: Gen[String] = Gen.listOfN(40,
+    Gen.frequency(
+      (8, Gen.alphaNumChar),
+      (2, Gen.oneOf(' ', '.', '@', ':', '/', '-')))).map(_.mkString)
+
+  property("scrubPii is idempotent: scrub(scrub(t)) == scrub(t)") =
+    forAll(Gen.listOfN(8, textGen)) { texts =>
+      import graft.functions.TextFunctions.scrubPii
+      val d = texts.toDF("t")
+      val once = d.select(scrubPii($"t")).as[String].collect().toSeq
+      val twice = d.select(scrubPii(scrubPii($"t"))).as[String].collect().toSeq
+      once == twice
+    }
+
+  property("charEntropy ∈ [0, log2(distinct chars)]") =
+    forAll(Gen.listOfN(6, textGen.suchThat(_.nonEmpty))) { texts =>
+      import graft.functions.TextFunctions.charEntropy
+      val got = texts.toDF("t")
+        .select($"t", charEntropy($"t")).as[(String, Double)].collect()
+      got.forall { case (t, e) =>
+        val bound = math.log(t.distinct.length.toDouble) / math.log(2.0)
+        e >= -1e-9 && e <= bound + 1e-9
+      }
+    }
+
+  property("kmv est_distinct == exact count when distinct < k") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 1000L))) { keys =>
+      import graft.functions.Sketches
+      val d = keys.toDF("key").withColumn("g", lit("g"))
+      val got = Sketches.kmvDistinct(d, $"g", $"key", k = 256)
+        .select("est_distinct").as[Long].collect()
+      keys.isEmpty || got.headOption.contains(keys.distinct.size.toLong)
+    }
 }
