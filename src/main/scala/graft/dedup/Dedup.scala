@@ -35,6 +35,25 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Incremental ingestion dedup: dedupe a NEW batch internally, then
+    * drop rows whose fingerprint already exists in the corpus — the daily
+    * form of exact dedup, O(batch) instead of reprocessing the corpus.
+    * `corpusFingerprints` is the persisted one-column fingerprint index
+    * ([[fingerprintIndex]]); the anti join shuffles only the batch when
+    * the index is larger, and the index is exactly what a warehouse
+    * maintains incrementally (union the survivors' fingerprints back). */
+  def incrementalDedup(batch: DataFrame, corpusFingerprints: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    exactDedup(batch, textCol, idCol)
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .join(corpusFingerprints.select(col("fp").as("__fp")),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+
+  /** The persisted fingerprint index of a corpus (one column `fp`). */
+  def fingerprintIndex(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct()
+
   /** (id, shingle) exploded distinct-shingle table — the join key space
     * for exact Jaccard. `maxShingleDf` drops shingles appearing in more
     * than that many docs (stopword-gram skew guard; None keeps all). */

@@ -330,6 +330,20 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"event_id")
     },
 
+    // Incremental ingestion dedup: the non-src0 batch deduped internally
+    // then anti-joined against src0's persisted fingerprint index —
+    // the O(batch) daily form of exact dedup.
+    "dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter($"source" === "src0")
+      val batch = docs.filter($"source" =!= "src0")
+      Dedup.incrementalDedup(batch,
+          Dedup.fingerprintIndex(corpus, "text"), "text", "doc_id")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
     // Interval (stream-stream) join: clicks attributed to same-user views
     // they follow within 10 minutes. Batch here for the oracle; the same
     // transform joins two watermarked streams (IntervalJoinStreamingSpec).
@@ -779,6 +793,22 @@ object ExtensionQueries extends graft.QueryModule {
         |  CASE WHEN fts <= ts + INTERVAL 30 MINUTE THEN fe END AS next_purchase_event,
         |  CASE WHEN fts <= ts + INTERVAL 30 MINUTE THEN fv END AS next_purchase_value
         |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH corpus_fp AS (
+        |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE source = 'src0'),
+        |batch AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE source <> 'src0'),
+        |first_per_fp AS (
+        |  SELECT doc_id, source, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM batch)
+        |SELECT doc_id, source FROM first_per_fp
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus_fp)
+        |ORDER BY doc_id""".stripMargin,
 
     "events_interval_join" ->
       """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,

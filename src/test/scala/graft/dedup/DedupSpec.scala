@@ -171,6 +171,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(2L -> 2L, 3L -> 2L))
   }
 
+  test("incrementalDedup drops batch-internal and corpus duplicates only") {
+    val corpus = Seq((1L, "known doc one"), (2L, "known doc two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Known  Doc one"),   // dup of corpus (fingerprint-normalized)
+      (11L, "fresh doc"),
+      (12L, "fresh doc"),        // internal dup of 11
+      (13L, "another fresh one"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch,
+        Dedup.fingerprintIndex(corpus, "text"), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val sims = Dedup.simhash(df, "text", "doc_id")
