@@ -471,12 +471,21 @@ object Dedup {
     * no UDF, no per-bit row blowup. */
   def simhash(df: DataFrame, textCol: String, idCol: String,
       tokenHash: Column => Column = xxHash): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
+    // Count per (id, token) FIRST, then hash each distinct pair once and
+    // weight its bit votes by the count: Σ_tokens ±1 == Σ_distinct
+    // count·(±1), so the result is identical but the (expensive,
+    // md5-family) token digest runs once per distinct pair instead of
+    // once per occurrence — ~4× fewer digests on natural text, and the
+    // extra groupBy is partial-aggregable (combiner-friendly) on both
+    // levels.
+    val counted = df.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("id"), tokenHash(col("tok")).as("h"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("__cnt"))
+    val hashed = counted.select(col("id"), col("__cnt"),
+      tokenHash(col("tok")).as("h"))
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("__cnt"))
+        .otherwise(-col("__cnt"))).as(s"b$b")
     }
     val agg = hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 64).map { b =>
