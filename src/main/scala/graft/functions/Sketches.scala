@@ -45,8 +45,10 @@ object Sketches {
   def kmvDistinct(df: DataFrame, group: Column, key: Column, k: Int = 256,
       salt: String = "kmv"): DataFrame = {
     require(k > 1 && k <= 2048, "k must be in (1, 2048]")
+    // null keys hash to null; treat them as absent (a null would sort
+    // first and poison the k-th value)
     val hashed = df.select(group.as("group"), hash52(key, salt).as("__h"))
-      .distinct()
+      .where(col("__h").isNotNull).distinct()
     val topk = TopK.perKey(hashed, Seq(col("group")), Seq(col("__h").asc), k)
     topk.groupBy(col("group"))
       .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("kth_hash"))
@@ -63,7 +65,7 @@ object Sketches {
       salt: String = "kmv"): DataFrame = {
     require(k > 1 && k <= 2048, "k must be in (1, 2048]")
     val hashed = df.select(group.as("group"), hash52(key, salt).as("__h"))
-      .distinct()
+      .where(col("__h").isNotNull).distinct() // null keys are absent
     TopK.perKey(hashed, Seq(col("group")), Seq(col("__h").asc), k)
       .groupBy(col("group"))
       .agg(array_sort(collect_list(col("__h"))).as("hashes"))
@@ -105,6 +107,7 @@ object Sketches {
     val rho = when(v === 0, lit(rest + 1))
       .otherwise(lit(rest + 1) - length(conv(v, 10, 2)))
     df.select(group.as("group"), pmod(h, lit(m)).as("bucket"), rho.as("__rho"))
+      .where(col("bucket").isNotNull) // null keys are absent, not a bucket
       .groupBy(col("group"), col("bucket"))
       .agg(max(col("__rho")).cast("int").as("max_rho"))
   }

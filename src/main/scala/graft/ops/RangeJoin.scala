@@ -35,11 +35,16 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val l = left.withColumn("__bin", floor(valueCol / binWidth))
+    // A null bound can never satisfy `v >= lo AND v < hi`; drop such
+    // rows up front (inner-join semantics) — otherwise the null reaches
+    // assert_true below, which treats null as failure and aborts the job
+    // with a misleading message.
+    val bounded = right.filter(loCol.isNotNull && hiCol.isNotNull)
     val nBins = floor(hiCol / binWidth) - floor(loCol / binWidth) + lit(1L)
     // assert_true returns NULL on success and throws on failure; keeping
     // it inside a filter predicate pins it into the plan (a bare projected
     // column could be pruned away).
-    val guarded = right.filter(assert_true(
+    val guarded = bounded.filter(assert_true(
       nBins <= lit(maxBinsPerInterval),
       concat(lit("RangeJoin.binned: interval width "),
         (hiCol - loCol).cast("string"),

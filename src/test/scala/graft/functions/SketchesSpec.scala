@@ -71,6 +71,16 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est - truth).toDouble / truth < 0.25, s"est=$est truth=$truth")
   }
 
+  test("null keys are absent from sketches, not a poisoned bucket") {
+    val df = Seq(Some(1L), Some(2L), None, Some(3L))
+      .toDF("key").withColumn("g", lit("g"))
+    val clean = df.filter($"key".isNotNull)
+    assert(Sketches.kmvDistinct(df, $"g", $"key").collect().map(_.toSeq).toSet ==
+      Sketches.kmvDistinct(clean, $"g", $"key").collect().map(_.toSeq).toSet)
+    assert(Sketches.hllBuckets(df, $"g", $"key").collect().map(_.toSeq).toSet ==
+      Sketches.hllBuckets(clean, $"g", $"key").collect().map(_.toSeq).toSet)
+  }
+
   test("sketches are duplication-invariant (distinct semantics)") {
     val df = Tables.orders(spark, sf).select(lit("g").as("g"), $"o_orderkey")
     val doubled = df.unionByName(df)

@@ -53,6 +53,15 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(ok == Set((1L, 1L)))
   }
 
+  test("null interval bounds drop the row (inner-join semantics), no abort") {
+    val values = Seq((1L, 5.0)).toDF("vid", "v")
+    val intervals = Seq((1L, Some(0.0), Some(10.0)), (2L, None, Some(10.0)),
+      (3L, Some(0.0), None)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.binned(values, $"v", intervals, $"lo", $"hi", 5.0)
+      .select("vid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L)))
+  }
+
   test("binned plans as a hash join, never a nested loop") {
     val part = Tables.part(spark, sf).select("p_partkey", "p_retailprice")
     val plan = RangeJoin.binned(part, $"p_retailprice", bands, $"lo", $"hi", 250.0)
