@@ -61,4 +61,23 @@ object Sampling {
     }
     df.filter(hashUnit(key, salt) < w)
   }
+
+  /** Exactly-k per-stratum sample: the k rows with the smallest key
+    * hashes in each stratum — the fixed-SIZE complement of the
+    * fixed-RATE [[sampleByHash]]. Deterministic and partition-invariant
+    * like everything here (the "k smallest hashes" set is a pure
+    * function of the keys), and uniformly distributed because the hash
+    * is. Runs on the native TopKPerKey bounded-heap operator: no
+    * per-stratum sort, no skew from a popular stratum. Null keys are
+    * excluded (no hash). */
+  def stratifiedK(df: DataFrame, stratum: Column, key: Column, k: Int,
+      salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hashed = df.withColumn("__stratum", stratum)
+      .withColumn("__h", hashUnit(key, salt))
+      .where(col("__h").isNotNull)
+    graft.plans.TopK.perKey(hashed, Seq(col("__stratum")),
+        Seq(col("__h").asc, key.asc), k)
+      .drop("__stratum", "__h")
+  }
 }

@@ -330,6 +330,17 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"event_id")
     },
 
+    // Exactly-k per-stratum deterministic sample (5 docs per source by
+    // smallest key hash) — fixed-size complement of the Bernoulli
+    // sampler, on the TopKPerKey bounded-heap operator.
+    "docs_stratified_k" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Sampling.stratifiedK(
+          Tables.documents(s, dir).select($"doc_id", $"source"),
+          $"source", $"doc_id", 5, "strat")
+        .orderBy($"source", $"doc_id")
+    },
+
     // Incremental ingestion dedup: the non-src0 batch deduped internally
     // then anti-joined against src0's persisted fingerprint index —
     // the O(batch) daily form of exact dedup.
@@ -793,6 +804,17 @@ object ExtensionQueries extends graft.QueryModule {
         |  CASE WHEN fts <= ts + INTERVAL 30 MINUTE THEN fe END AS next_purchase_event,
         |  CASE WHEN fts <= ts + INTERVAL 30 MINUTE THEN fv END AS next_purchase_value
         |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "docs_stratified_k" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 13))::BIGINT
+        |      / 4503599627370496.0) AS u
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, source FROM r WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH corpus_fp AS (

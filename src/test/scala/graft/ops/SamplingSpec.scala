@@ -59,6 +59,25 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stratifiedK takes exactly k per stratum, partition-invariantly") {
+    val sample = Sampling.stratifiedK(docs.select($"doc_id", $"source"),
+      $"source", $"doc_id", 3, "sk")
+    val counts = sample.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.values.forall(_ == 3) && counts.nonEmpty)
+    val again = Sampling.stratifiedK(
+        docs.select($"doc_id", $"source").repartition(7),
+        $"source", $"doc_id", 3, "sk")
+      .as[(Long, String)].collect().toSet
+    assert(again == sample.as[(Long, String)].collect().toSet)
+    // small strata return all their rows, not an error
+    val tiny = Sampling.stratifiedK(
+        docs.select($"doc_id", $"source").limit(2), $"source", $"doc_id",
+        5, "sk")
+      .count()
+    assert(tiny == 2)
+  }
+
   test("splitColumn rejects non-positive weights") {
     intercept[IllegalArgumentException] {
       Sampling.splitColumn($"doc_id", "s", Seq("a" -> 0.0, "b" -> 1.0))
