@@ -37,7 +37,10 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale f interpolator renders a comma
+    // decimal separator under e.g. de_DE, corrupting the contract JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
 

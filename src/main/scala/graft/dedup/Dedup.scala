@@ -43,12 +43,18 @@ object Dedup {
     * the index is larger, and the index is exactly what a warehouse
     * maintains incrementally (union the survivors' fingerprints back). */
   def incrementalDedup(batch: DataFrame, corpusFingerprints: DataFrame,
-      textCol: String, idCol: String): DataFrame =
-    exactDedup(batch, textCol, idCol)
-      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      textCol: String, idCol: String): DataFrame = {
+    // Fingerprint once; both the self-dedup window and the anti join key
+    // on the same materialized column (recomputing md5 over full document
+    // text per stage would double the hot-path CPU).
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    batch.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
       .join(corpusFingerprints.select(col("fp").as("__fp")),
         Seq("__fp"), "left_anti")
       .drop("__fp")
+  }
 
   /** The persisted fingerprint index of a corpus (one column `fp`). */
   def fingerprintIndex(corpus: DataFrame, textCol: String): DataFrame =

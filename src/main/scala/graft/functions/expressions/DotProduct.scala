@@ -35,13 +35,24 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  override def nullable: Boolean = left.nullable || right.nullable
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
 
+  // A null ELEMENT in the common prefix makes the whole result null,
+  // matching the HOF composition exactly: zip_with produces a null
+  // product and aggregate's `+` propagates it (and DuckDB's
+  // list_dot_product is NULL-poisoned the same way). Reading the slot
+  // without the check would silently treat it as 0.0.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -50,6 +61,7 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
@@ -69,9 +81,10 @@ case class DotProduct(left: Expression, right: Expression)
         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
         |  $dot += (${get(a, isFloat(left))}) * (${get(b, isFloat(right))});
         |}
-        |${ev.value} = $dot;
+        |if (!${ev.isNull}) { ${ev.value} = $dot; }
       """.stripMargin
     })
 

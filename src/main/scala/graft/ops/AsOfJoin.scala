@@ -4,6 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Shared eager validation for operator parameters that are spliced into
+  * INTERVAL literal syntax: a malformed value must fail at the call site
+  * with a clear message, not as an obscure parse error deep in plan
+  * analysis (and the parameter must not accept arbitrary expression
+  * text). */
+object Intervals {
+  def validate(param: String, s: String): Unit = {
+    val parsed = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .safeStringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"interval $s"))
+    if (parsed == null) throw new IllegalArgumentException(
+      s"$param is not a valid interval literal: '$s' " +
+        "(expected e.g. \"15 minutes\", \"1 hour 30 minutes\")")
+  }
+}
+
 /** As-of join: for each left row, attach the most recent right row with
   * `right.ts <= left.ts` in the same key group (the time-series
   * enrichment operator Spark lacks; SURVEY §2.6 notes its absence in the
@@ -69,17 +85,7 @@ object AsOfJoin {
     val inTolerance: Column = tolerance match {
       case None => lit(true)
       case Some(t) =>
-        // Validate eagerly: the string is spliced into INTERVAL syntax, so
-        // a malformed value would otherwise surface as an obscure parse
-        // error deep in plan analysis (and the parameter would accept
-        // arbitrary expression text). safeStringToInterval returns null
-        // for anything that is not a pure interval literal.
-        val parsed = org.apache.spark.sql.catalyst.util.IntervalUtils
-          .safeStringToInterval(
-            org.apache.spark.unsafe.types.UTF8String.fromString(s"interval $t"))
-        if (parsed == null) throw new IllegalArgumentException(
-          s"asOf tolerance is not a valid interval literal: '$t' " +
-            "(expected e.g. \"15 minutes\", \"1 hour 30 minutes\")")
+        Intervals.validate("asOf tolerance", t)
         val iv = expr(s"INTERVAL $t")
         if (direction == "backward") col("__f___rts") >= col(ts) - iv
         else col("__f___rts") <= col(ts) + iv

@@ -35,11 +35,15 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val l = left.withColumn("__bin", floor(valueCol / binWidth))
-    // A null bound can never satisfy `v >= lo AND v < hi`; drop such
-    // rows up front (inner-join semantics) — otherwise the null reaches
-    // assert_true below, which treats null as failure and aborts the job
-    // with a misleading message.
-    val bounded = right.filter(loCol.isNotNull && hiCol.isNotNull)
+    // A null bound or an inverted/empty interval (hi <= lo) can never
+    // satisfy `v >= lo AND v < hi`; drop such rows up front (inner-join
+    // semantics). Nulls would otherwise reach assert_true below, which
+    // treats null as failure and aborts with a misleading message; an
+    // inverted interval would make nBins NEGATIVE — sailing under the
+    // guard — and then sequence(start, stop) with start > stop builds a
+    // huge DESCENDING array: exactly the explosion the guard prevents.
+    val bounded = right.filter(
+      loCol.isNotNull && hiCol.isNotNull && hiCol > loCol)
     val nBins = floor(hiCol / binWidth) - floor(loCol / binWidth) + lit(1L)
     // assert_true returns NULL on success and throws on failure; keeping
     // it inside a filter predicate pins it into the plan (a bare projected

@@ -21,10 +21,12 @@ object Sampling {
   /** Uniform [0, 1) from the first 52 bits (13 hex digits) of
     * md5(key ":" salt). 52 bits fit a double's mantissa exactly and
     * 2^52 is a power of two, so the division is exact — both engines
-    * produce the identical double. */
+    * produce the identical double. Delegates to [[Sketches.hash52]]: ONE
+    * definition of the oracle-replayed hash family, shared by sampling
+    * and the distinct-count sketches. */
   def hashUnit(key: Column, salt: String): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 13),
-      16, 10).cast("long").cast("double") / lit(4503599627370496.0) // / 2^52
+    graft.functions.Sketches.hash52(key, salt).cast("double") /
+      lit(graft.functions.Sketches.HashSpace.toDouble)
 
   /** Split assignment: named buckets with weights (need not sum to 1;
     * they are normalized). Rows hash into buckets by cumulative weight,

@@ -113,7 +113,10 @@ object CoreQueries extends graft.QueryModule {
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
           sum($"l_quantity".cast(DecimalType(18, 4))).over(w)
             .pipe(Parity.roundedDouble).as("running_qty"))
-        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+        // running_qty as final tiebreak: the duplicate triple produces
+        // two rows with the same first three columns but different
+        // running values — the output sort must be total too.
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
     },
 
     // RANGE-framed window: trailing 7-day quantity per supplier — the
@@ -526,7 +529,8 @@ object CoreQueries extends graft.QueryModule {
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_qty
-        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
 
     "q_window_range" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -70,12 +70,7 @@ object EventsOps {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, maxDelay: String): DataFrame = {
-    // validate eagerly, as AsOfJoin does for tolerance
-    val parsed = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .safeStringToInterval(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s"interval $maxDelay"))
-    if (parsed == null) throw new IllegalArgumentException(
-      s"intervalJoin maxDelay is not a valid interval literal: '$maxDelay'")
+    graft.ops.Intervals.validate("intervalJoin maxDelay", maxDelay)
     val overlap = left.columns.toSet.intersect(right.columns.toSet) - key
     require(overlap.isEmpty,
       s"non-key columns must be disjoint, overlapping: ${overlap.mkString(", ")}")

@@ -39,6 +39,17 @@ class DotProductSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0) == 0.0 && got(1) == 50.0)
   }
 
+  test("a null element in the common prefix nulls the result, like the HOF") {
+    val df = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(2.0, 3.0, 4.0)),
+      (Seq(Some(1.0), Some(2.0)), Seq(2.0, 3.0))).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.dotProduct($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", _ * _), lit(0.0), _ + _).as("hof"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) == 8.0 && rows(1).getDouble(1) == 8.0)
+  }
+
   test("registered in SQL: dot_product callable from spark.sql") {
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_dot_tmp")
     val got = spark.sql(

@@ -62,6 +62,16 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, 1L)))
   }
 
+  test("inverted intervals (hi <= lo) drop the row instead of exploding") {
+    val values = Seq((1L, 5.0)).toDF("vid", "v")
+    // negative nBins would sail past the guard and sequence() would then
+    // build a huge DESCENDING array — the row must be dropped up front
+    val intervals = Seq((1L, 1.0e12, 0.0), (2L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.binned(values, $"v", intervals, $"lo", $"hi", 1.0)
+      .select("vid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("binned plans as a hash join, never a nested loop") {
     val part = Tables.part(spark, sf).select("p_partkey", "p_retailprice")
     val plan = RangeJoin.binned(part, $"p_retailprice", bands, $"lo", $"hi", 250.0)
