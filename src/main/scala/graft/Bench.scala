@@ -49,7 +49,7 @@ object Bench {
     // to parse (this happened in rounds 1-2: 72 per-query timings made
     // the line ~2.5 KB). Report a headline subset — one representative
     // per operator family — on the contract line, and dump the complete
-    // per-query map to a sidecar file + stderr for humans.
+    // per-query map to a sidecar file for humans.
     val headline = Seq(
       "q1_agg", "q3_join_agg", "q5_multiway_join", "q7_nation_flows",
       "q_window_rank", "q_topk_perkey_native", "ref_l2_upsert",
@@ -59,7 +59,6 @@ object Bench {
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
-    System.err.println(s"[bench-full] $full")
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL_LOCAL.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))

@@ -41,7 +41,14 @@ object Dedup {
     * `corpusFingerprints` is the persisted one-column fingerprint index
     * ([[fingerprintIndex]]); the anti join shuffles only the batch when
     * the index is larger, and the index is exactly what a warehouse
-    * maintains incrementally (union the survivors' fingerprints back). */
+    * maintains incrementally (union the survivors' fingerprints back).
+    *
+    * Null-text rows have NO fingerprint, so they are defined to pass
+    * through untouched: they neither dedupe against each other (the
+    * window would otherwise lump every null into one group and keep one)
+    * nor against the corpus (the index stores only real fingerprints —
+    * a SQL `fp NOT IN (...)` against an index containing a NULL would
+    * silently drop every batch row). */
   def incrementalDedup(batch: DataFrame, corpusFingerprints: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     // Fingerprint once; both the self-dedup window and the anti join key
@@ -49,16 +56,21 @@ object Dedup {
     // text per stage would double the hot-path CPU).
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
     batch.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || col("__fp").isNull)
       .drop("__rn")
+      // left_anti on equality never matches a null key, so null-fp rows
+      // survive here by construction.
       .join(corpusFingerprints.select(col("fp").as("__fp")),
         Seq("__fp"), "left_anti")
       .drop("__fp")
   }
 
-  /** The persisted fingerprint index of a corpus (one column `fp`). */
+  /** The persisted fingerprint index of a corpus (one column `fp`,
+    * never null — null-text rows have no fingerprint to index). */
   def fingerprintIndex(corpus: DataFrame, textCol: String): DataFrame =
-    corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct()
+    corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
 
   /** (id, shingle) exploded distinct-shingle table — the join key space
     * for exact Jaccard. `maxShingleDf` drops shingles appearing in more

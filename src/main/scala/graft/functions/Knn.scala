@@ -66,8 +66,10 @@ object Knn {
     * The window formulation (partition per VECTOR over |N|×C scored
     * rows) shuffles the entire corpus×centroid product, which is exactly
     * what dies first at 100 TB. Tiebreak mirrors the window's
-    * (sim DESC, centroid_id ASC): the struct max takes the largest sim,
-    * then the largest negated id = smallest id; null sims (zero vectors)
+    * (sim DESC, centroid_id ASC) as a struct MIN over (-sim,
+    * centroid_id): smallest negated sim = largest sim, then smallest
+    * centroid_id — the id rides the struct un-negated, so ids of ANY
+    * orderable type (strings included) work; null sims (zero vectors)
     * rank below every real cosine via coalesce(-2). */
   private def assignBuckets(vecs: DataFrame, cents: DataFrame,
       cosineFn: (Column, Column) => Column): DataFrame = {
@@ -75,11 +77,12 @@ object Knn {
       .agg(array_sort(collect_list(struct(col("centroid_id"), col("centv"))))
         .as("__cents"))
     vecs.crossJoin(broadcast(centArr))
-      .select(col("vid"), col("v"), array_max(transform(col("__cents"),
+      .select(col("vid"), col("v"), array_min(transform(col("__cents"),
         c => struct(
-          coalesce(cosineFn(col("v"), c.getField("centv")), lit(-2.0)).as("sim"),
-          (-c.getField("centroid_id")).as("negid")))).as("__best"))
-      .select(col("vid"), col("v"), (-col("__best.negid")).as("bucket"))
+          (-coalesce(cosineFn(col("v"), c.getField("centv")), lit(-2.0)))
+            .as("negsim"),
+          c.getField("centroid_id").as("cid")))).as("__best"))
+      .select(col("vid"), col("v"), col("__best.cid").as("bucket"))
   }
 
   /** Lloyd's k-means over the embedding column, expressed as DataFrame
@@ -101,18 +104,18 @@ object Knn {
     for (_ <- 0 until iterations) {
       // Same shuffle-free argmin trick as assignBuckets: centroids fold
       // to one broadcast array row; each vector picks the nearest with
-      // an inline struct max over (-d2, -centroid_id) — no |N|×C window
-      // shuffle per iteration.
+      // an inline struct MIN over (d2, centroid_id) — no |N|×C window
+      // shuffle per iteration, and ids of any orderable type work.
       val centArr = cents.groupBy()
         .agg(array_sort(collect_list(struct(col("centroid_id"), col("centv"))))
           .as("__cents"))
       val assigned = vecs.crossJoin(broadcast(centArr))
-        .select(col("v"), array_max(transform(col("__cents"), c =>
-          struct((-aggregate(
+        .select(col("v"), array_min(transform(col("__cents"), c =>
+          struct(aggregate(
             zip_with(col("v"), c.getField("centv"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), _ + _)).as("negd2"),
-            (-c.getField("centroid_id")).as("negid")))).as("__best"))
-        .select((-col("__best.negid")).as("centroid_id"), col("v"))
+            lit(0.0), _ + _).as("d2"),
+            c.getField("centroid_id").as("cid")))).as("__best"))
+        .select(col("__best.cid").as("centroid_id"), col("v"))
       // Elementwise mean via position explode + avg — no whole-vector
       // collect; decimal not needed (means are engine-internal).
       cents = assigned

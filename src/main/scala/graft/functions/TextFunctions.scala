@@ -115,11 +115,15 @@ object TextFunctions {
   /** PII patterns, kept valid in BOTH Java regex and RE2 (no lookaround,
     * no backrefs) so redaction is oracle-checkable and portable to RE2-
     * based scrubbers. Ordered: emails first (an email contains digit runs
-    * a later pass must not re-tag), then URLs, then long digit runs
-    * (phone/account/SSN-ish). */
+    * a later pass must not re-tag), then URLs, then separator-formatted
+    * identifiers (SSN 3-2-4, US phone 3-3-4 with `-`/`.`/space
+    * separators and optional area-code parens), then contiguous long
+    * digit runs (account numbers, unformatted phones). */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "https?://[^ \\t\\n]+" -> "<URL>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
+    "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
     "[0-9]{6,}" -> "<NUM>")
 
   /** Redact PII spans with typed placeholder tags — the standard

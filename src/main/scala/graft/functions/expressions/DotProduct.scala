@@ -11,13 +11,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * side), with whole-stage codegen.
   *
   * Semantics match `aggregate(zip_with(a, b, (x, y) => x * y), 0.0, _+_)`
-  * exactly: elements widened to double before arithmetic, sequential
-  * accumulation over the common prefix, 0.0 for empty input — so it is
-  * interchangeable with the HOF composition and with a DuckDB
-  * `list_dot_product(a::DOUBLE[], b::DOUBLE[])` oracle, but runs as one
-  * fused primitive loop instead of zip_with building an intermediate
-  * array. This is the scoring kernel of the quantized ANN path (dots of
-  * reconstruction vectors). */
+  * when both arrays have the SAME length (always true at the quantized
+  * ANN call site, where both sides are d-dimensional vectors): elements
+  * widened to double before arithmetic, sequential accumulation, 0.0
+  * for empty input, and a null element poisons the result to NULL. For
+  * UNEQUAL lengths the semantics intentionally diverge: zip_with pads
+  * the shorter array with nulls so the HOF composition returns NULL,
+  * while this expression (like DuckDB's `list_dot_product`) dots the
+  * common prefix. It runs as one fused primitive loop instead of
+  * zip_with building an intermediate array. This is the scoring kernel
+  * of the quantized ANN path (dots of reconstruction vectors). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -77,14 +80,29 @@ case class DotProduct(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       def get(arr: String, float: Boolean): String =
         if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      // Only emit the null-element branch when an element CAN be null:
+      // with containsNull=false on both sides `nullable` resolves false,
+      // nullSafeCodeGen renders ev.isNull as the literal "false", and an
+      // unconditional "${ev.isNull} = true;" would generate the Janino
+      // compile error "false = true;" (silent fallback to interpreted).
+      val elemChecks = Seq(
+        if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+        if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None,
+      ).flatten
+      val nullBreak =
+        if (elemChecks.isEmpty) ""
+        else s"if (${elemChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+      val assign =
+        if (elemChecks.isEmpty) s"${ev.value} = $dot;"
+        else s"if (!${ev.isNull}) { ${ev.value} = $dot; }"
       s"""
         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
-        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |  $nullBreak
         |  $dot += (${get(a, isFloat(left))}) * (${get(b, isFloat(right))});
         |}
-        |if (!${ev.isNull}) { ${ev.value} = $dot; }
+        |$assign
       """.stripMargin
     })
 

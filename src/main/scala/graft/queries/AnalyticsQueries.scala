@@ -18,9 +18,15 @@ import graft.model.Tables
   */
 object AnalyticsQueries extends graft.QueryModule {
 
-  private val emailRe = TextFunctions.PiiPatterns(0)._1
-  private val urlRe = TextFunctions.PiiPatterns(1)._1
-  private val numRe = TextFunctions.PiiPatterns(2)._1
+  // Look patterns up by tag, not position — the pattern list is ordered
+  // for scrub precedence and positions shift as patterns are added.
+  private def piiRe(tag: String): String =
+    TextFunctions.PiiPatterns.find(_._2 == tag).get._1
+  private val emailRe = piiRe("<EMAIL>")
+  private val urlRe = piiRe("<URL>")
+  private val ssnRe = piiRe("<SSN>")
+  private val phoneRe = piiRe("<PHONE>")
+  private val numRe = piiRe("<NUM>")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -49,20 +55,25 @@ object AnalyticsQueries extends graft.QueryModule {
 
     // PII redaction + audit counts. The fixture corpus is synthetic word
     // soup with no PII, so the query plants a deterministic email/URL/
-    // digit-run per row (a pure function of doc_id, mirrored by the
-    // oracle) and then scrubs it — the patterns are genuinely exercised.
+    // phone/SSN/digit-run per row (a pure function of doc_id, mirrored
+    // by the oracle) and then scrubs it — every pattern is genuinely
+    // exercised, including the separator-formatted phone and SSN forms.
     "text_scrub_pii" -> { (s, dir) =>
       import s.implicits._
       val planted = concat($"text", lit(" contact user"),
         $"doc_id".cast("string"),
         lit("@mail.example.com or https://ex.org/d/"),
-        $"doc_id".cast("string"), lit(" ref "),
+        $"doc_id".cast("string"), lit(" tel ("),
+        lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+        lit(") 555-0199 ssn 078-05-1120 ref "),
         ($"doc_id" * $"doc_id" + 123456L).cast("string"), lit("."))
       Tables.documents(s, dir)
         .select($"doc_id", planted.as("__txt"))
         .select($"doc_id",
           TextFunctions.countMatches($"__txt", emailRe).as("n_emails"),
           TextFunctions.countMatches($"__txt", urlRe).as("n_urls"),
+          TextFunctions.countMatches($"__txt", ssnRe).as("n_ssns"),
+          TextFunctions.countMatches($"__txt", phoneRe).as("n_phones"),
           TextFunctions.countMatches($"__txt", numRe).as("n_nums"),
           TextFunctions.scrubPii($"__txt").as("scrubbed"))
         .orderBy($"doc_id")
@@ -132,7 +143,9 @@ object AnalyticsQueries extends graft.QueryModule {
   private def plantedSql =
     """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
       |  '@mail.example.com or https://ex.org/d/' || CAST(doc_id AS VARCHAR) ||
-      |  ' ref ' || CAST(doc_id*doc_id + 123456 AS VARCHAR) || '.'""".stripMargin
+      |  ' tel (' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+      |  ') 555-0199 ssn 078-05-1120 ref ' ||
+      |  CAST(doc_id*doc_id + 123456 AS VARCHAR) || '.'""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -164,10 +177,15 @@ object AnalyticsQueries extends graft.QueryModule {
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(txt, '$emailRe')) AS INTEGER) AS n_emails,
       |  CAST(len(regexp_extract_all(txt, '$urlRe')) AS INTEGER) AS n_urls,
+      |  CAST(len(regexp_extract_all(txt, '$ssnRe')) AS INTEGER) AS n_ssns,
+      |  CAST(len(regexp_extract_all(txt, '$phoneRe')) AS INTEGER) AS n_phones,
       |  CAST(len(regexp_extract_all(txt, '$numRe')) AS INTEGER) AS n_nums,
-      |  regexp_replace(regexp_replace(regexp_replace(txt,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(txt,
       |    '$emailRe', '<EMAIL>', 'g'),
       |    '$urlRe', '<URL>', 'g'),
+      |    '$ssnRe', '<SSN>', 'g'),
+      |    '$phoneRe', '<PHONE>', 'g'),
       |    '$numRe', '<NUM>', 'g') AS scrubbed
       |FROM f ORDER BY doc_id""".stripMargin,
 

@@ -819,7 +819,7 @@ object ExtensionQueries extends graft.QueryModule {
     "dedup_incremental" ->
       """WITH corpus_fp AS (
         |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-        |  FROM documents WHERE source = 'src0'),
+        |  FROM documents WHERE source = 'src0' AND text IS NOT NULL),
         |batch AS (
         |  SELECT doc_id, source,
         |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
@@ -829,7 +829,7 @@ object ExtensionQueries extends graft.QueryModule {
         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         |  FROM batch)
         |SELECT doc_id, source FROM first_per_fp
-        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus_fp)
+        |WHERE (fp IS NULL OR (rn = 1 AND fp NOT IN (SELECT fp FROM corpus_fp)))
         |ORDER BY doc_id""".stripMargin,
 
     "events_interval_join" ->

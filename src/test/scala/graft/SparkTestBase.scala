@@ -28,4 +28,15 @@ trait SparkTestBase {
   }
   /** sf0.001 fixture dir — the smoke-scale data. */
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Run `f` with the given SQL confs set, restoring prior values after
+    * (the session is shared across suites, so leaks would be global). */
+  def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

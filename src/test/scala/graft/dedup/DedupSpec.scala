@@ -185,6 +185,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(11L, 13L))
   }
 
+  test("incrementalDedup passes null-text rows through untouched") {
+    // Null text has no fingerprint: such rows must not dedupe against
+    // each other, and a null in the corpus must not eat the batch.
+    val corpus = Seq((1L, "known doc"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String]),  // NOT an internal dup of 10
+      (12L, "known doc"),                // dup of corpus
+      (13L, "fresh doc"),
+    ).toDF("doc_id", "text")
+    val idx = Dedup.fingerprintIndex(corpus, "text")
+    assert(idx.filter(col("fp").isNull).isEmpty)
+    val kept = Dedup.incrementalDedup(batch, idx, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L, 13L))
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val sims = Dedup.simhash(df, "text", "doc_id")

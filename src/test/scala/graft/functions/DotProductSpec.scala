@@ -50,6 +50,22 @@ class DotProductSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(1).getDouble(0) == 8.0 && rows(1).getDouble(1) == 8.0)
   }
 
+  test("codegen compiles when inputs are non-nullable (no isNull slot)") {
+    // With containsNull=false literals `nullable` resolves false and
+    // nullSafeCodeGen renders ev.isNull as the literal "false"; the old
+    // template emitted "false = true;" — a Janino error that silently
+    // fell back to interpreted execution. CODEGEN_ONLY turns that
+    // fallback into a hard failure so the regression can't hide.
+    withSQLConf("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback" -> "false") {
+      val got = spark.range(1).select(
+        GraftFunctions.dotProduct(
+          array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("d"))
+        .as[Double].head()
+      assert(got == 11.0)
+    }
+  }
+
   test("registered in SQL: dot_product callable from spark.sql") {
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_dot_tmp")
     val got = spark.sql(

@@ -117,6 +117,13 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(got == "mail <EMAIL> now, see <URL> or call <NUM> ext 12345")
   }
 
+  test("scrubPii redacts separator-formatted phones and SSNs") {
+    val got = Seq(
+      "call (555) 123-4567 or 555.123.4567 or 555-123-4567, ssn 078-05-1120")
+      .toDF("t").select(TextFunctions.scrubPii($"t")).as[String].head()
+    assert(got == "call <PHONE> or <PHONE> or <PHONE>, ssn <SSN>")
+  }
+
   test("bigramsFromTokens keeps repeats and order") {
     val got = Seq("a b a b").toDF("t")
       .select(TextFunctions.bigramsFromTokens(TextFunctions.tokens($"t")))
