@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, ExtensionQueries, RefQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, ExtensionQueries, RefQueries, SourceQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.{AnalyticsQueries, CoreQueries, ExtensionQueries, RefQuerie
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(CoreQueries, RefQueries, ExtensionQueries, AnalyticsQueries)
+    Seq(CoreQueries, RefQueries, ExtensionQueries, AnalyticsQueries,
+      SourceQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -93,6 +93,43 @@ object Sketches {
           .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div kth_hash"))
           .as("est_distinct"))
 
+  /** Hash-sampled quantiles: a bottom-k-by-hash uniform sample per group
+    * (the KMV trick applied to ROWS instead of distinct keys), then exact
+    * lower-nearest-rank quantiles of `value` within the sample.
+    *
+    * Unlike GK/KLL sketches — whose state depends on merge order — the
+    * bottom-k sample is a pure function of the data: the k rows with the
+    * smallest hashes win no matter how the input is partitioned, so the
+    * result is reproducible anywhere and replayable by the SQL oracle.
+    * Collection is one [[TopK]] bounded-heap pass (partial heaps per
+    * partition, k·|groups| rows shuffled — never the data); standard
+    * uniform-sample quantile error O(1/sqrt(k)).
+    *
+    * `id` must identify rows uniquely (hash input); `value` passes
+    * through untouched (no float arithmetic on it — the quantile is an
+    * order statistic, exact for the oracle). Output: (group, q, value)
+    * with value = sorted_sample[floor(q * (n-1))], n = sample size. */
+  def hashQuantiles(df: DataFrame, group: Column, id: Column, value: Column,
+      qs: Seq[Double], k: Int = 1024, salt: String = "quant"): DataFrame = {
+    require(k > 1, "k must be > 1")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    val hashed = df
+      .select(group.as("group"), hash52(id, salt).as("__h"), value.as("__v"))
+      .where(col("__h").isNotNull && col("__v").isNotNull)
+    // __v as a secondary sort key makes hash-collision ties deterministic.
+    val sample = TopK.perKey(hashed, Seq(col("group")),
+      Seq(col("__h").asc, col("__v").asc), k)
+    val arr = sample.groupBy(col("group"))
+      .agg(array_sort(collect_list(col("__v"))).as("__vs"),
+        count(lit(1)).as("__n"))
+    arr.select(col("group"), col("__vs"), col("__n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .select(col("group"), col("q"),
+        element_at(col("__vs"),
+          (floor(col("q") * (col("__n") - 1)) + 1).cast("int")).as("value"))
+  }
+
   /** HLL bucket table: (group, bucket, max_rho) with 2^p buckets.
     * bucket = low p bits of the hash; rho = leading-zero run of the
     * remaining (52-p)-bit value, + 1. Pure integer arithmetic (bit length

@@ -53,6 +53,21 @@ object AnalyticsQueries extends graft.QueryModule {
         .orderBy($"l_returnflag", $"bucket")
     },
 
+    // Hash-sampled quantile sketch: bottom-1024-by-hash uniform sample
+    // per return flag (bounded TopK heaps — k·|groups| rows shuffled,
+    // never the table), then exact lower-nearest-rank order statistics
+    // within the sample. Partitioning-invariant by construction (the k
+    // smallest hashes win under any layout), unlike merge-order-
+    // dependent GK/KLL state.
+    "sketch_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      Sketches.hashQuantiles(Tables.lineitem(s, dir), $"l_returnflag",
+          concat($"l_orderkey", lit("_"), $"l_linenumber"),
+          $"l_extendedprice", Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .withColumnRenamed("group", "l_returnflag")
+        .orderBy($"l_returnflag", $"q")
+    },
+
     // PII redaction + audit counts. The fixture corpus is synthetic word
     // soup with no PII, so the query plants a deterministic email/URL/
     // phone/SSN/digit-run per row (a pure function of doc_id, mirrored
@@ -171,6 +186,22 @@ object AnalyticsQueries extends graft.QueryModule {
         |  FROM h)
         |SELECT l_returnflag, bucket, CAST(MAX(rho) AS INTEGER) AS max_rho
         |FROM r GROUP BY l_returnflag, bucket ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "sketch_quantiles" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+        |       CAST(l_linenumber AS VARCHAR) || ':quant'), 1, 13))::BIGINT AS hv,
+        |    l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT l_returnflag, hv, v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv, v) AS rn
+        |  FROM h),
+        |a AS (SELECT l_returnflag, COUNT(*) AS n, list_sort(list(v)) AS vs
+        |  FROM r WHERE rn <= 1024 GROUP BY l_returnflag)
+        |SELECT l_returnflag, q, vs[CAST(floor(q * (n - 1)) AS INTEGER) + 1] AS value
+        |FROM a CROSS JOIN (
+        |  SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q) qs
+        |ORDER BY l_returnflag, q""".stripMargin,
 
     "text_scrub_pii" -> s"""
       |WITH f AS (SELECT doc_id, $plantedSql AS txt FROM documents)

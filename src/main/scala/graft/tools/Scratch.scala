@@ -6,8 +6,8 @@ import graft.Sessions
 import graft.model.Tables
 
 /** Throwaway timing harness for hotspot investigation (not part of the
-  * driver contract; kept out of SparkEntry). Current target: the simhash
-  * distinct-pair rewrite. */
+  * driver contract; kept out of SparkEntry). Current target: the
+  * ref_p8_date_parse outlier (15.4 s at sf0.1 in the round-3 bench). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -19,16 +19,30 @@ object Scratch {
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f")
       r
     }
-    noop(graft.SparkEntry.queries("text_stats")(spark, dir)) // warmup
+    noop(graft.SparkEntry.queries("q1_agg")(spark, dir)) // warmup
 
-    time("dedup_simhash QUERY warm0")(noop(
-      graft.SparkEntry.queries("dedup_simhash")(spark, dir)))
-    time("dedup_simhash QUERY warm1")(noop(
-      graft.SparkEntry.queries("dedup_simhash")(spark, dir)))
-    time("dedup_minhash QUERY warm0")(noop(
-      graft.SparkEntry.queries("dedup_minhash_pairs")(spark, dir)))
-    time("dedup_minhash QUERY warm1")(noop(
-      graft.SparkEntry.queries("dedup_minhash_pairs")(spark, dir)))
+    val li = Tables.lineitem(spark, dir)
+    time("p8 QUERY warm0")(noop(
+      graft.SparkEntry.queries("ref_p8_date_parse")(spark, dir)))
+    time("p8 QUERY warm1")(noop(
+      graft.SparkEntry.queries("ref_p8_date_parse")(spark, dir)))
+    time("p8 no orderBy")(noop(
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.RefOps.parseVnDate(
+          date_format(col("l_shipdate"), "dd/MM/yyyy")).as("ship_day"))))
+    time("date_format only")(noop(
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "dd/MM/yyyy").as("s"))))
+    time("orderBy only")(noop(
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))))
+    time("make_date split parse")(noop(
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "dd/MM/yyyy").as("s"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          make_date(substring(col("s"), 7, 4).cast("int"),
+            substring(col("s"), 4, 2).cast("int"),
+            substring(col("s"), 1, 2).cast("int")).as("ship_day"))))
     spark.stop()
   }
 }

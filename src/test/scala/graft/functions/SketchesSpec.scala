@@ -16,6 +16,41 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq((50L, 50L)))
   }
 
+  test("hashQuantiles is exact for groups smaller than the sample size") {
+    val df = (1 to 101).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val got = Sketches.hashQuantiles(df, $"g", $"id", $"v",
+        Seq(0.0, 0.5, 1.0), k = 1024)
+      .orderBy($"q").select("value").as[Double].collect()
+    assert(got.toSeq == Seq(1.0, 51.0, 101.0))
+  }
+
+  test("hashQuantiles is partitioning-invariant (bottom-k sample wins anywhere)") {
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", concat($"l_orderkey", lit("_"), $"l_linenumber")
+        .as("id"), $"l_extendedprice")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hashQuantiles(df, $"l_returnflag", $"id", $"l_extendedprice",
+          Seq(0.25, 0.5, 0.75), k = 256)
+        .collect().map(_.toSeq).toSet
+    assert(run(li.repartition(1)) == run(li.repartition(13)))
+  }
+
+  test("hashQuantiles median tracks the exact median on the fixture") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .as[(String, Double)].collect().toMap
+    val est = Sketches.hashQuantiles(li, $"l_returnflag",
+        concat($"l_orderkey", lit("_"), $"l_linenumber"), $"l_extendedprice",
+        Seq(0.5), k = 512)
+      .select($"group".as[String], $"value".as[Double])
+      .collect().toMap
+    exact.foreach { case (flag, m) =>
+      val e = est(flag)
+      assert(math.abs(e - m) / m < 0.15, s"$flag: est=$e exact=$m")
+    }
+  }
+
   test("kmv estimate is within 20% of the true distinct count") {
     val orders = Tables.orders(spark, sf).select($"o_orderkey")
     val truth = orders.distinct().count()
