@@ -93,6 +93,82 @@ object Sketches {
           .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div kth_hash"))
           .as("est_distinct"))
 
+  /** 52-bit hash of (key, j, salt) — the per-hash-function variant of
+    * [[hash52]] for sketches needing d independent hashes. Oracle form:
+    * ('0x'||substr(md5(CAST(key AS VARCHAR)||'#'||j||':'||salt),1,13))::BIGINT */
+  def hash52j(key: Column, j: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("#"),
+      j.cast("string"), lit(":" + salt))), 1, 13), 16, 10).cast("long")
+
+  /** Count-min sketch build: a d×w matrix of exact integer counts,
+    * cell (j, h_j(key) mod w) += 1. ONE partial-aggregable groupBy with
+    * d·w bounded state — the 100 TB path — and sketches of disjoint
+    * shards merge by cell-wise SUM (see [[cmsMerge]]). Pure integer
+    * arithmetic on the md5 family: reproducible under any partitioning
+    * and replayable by the SQL oracle. Null keys are absent.
+    * Output: (row, col, cnt) for occupied cells. */
+  def countMin(df: DataFrame, key: Column, d: Int = 4, w: Int = 1024,
+      salt: String = "cms"): DataFrame = {
+    require(d >= 1 && d <= 8, "d must be in [1, 8]")
+    require(w >= 16, "w must be >= 16")
+    df.select(key.as("__k")).where(col("__k").isNotNull)
+      .select(col("__k"), explode(array((0 until d).map(lit(_)): _*)).as("row"))
+      .select(col("row"), pmod(hash52j(col("__k"), col("row"), salt), lit(w))
+        .as("col"))
+      .groupBy(col("row"), col("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise sum of shard sketches (same d, w, salt) = the sketch of
+    * the shard union — CMS is a linear sketch. */
+  def cmsMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("row"), col("col")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point lookups against a CMS: est(key) = min over rows j of
+    * cell(j, h_j(key)) — the classic one-sided estimate (never below the
+    * true count). `probes` carries one `key` column; absent cells count
+    * as zero. The sketch is broadcast: probing never shuffles it. */
+  def cmsLookup(sketch: DataFrame, probes: DataFrame, d: Int = 4,
+      w: Int = 1024, salt: String = "cms"): DataFrame = {
+    val cells = probes.select(col("key"),
+        explode(array((0 until d).map(lit(_)): _*)).as("row"))
+      .select(col("key"), col("row"),
+        pmod(hash52j(col("key"), col("row"), salt), lit(w)).as("col"))
+    cells.join(broadcast(sketch), Seq("row", "col"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
+  /** Bloom filter build: the distinct set-bit positions of a (m, k)
+    * filter over `key` — position p_j(key) = h_j(key) mod m for
+    * j < numHashes. Emitted as a sorted position array (the portable,
+    * oracle-checkable form; pack to long words at persist time if
+    * desired). Filters of shards merge by position-set UNION — Bloom is
+    * an OR-mergeable sketch. Bounded state: ≤ m positions. */
+  def bloomBuild(df: DataFrame, key: Column, m: Int = 8192,
+      numHashes: Int = 3, salt: String = "bloom"): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 8, "numHashes must be in [1, 8]")
+    df.select(key.as("__k")).where(col("__k").isNotNull)
+      .select(col("__k"),
+        explode(array((0 until numHashes).map(lit(_)): _*)).as("j"))
+      .select(pmod(hash52j(col("__k"), col("j"), salt), lit(m)).as("pos"))
+      .distinct()
+      .groupBy()
+      .agg(array_sort(collect_list(col("pos"))).as("positions"))
+  }
+
+  /** Membership tests against a built filter: maybe_member is true iff
+    * ALL k positions of the probe key are set (no false negatives; false
+    * positives at the standard (1-e^{-kn/m})^k rate). The one-row filter
+    * is broadcast. */
+  def bloomContains(filter: DataFrame, probes: DataFrame, m: Int = 8192,
+      numHashes: Int = 3, salt: String = "bloom"): DataFrame =
+    probes.select(col("key")).crossJoin(broadcast(filter))
+      .select(col("key"), (0 until numHashes)
+        .map(j => array_contains(col("positions"),
+          pmod(hash52j(col("key"), lit(j), salt), lit(m))))
+        .reduce(_ && _).as("maybe_member"))
+
   /** Hash-sampled quantiles: a bottom-k-by-hash uniform sample per group
     * (the KMV trick applied to ROWS instead of distinct keys), then exact
     * lower-nearest-rank quantiles of `value` within the sample.

@@ -53,6 +53,32 @@ object AnalyticsQueries extends graft.QueryModule {
         .orderBy($"l_returnflag", $"bucket")
     },
 
+    // Count-min frequency sketch: 4x1024 exact-integer cell matrix over
+    // lineitem supplier keys (one partial-aggregable groupBy, bounded
+    // state), probed for 20 supplier counts — est = min over rows,
+    // never below the true count. Linear sketch: shards merge by cell
+    // sum (spec-tested).
+    "sketch_cms_probe" -> { (s, dir) =>
+      import s.implicits._
+      val sk = Sketches.countMin(Tables.lineitem(s, dir), $"l_suppkey")
+      val probes = s.range(1, 21).select($"id".as("key"))
+      Sketches.cmsLookup(sk, probes)
+        .withColumnRenamed("key", "l_suppkey")
+        .orderBy($"l_suppkey")
+    },
+
+    // Bloom filter: 8192-bit, 3-hash filter over order customer keys,
+    // probed with 10 present + 10 absent keys. No false negatives by
+    // construction; the (deterministic) false-positive pattern of the
+    // absent keys is replayed exactly by the oracle.
+    "sketch_bloom_member" -> { (s, dir) =>
+      import s.implicits._
+      val filt = Sketches.bloomBuild(Tables.orders(s, dir), $"o_custkey")
+      val probes = s.range(1, 11).union(s.range(9000001L, 9000011L))
+        .select($"id".as("key"))
+      Sketches.bloomContains(filt, probes).orderBy($"key")
+    },
+
     // Hash-sampled quantile sketch: bottom-1024-by-hash uniform sample
     // per return flag (bounded TopK heaps — k·|groups| rows shuffled,
     // never the table), then exact lower-nearest-rank order statistics
@@ -186,6 +212,36 @@ object AnalyticsQueries extends graft.QueryModule {
         |  FROM h)
         |SELECT l_returnflag, bucket, CAST(MAX(rho) AS INTEGER) AS max_rho
         |FROM r GROUP BY l_returnflag, bucket ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "sketch_cms_probe" ->
+      """WITH keys AS (SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey IS NOT NULL),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (SELECT j,
+        |    ('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || CAST(j AS VARCHAR) || ':cms'), 1, 13))::BIGINT % 1024 AS col,
+        |    COUNT(*) AS cnt
+        |  FROM keys CROSS JOIN js GROUP BY j, col),
+        |probes AS (SELECT CAST(range AS BIGINT) AS key FROM range(1, 21)),
+        |pc AS (SELECT p.key, js.j,
+        |    ('0x' || substr(md5(CAST(p.key AS VARCHAR) || '#' || CAST(js.j AS VARCHAR) || ':cms'), 1, 13))::BIGINT % 1024 AS col
+        |  FROM probes p CROSS JOIN js)
+        |SELECT pc.key AS l_suppkey, MIN(COALESCE(c.cnt, 0)) AS est_count
+        |FROM pc LEFT JOIN cells c ON pc.j = c.j AND pc.col = c.col
+        |GROUP BY pc.key ORDER BY l_suppkey""".stripMargin,
+
+    "sketch_bloom_member" ->
+      """WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || CAST(j AS VARCHAR) || ':bloom'), 1, 13))::BIGINT % 8192 AS pos
+        |  FROM keys CROSS JOIN js),
+        |probes AS (SELECT CAST(range AS BIGINT) AS key FROM range(1, 11)
+        |  UNION ALL SELECT CAST(range AS BIGINT) FROM range(9000001, 9000011)),
+        |pb AS (SELECT p.key, js.j,
+        |    ('0x' || substr(md5(CAST(p.key AS VARCHAR) || '#' || CAST(js.j AS VARCHAR) || ':bloom'), 1, 13))::BIGINT % 8192 AS pos
+        |  FROM probes p CROSS JOIN js)
+        |SELECT pb.key, BOOL_AND(b.pos IS NOT NULL) AS maybe_member
+        |FROM pb LEFT JOIN bits b ON pb.pos = b.pos
+        |GROUP BY pb.key ORDER BY key""".stripMargin,
 
     "sketch_quantiles" ->
       """WITH h AS (SELECT l_returnflag,

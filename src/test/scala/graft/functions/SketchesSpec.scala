@@ -51,6 +51,46 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cms estimate is one-sided: never below the true count") {
+    val li = Tables.lineitem(spark, sf)
+    val sk = Sketches.countMin(li, $"l_suppkey")
+    val probes = spark.range(1, 21).select($"id".as("key"))
+    val est = Sketches.cmsLookup(sk, probes)
+      .select($"key".as[Long], $"est_count".as[Long]).collect().toMap
+    val truth = li.groupBy($"l_suppkey").count()
+      .select($"l_suppkey".as[Long], $"count".as[Long]).collect().toMap
+    (1L to 20L).foreach { k =>
+      assert(est(k) >= truth.getOrElse(k, 0L),
+        s"suppkey $k: est=${est(k)} < true=${truth.getOrElse(k, 0L)}")
+    }
+  }
+
+  test("cms is linear: shard sketches summed == whole-corpus sketch") {
+    val li = Tables.lineitem(spark, sf)
+    val whole = Sketches.countMin(li, $"l_suppkey")
+    val shards = Sketches.cmsMerge(
+      Sketches.countMin(li.filter($"l_orderkey" % 2 === 0), $"l_suppkey")
+        .union(Sketches.countMin(li.filter($"l_orderkey" % 2 =!= 0), $"l_suppkey")))
+    assert(whole.collect().map(_.toSeq).toSet ==
+      shards.collect().map(_.toSeq).toSet)
+  }
+
+  test("bloom has no false negatives and merges by position union") {
+    val orders = Tables.orders(spark, sf)
+    val filt = Sketches.bloomBuild(orders, $"o_custkey")
+    val present = orders.select($"o_custkey".as("key")).distinct().limit(50)
+    val got = Sketches.bloomContains(filt, present)
+      .select($"maybe_member".as[Boolean]).collect()
+    assert(got.nonEmpty && got.forall(identity))
+    // OR-merge: union of shard filters == whole filter
+    val a = Sketches.bloomBuild(orders.filter($"o_orderkey" % 2 === 0), $"o_custkey")
+    val b = Sketches.bloomBuild(orders.filter($"o_orderkey" % 2 =!= 0), $"o_custkey")
+    val merged = a.union(b)
+      .select(explode($"positions").as("pos")).distinct()
+      .groupBy().agg(array_sort(collect_list($"pos")).as("positions"))
+    assert(merged.as[Seq[Long]].head() == filt.as[Seq[Long]].head())
+  }
+
   test("kmv estimate is within 20% of the true distinct count") {
     val orders = Tables.orders(spark, sf).select($"o_orderkey")
     val truth = orders.distinct().count()
