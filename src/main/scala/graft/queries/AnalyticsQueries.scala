@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Sketches, TextFunctions}
+import graft.functions.{Sketches, TextFunctions, TfIdf}
 import graft.model.Tables
 
 /** Corpus-profiling analytics: distinct-count sketches (KMV, HLL bucket
@@ -51,6 +51,16 @@ object AnalyticsQueries extends graft.QueryModule {
           $"l_orderkey")
         .withColumnRenamed("group", "l_returnflag")
         .orderBy($"l_returnflag", $"bucket")
+    },
+
+    // Per-doc top-3 TF-IDF terms: tf and df are exact-integer aggregates,
+    // idf the one libm step (ln, rounded to 4 decimals — the proven
+    // oracle-safe form); top-k rides the native TopK bounded heaps with
+    // a total (score desc, token) order.
+    "text_tfidf_top" -> { (s, dir) =>
+      import s.implicits._
+      TfIdf.topTerms(Tables.documents(s, dir), "text", "doc_id", 3)
+        .orderBy($"doc_id", $"score".desc, $"token")
     },
 
     // Count-min frequency sketch: 4x1024 exact-integer cell matrix over
@@ -212,6 +222,20 @@ object AnalyticsQueries extends graft.QueryModule {
         |  FROM h)
         |SELECT l_returnflag, bucket, CAST(MAX(rho) AS INTEGER) AS max_rho
         |FROM r GROUP BY l_returnflag, bucket ORDER BY l_returnflag, bucket""".stripMargin,
+
+    "text_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY token),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf,
+        |    round(tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 4), 4) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        |  FROM s)
+        |SELECT doc_id, token, tf, score FROM r WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, token""".stripMargin,
 
     "sketch_cms_probe" ->
       """WITH keys AS (SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey IS NOT NULL),

@@ -465,6 +465,20 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"o_orderpriority")
     },
 
+    // UNPIVOT (melt): the inverse restructuring of q_pivot — three metric
+    // columns become (metric, value) rows. A pure per-row projection
+    // (Spark Expand): zero shuffle beyond the output ordering.
+    "q_unpivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice", $"l_discount")
+        .unpivot(Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+          "metric", "value")
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+    },
+
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
       Tables.lineitem(s, dir)
@@ -489,6 +503,14 @@ object CoreQueries extends graft.QueryModule {
         |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q3_join_agg" ->
       """SELECT c_mktsegment,
