@@ -299,6 +299,52 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Fixed-size token chunks of a raw text column (1-based slices of the
+    * space-split tokens, original case preserved) — the unit function for
+    * [[unitDedup]] on unstructured text that has no paragraph breaks.
+    * Empty text yields an empty array; null text stays null. */
+  def tokenChunks(text: Column, chunkTokens: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) > 0,
+      transform(
+        sequence(lit(0),
+          ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int") - 1),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Paragraph/unit-level dedup (the paragraph-dedup shape of crawl
+    * pipelines): split each document into units with `unitsFn` (real
+    * paragraphs: `split(text, "\n\n")`; unstructured text:
+    * [[tokenChunks]]), keep only the globally FIRST occurrence of each
+    * unit's normalized fingerprint (ordered by (id, position) — so a
+    * unit repeated within one document also dedupes to its first use),
+    * and reassemble every document from its surviving units in order,
+    * joined with `joiner`. Documents whose every unit was dropped
+    * disappear (nothing left to emit); null-text documents have no units
+    * and disappear likewise. Returns (id, text_deduped, n_units_kept).
+    *
+    * Scale: one explode (rows ∝ units), one window shuffle on the unit
+    * fingerprint, one reassembly aggregate on the document id — never a
+    * join back to the corpus, and each shuffle key is either a digest or
+    * the id (no skew beyond genuinely hot duplicate units, which the
+    * window handles as one partition per fingerprint). */
+  def unitDedup(df: DataFrame, textCol: String, idCol: String,
+      unitsFn: Column => Column, joiner: String = " "): DataFrame = {
+    val units = df.select(col(idCol).as("id"),
+      posexplode(unitsFn(col(textCol))).as(Seq("pos", "unit")))
+    val w = Window.partitionBy(TextFunctions.fingerprint(col("unit")))
+      .orderBy(col("id"), col("pos"))
+    units.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+            e => e.getField("unit")), joiner).as("text_deduped"),
+        count(lit(1)).as("n_units_kept"))
+  }
+
   /** Benchmark-contamination ratio: for every corpus document, the
     * fraction of its distinct n-gram shingles that also occur anywhere
     * in `bench` (the eval/benchmark set) — the standard n-gram-overlap

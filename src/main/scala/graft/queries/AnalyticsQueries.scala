@@ -120,6 +120,10 @@ object AnalyticsQueries extends graft.QueryModule {
         ($"doc_id" * $"doc_id" + 123456L).cast("string"), lit("."))
       Tables.documents(s, dir)
         .select($"doc_id", planted.as("__txt"))
+        // Regex columns ABOVE the output sort: the range partitioner's
+        // sampling pass re-executes the sort's child, so the six regex
+        // evaluations would otherwise run twice per row.
+        .orderBy($"doc_id")
         .select($"doc_id",
           TextFunctions.countMatches($"__txt", emailRe).as("n_emails"),
           TextFunctions.countMatches($"__txt", urlRe).as("n_urls"),
@@ -127,7 +131,6 @@ object AnalyticsQueries extends graft.QueryModule {
           TextFunctions.countMatches($"__txt", phoneRe).as("n_phones"),
           TextFunctions.countMatches($"__txt", numRe).as("n_nums"),
           TextFunctions.scrubPii($"__txt").as("scrubbed"))
-        .orderBy($"doc_id")
     },
 
     // Corpus-level bigram frequency top-20 (count desc, bigram asc —

@@ -209,4 +209,52 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("simhash").as[Long].collect()
     assert(sims(0) == sims(1))
   }
+
+  test("unitDedup on real paragraphs: first use wins, order preserved") {
+    val docs = Seq(
+      (1L, "alpha para\n\nshared boilerplate\n\nbeta para"),
+      (2L, "shared boilerplate\n\ngamma para"),           // loses its copy
+      (3L, "delta para\n\ndelta para\n\nepsilon para"),   // in-doc repeat
+    ).toDF("doc_id", "text")
+    val out = Dedup.unitDedup(docs, "text", "doc_id",
+        t => split(t, "\n\n"), joiner = "\n\n")
+      .select($"id", $"text_deduped", $"n_units_kept")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "alpha para\n\nshared boilerplate\n\nbeta para", 3L)))
+    assert(out(1) == ((2L, "gamma para", 1L)))
+    assert(out(2) == ((3L, "delta para\n\nepsilon para", 2L)))
+  }
+
+  test("unitDedup drops fully-duplicate docs; null text has no units") {
+    val docs = Seq(
+      (1L, "only para"),
+      (2L, "only para"),                  // every unit already seen
+      (3L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val ids = Dedup.unitDedup(docs, "text", "doc_id", t => split(t, "\n\n"))
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
+  test("tokenChunks slices 1-based with a ragged tail and survives empties") {
+    val df = Seq((1L, "a b c d e"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", Dedup.tokenChunks($"text", 2).as("ch"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    assert(got(0)._2 == Seq("a b", "c d", "e"))
+    // split("") yields [""]: one empty token, one chunk — consistent with
+    // the oracle's string_split behavior.
+    assert(got(1)._2 == Seq(""))
+    assert(got(2)._2 == Seq("x"))
+  }
+
+  test("unitDedup reassembly round-trips a corpus with no duplicate chunks") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "g h i j k"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.unitDedup(docs, "text", "doc_id",
+        t => Dedup.tokenChunks(t, 3))
+      .select($"id", $"text_deduped").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a b c d e f", 2L -> "g h i j k"))
+  }
 }

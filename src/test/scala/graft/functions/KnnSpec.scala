@@ -87,6 +87,51 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"quantized-vs-exact-dot recall $recall")
   }
 
+  test("lshCosine recall@10 >= 0.4 vs brute force, ranked and self-free") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Knn.bruteForce(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val res = Knn.lshCosine(emb, queries, "vec_id", "embedding",
+      k = 10, dims = 64)
+    val rows = res.select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect()
+    assert(rows.forall { case (q, n, _) => q != n })
+    // rk is dense 1..n per query (n <= 10: LSH may yield fewer candidates)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length).toSeq)
+    }
+    val recall = rows.map(r => (r._1, r._2)).toSet
+      .intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"lsh recall $recall") // measured 0.66 at T=24/B=6
+  }
+
+  test("lshCosine recovers >=70% of cosine>=0.4 pairs as candidates") {
+    val emb = Tables.embeddings(spark, sf)
+    // Ground-truth near-dup pairs (the dedup use case LSH exists for).
+    val truth = Knn.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Every vector as its own query with k = corpus size: the result
+    // contains (q, n) iff the pair collided in some hash table.
+    val n = emb.count().toInt
+    val cand = Knn.lshCosine(emb, emb, "vec_id", "embedding",
+      k = n, dims = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val recovered = truth.intersect(cand).size.toDouble / truth.size
+    assert(recovered >= 0.7, s"pair recovery $recovered") // measured 0.81
+  }
+
+  test("lshPlanes is deterministic and reproducible across sessions") {
+    val a = Knn.lshPlanes(spark, 2, 3, 4).orderBy($"t", $"p")
+      .select($"w").as[Seq[Double]].collect()
+    val b = Knn.lshPlanes(spark, 2, 3, 4).orderBy($"t", $"p")
+      .select($"w").as[Seq[Double]].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 6 && a.forall(w => w.length == 4 &&
+      w.forall(x => x >= -1.0 && x < 1.0)))
+  }
+
   test("ivf recall@10 >= 0.6 vs brute force on the fixture embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 10)
