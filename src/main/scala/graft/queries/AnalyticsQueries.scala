@@ -240,16 +240,26 @@ object AnalyticsQueries extends graft.QueryModule {
         |SELECT doc_id, token, tf, score FROM r WHERE rn <= 3
         |ORDER BY doc_id, score DESC, token""".stripMargin,
 
+    // Replays the md5-affine prepare/slot family: ONE 28-bit md5 base per
+    // key, then h_j = (a_j * base + j) mod 2^31-1 with a_j =
+    // (2654435761 * (j+1)) mod 2^30 + 1 — identical to Sketches.base28 /
+    // affineSlot.
     "sketch_cms_probe" ->
       """WITH keys AS (SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey IS NOT NULL),
-        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j,
+        |  unnest([(2654435761 * 1) % 1073741824 + 1,
+        |          (2654435761 * 2) % 1073741824 + 1,
+        |          (2654435761 * 3) % 1073741824 + 1,
+        |          (2654435761 * 4) % 1073741824 + 1]) AS a),
         |cells AS (SELECT j,
-        |    ('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || CAST(j AS VARCHAR) || ':cms'), 1, 13))::BIGINT % 1024 AS col,
+        |    ((a * (('0x' || substr(md5(CAST(k AS VARCHAR) || ':cms'), 1, 7))::BIGINT) + j)
+        |      % 2147483647) % 1024 AS col,
         |    COUNT(*) AS cnt
         |  FROM keys CROSS JOIN js GROUP BY j, col),
         |probes AS (SELECT CAST(range AS BIGINT) AS key FROM range(1, 21)),
         |pc AS (SELECT p.key, js.j,
-        |    ('0x' || substr(md5(CAST(p.key AS VARCHAR) || '#' || CAST(js.j AS VARCHAR) || ':cms'), 1, 13))::BIGINT % 1024 AS col
+        |    ((js.a * (('0x' || substr(md5(CAST(p.key AS VARCHAR) || ':cms'), 1, 7))::BIGINT) + js.j)
+        |      % 2147483647) % 1024 AS col
         |  FROM probes p CROSS JOIN js)
         |SELECT pc.key AS l_suppkey, MIN(COALESCE(c.cnt, 0)) AS est_count
         |FROM pc LEFT JOIN cells c ON pc.j = c.j AND pc.col = c.col
@@ -257,14 +267,19 @@ object AnalyticsQueries extends graft.QueryModule {
 
     "sketch_bloom_member" ->
       """WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
-        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |js AS (SELECT unnest([0, 1, 2]) AS j,
+        |  unnest([(2654435761 * 1) % 1073741824 + 1,
+        |          (2654435761 * 2) % 1073741824 + 1,
+        |          (2654435761 * 3) % 1073741824 + 1]) AS a),
         |bits AS (SELECT DISTINCT
-        |    ('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || CAST(j AS VARCHAR) || ':bloom'), 1, 13))::BIGINT % 8192 AS pos
+        |    ((a * (('0x' || substr(md5(CAST(k AS VARCHAR) || ':bloom'), 1, 7))::BIGINT) + j)
+        |      % 2147483647) % 8192 AS pos
         |  FROM keys CROSS JOIN js),
         |probes AS (SELECT CAST(range AS BIGINT) AS key FROM range(1, 11)
         |  UNION ALL SELECT CAST(range AS BIGINT) FROM range(9000001, 9000011)),
         |pb AS (SELECT p.key, js.j,
-        |    ('0x' || substr(md5(CAST(p.key AS VARCHAR) || '#' || CAST(js.j AS VARCHAR) || ':bloom'), 1, 13))::BIGINT % 8192 AS pos
+        |    ((js.a * (('0x' || substr(md5(CAST(p.key AS VARCHAR) || ':bloom'), 1, 7))::BIGINT) + js.j)
+        |      % 2147483647) % 8192 AS pos
         |  FROM probes p CROSS JOIN js)
         |SELECT pb.key, BOOL_AND(b.pos IS NOT NULL) AS maybe_member
         |FROM pb LEFT JOIN bits b ON pb.pos = b.pos

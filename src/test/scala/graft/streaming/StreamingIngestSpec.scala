@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming ingest dedupes across batches and merges into the warehouse") {
+    implicit val sql = spark.sqlContext
+    val wh = tmpDir("ingest_wh")
+    val ckpt = tmpDir("ingest_ckpt")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIngest.start(input.toDS().toDF("doc_id", "text"),
+      wh, "docs", "text", "doc_id", ckpt)
+    try {
+      input.addData((1L, "the quick brown fox"),
+        (2L, "The  Quick   Brown Fox"), // in-batch dup of 1 (normalized)
+        (3L, "something else entirely"))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(s"$wh/docs")
+        .select("doc_id").as[Long].collect().toSet
+      assert(afterB1 == Set(1L, 3L))
+
+      input.addData((4L, "the quick brown fox"), // cross-batch dup of 1
+        (5L, "fresh document text"),
+        (6L, "fresh  DOCUMENT text")) // in-batch dup of 5
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(s"$wh/docs")
+        .select("doc_id").as[Long].collect().toSet
+      assert(afterB2 == Set(1L, 3L, 5L))
+
+      // The persisted fingerprint index tracks exactly the survivors.
+      val fps = spark.read.parquet(s"$wh/docs_fpindex").count()
+      assert(fps == 3L)
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
+  test("replaying a batch converges to the same warehouse (at-least-once safe)") {
+    val wh = tmpDir("ingest_replay")
+    val batch = Seq((1L, "doc one"), (2L, "doc two")).toDF("doc_id", "text")
+    StreamingIngest.ingestBatch(batch, wh, "docs", "text", "doc_id")
+    val once = spark.read.parquet(s"$wh/docs").orderBy("doc_id").collect().toSeq
+    // foreachBatch may re-deliver a batch after a failure: the merge must
+    // be idempotent, and fully-duplicate batches must not rewrite rows.
+    StreamingIngest.ingestBatch(batch, wh, "docs", "text", "doc_id")
+    val twice = spark.read.parquet(s"$wh/docs").orderBy("doc_id").collect().toSeq
+    assert(once == twice)
+    assert(spark.read.parquet(s"$wh/docs_fpindex").count() == 2L)
+  }
+
+  test("a batch of only duplicates leaves both tables untouched") {
+    val wh = tmpDir("ingest_noop")
+    StreamingIngest.ingestBatch(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      wh, "docs", "text", "doc_id")
+    val before = spark.read.parquet(s"$wh/docs").collect().toSet
+    StreamingIngest.ingestBatch(
+      Seq((3L, "ALPHA"), (4L, "beta ")).toDF("doc_id", "text"),
+      wh, "docs", "text", "doc_id")
+    assert(spark.read.parquet(s"$wh/docs").collect().toSet == before)
+  }
+}
