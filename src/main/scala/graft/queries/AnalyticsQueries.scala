@@ -167,6 +167,31 @@ object AnalyticsQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Unigram language-model quality score (the CCNet/Gopher-style LM
+    // filter signal, with the corpus itself as the LM): per-doc mean
+    // log2-probability of its tokens under corpus unigram frequencies.
+    // The vocabulary aggregate broadcasts into the token join (hot path
+    // never shuffles doc tokens twice); per-term log2 values are cast to
+    // decimal before summation so the per-doc sum is order-independent,
+    // then rounded once at 4 decimals (the char_entropy treatment).
+    "docs_unigram_logprob" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      val totals = vocab.agg(sum($"c").as("total"))
+      toks.join(broadcast(vocab), Seq("tok"))
+        .crossJoin(broadcast(totals))
+        .select($"doc_id",
+          (log2($"c".cast("double")) - log2($"total".cast("double")))
+            .cast(DecimalType(28, 10)).as("lp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum($"lp").cast("double") / count(lit(1)).cast("double"), 4)
+            .as("avg_logprob"))
+        .orderBy($"doc_id")
+    },
+
     // Dispersion/correlation from exact decimal moments: Σx, Σx², Σd,
     // Σd², Σxd summed in decimal, rounded once at scale 6, then combined
     // with the textbook formulas in doubles. Engine-independent where the
@@ -325,6 +350,19 @@ object AnalyticsQueries extends graft.QueryModule {
         |SELECT bigram, COUNT(*) AS n_occurrences
         |FROM b GROUP BY bigram
         |ORDER BY n_occurrences DESC, bigram LIMIT 20""".stripMargin,
+
+    "docs_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT SUM(c) AS total FROM vocab),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(log2(CAST(c AS DOUBLE)) - log2(CAST(total AS DOUBLE)) AS DECIMAL(28,10)) AS lp
+        |  FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_char_entropy" ->
       """WITH c AS (SELECT doc_id, len(text) AS n,

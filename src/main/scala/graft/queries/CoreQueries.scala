@@ -186,6 +186,37 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // Distribution window battery: percent_rank / cume_dist / ntile over
+    // each customer's orders. Partitioned by a high-cardinality key
+    // (bounded partition size — the scale-safe window shape), ordered
+    // uniquely so every value is tie-free and engine-deterministic.
+    "q_window_distribution" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey",
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // FULL OUTER join: two disjoint per-customer order slices, customers
+    // present in either side, absent counts as zero.
+    "q_full_outer" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val a = o.filter($"o_orderkey" % 3 === 0)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_a"))
+      val b = o.filter($"o_orderkey" % 3 === 1)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_b"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select($"o_custkey", coalesce($"n_a", lit(0L)).as("n_a"),
+          coalesce($"n_b", lit(0L)).as("n_b"))
+        .orderBy($"o_custkey")
+    },
+
     // Set op INTERSECT: customers with both an 'F' and an 'O' order.
     "q_intersect" -> { (s, dir) =>
       import s.implicits._
@@ -579,6 +610,25 @@ object CoreQueries extends graft.QueryModule {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_distribution" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH a AS (SELECT o_custkey, count(*) AS n_a FROM orders
+        |  WHERE o_orderkey % 3 = 0 GROUP BY 1),
+        |b AS (SELECT o_custkey, count(*) AS n_b FROM orders
+        |  WHERE o_orderkey % 3 = 1 GROUP BY 1)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

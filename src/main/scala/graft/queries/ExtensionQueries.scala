@@ -321,6 +321,14 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("window_start"), col("event_type"))
     },
 
+    // Gap-filled hourly series: every (hour, event_type) cell between the
+    // corpus bounds, zeros where no events landed (densification before
+    // rate/anomaly math — a bare groupBy silently skips empty buckets).
+    "events_gapfill" -> { (s, dir) =>
+      EventsOps.gapFillHourly(Tables.events(s, dir))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
     "events_sliding" -> { (s, dir) =>
       EventsOps.sliding(Tables.events(s, dir), "1 hour", "30 minutes")
         .orderBy(col("window_start"), col("event_type"))
@@ -837,6 +845,17 @@ object ExtensionQueries extends graft.QueryModule {
         |  COUNT(*) AS n,
         |  CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "events_gapfill" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+        |counts AS (SELECT h, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT spine.h AS hour, types.event_type AS event_type, COALESCE(n, 0) AS n
+        |FROM spine CROSS JOIN types
+        |LEFT JOIN counts ON counts.h = spine.h AND counts.event_type = types.event_type
+        |ORDER BY hour, event_type""".stripMargin,
 
     "events_sliding" ->
       """SELECT window_start, event_type, COUNT(*) AS n FROM (

@@ -37,6 +37,29 @@ object EventsOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Time-series gap fill / resample: hourly counts per event type with
+    * MISSING hours emitted as zero rows — the densification step before
+    * rate math, anomaly scoring, or charting (a plain groupBy silently
+    * skips empty buckets). The full hour spine is generated once from
+    * the global (min, max) bounds — one tiny one-row subtree — and
+    * cross-joined with the distinct type set, both broadcast: the fact
+    * table is aggregated exactly once and never re-scanned or shuffled
+    * for the fill. */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val ev = events.select(date_trunc("hour", col("ts")).as("h"),
+      col("event_type"))
+    val counts = ev.groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.groupBy().agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    spine.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .select(col("h").as("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

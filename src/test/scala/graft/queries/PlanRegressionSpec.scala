@@ -66,4 +66,25 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!readSchema.contains("text"), readSchema) // filter needs only ids
   }
+
+  test("knn_lsh_topk broadcasts planes and probes: corpus joins without shuffling") {
+    val p = planOf("knn_lsh_topk")
+    // Both the folded plane array and the bucketed probe set ride
+    // broadcasts; the corpus side of the candidate join must not sit
+    // under a shuffle exchange (its only exchange is the post-join
+    // (query, neighbor) dedup aggregate).
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_paragraphs shuffles only on fingerprint, id, and the output sort") {
+    val p = planOf("dedup_paragraphs")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("Reused"))
+    // window on the unit fingerprint + reassembly aggregate + ORDER BY:
+    // three shuffles, none of them a join back to the corpus.
+    assert(exchanges <= 3, p)
+    assert(!p.contains("Join"), p)
+  }
 }
