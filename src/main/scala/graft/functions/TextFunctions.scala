@@ -138,6 +138,14 @@ object TextFunctions {
   def countMatches(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
 
+  /** Strip HTML/XML markup: every tag replaced by a space, whitespace
+    * renormalized. The crawl-pipeline first pass (boilerplate removal
+    * and entity decoding are separate, later concerns — a full parser
+    * is deliberately out of scope). Pure per-row projection; the regex
+    * is RE2-safe (no lookaround, no backrefs). */
+  def stripHtml(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
+
   /** Adjacent word bigrams (with repeats — frequency-analysis unit, unlike
     * the distinct [[shinglesFromTokens]]). `toks` must be a materialized
     * array column (same O(n²) re-evaluation caveat). */

@@ -133,6 +133,23 @@ object AnalyticsQueries extends graft.QueryModule {
           TextFunctions.scrubPii($"__txt").as("scrubbed"))
     },
 
+    // HTML markup stripping (the crawl-extraction first pass). The
+    // fixture corpus is plain text, so each row is wrapped in
+    // deterministic markup (a pure function of doc_id, mirrored by the
+    // oracle) and then stripped — tags of varying shape (attributes,
+    // self-closing, nested) are all genuinely exercised.
+    "text_strip_html" -> { (s, dir) =>
+      import s.implicits._
+      val marked = concat(lit("<div class=\"doc-"), $"doc_id".cast("string"),
+        lit("\"><h1>t</h1><p>"), $"text", lit("</p><br/></div>"))
+      Tables.documents(s, dir)
+        .select($"doc_id", marked.as("__html"))
+        .orderBy($"doc_id")
+        .select($"doc_id",
+          length($"__html").as("n_raw"),
+          TextFunctions.stripHtml($"__html").as("cleaned"))
+    },
+
     // Corpus-level bigram frequency top-20 (count desc, bigram asc —
     // fully deterministic). Shuffle = one partial-aggregated groupBy on
     // the bigram, then a 20-row limit.
@@ -350,6 +367,15 @@ object AnalyticsQueries extends graft.QueryModule {
         |SELECT bigram, COUNT(*) AS n_occurrences
         |FROM b GROUP BY bigram
         |ORDER BY n_occurrences DESC, bigram LIMIT 20""".stripMargin,
+
+    "text_strip_html" ->
+      """WITH f AS (SELECT doc_id,
+        |  '<div class="doc-' || CAST(doc_id AS VARCHAR) || '"><h1>t</h1><p>'
+        |    || text || '</p><br/></div>' AS html
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(html) AS INTEGER) AS n_raw,
+        |  trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "docs_unigram_logprob" ->
       """WITH toks AS (

@@ -186,6 +186,24 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // TPC-H Q6 shape through the spark.sql ENTRY POINT (SURVEY §3.3:
+    // the interactive SQL surface over registered tables) — the one
+    // query authored as SQL text, exercising parse→analyze→optimize on
+    // a registered temp view instead of the DataFrame DSL. Revenue sum
+    // is decimal-cast per row so the aggregate is order-independent.
+    "q6_sql_surface" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                 AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    },
+
     // Distribution window battery: percent_rank / cume_dist / ntile over
     // each customer's orders. Partitioned by a high-cardinality key
     // (bounded partition size — the scale-safe window shape), ordered
@@ -610,6 +628,15 @@ object CoreQueries extends graft.QueryModule {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q6_sql_surface" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_window_distribution" ->
       """SELECT o_custkey, o_orderkey,

@@ -321,6 +321,23 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("window_start"), col("event_type"))
     },
 
+    // Conversion funnel: per-user FIRST timestamps of each stage in one
+    // conditional-min aggregate (no joins, no windows — two shuffles
+    // total, the second on a single row), then strictly-ordered stage
+    // counts: view -> click-after-view -> purchase-after-that-click.
+    "events_funnel" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(min(when($"event_type" === "view", $"ts")).as("v"),
+          min(when($"event_type" === "click", $"ts")).as("c"),
+          min(when($"event_type" === "purchase", $"ts")).as("p"))
+        .agg(count($"v").as("n_view"),
+          count(when($"c" > $"v", lit(1))).as("n_view_click"),
+          count(when($"c" > $"v" && $"p" > $"c", lit(1)))
+            .as("n_view_click_purchase"))
+    },
+
     // Gap-filled hourly series: every (hour, event_type) cell between the
     // corpus bounds, zeros where no events landed (densification before
     // rate/anomaly math — a bare groupBy silently skips empty buckets).
@@ -845,6 +862,18 @@ object ExtensionQueries extends graft.QueryModule {
         |  COUNT(*) AS n,
         |  CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "events_funnel" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+        |  FROM events GROUP BY user_id)
+        |SELECT count(v) AS n_view,
+        |  count(CASE WHEN c > v THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN c > v AND p > c THEN 1 END) AS n_view_click_purchase
+        |FROM firsts""".stripMargin,
 
     "events_gapfill" ->
       """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
