@@ -376,6 +376,39 @@ object Dedup {
     corpus.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Semantic (embedding-space) dedup, SemDeDup-style: bucket vectors by
+    * nearest deterministic centroid, find within-bucket pairs with cosine
+    * ≥ `threshold`, and drop the larger id of every such pair — the
+    * standard greedy keep-lowest-id survivor rule (NOT transitive
+    * closure: a doc survives unless some smaller-id near-duplicate shares
+    * its bucket). Returns survivors as (vid, bucket).
+    *
+    * Scale shape: assignment is [[graft.functions.Knn.ivfAssign]]'s
+    * shuffle-free broadcast projection; the pairwise cosine is quadratic
+    * only WITHIN a bucket (the SemDeDup point — k buckets cut the full pair
+    * space by ~k), executed as a self equi-join on `bucket`, so the
+    * shuffle key is the bucket id. Bucket skew is the risk at 100 TB:
+    * use k-means centroids ([[graft.functions.Knn.kmeans]]) for balanced
+    * buckets, and raise `centroids` with corpus size so per-bucket
+    * populations stay bounded. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Int, threshold: Double,
+      cosineFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.cosine): DataFrame = {
+    val assigned = graft.functions.Knn
+      .ivfAssign(corpus, idCol, vecCol, centroids)
+    val a = assigned.select(col("bucket"), col("vid").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("bucket"), col("vid").as("id_b"),
+      col("v").as("vb"))
+    val dropped = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineFn(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("vid")).distinct()
+    assigned.join(dropped, Seq("vid"), "left_anti")
+      .select(col("vid"), col("bucket"))
+  }
+
   /** STREAMING exact dedup: drop any document whose normalized-text
     * fingerprint was already emitted, with state bounded by the event-time
     * watermark (`dropDuplicatesWithinWatermark` expires fingerprint state

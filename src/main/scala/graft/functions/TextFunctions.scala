@@ -126,6 +126,18 @@ object TextFunctions {
     "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
     "[0-9]{6,}" -> "<NUM>")
 
+  /** All URL spans in `text` — the PiiPatterns `<URL>` regex (Java∩RE2),
+    * so extraction and redaction agree on what a URL is. */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit(PiiPatterns.find(_._2 == "<URL>").get._1),
+      lit(0))
+
+  /** Hostname of a URL: the authority up to the first `/`, `:`, `?`, or
+    * `#` — scheme-independent, no parser dependency (a web-corpus
+    * pipeline groups crawl docs by this for per-domain stats/filters). */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z]+://([^/:?#]+)", 1)
+
   /** Redact PII spans with typed placeholder tags — the standard
     * pretraining-corpus scrubbing pass. Pure per-row projection:
     * pipelines over any row count with zero shuffle. */

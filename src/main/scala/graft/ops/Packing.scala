@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-sequence packing: assign documents to fixed-capacity token
+  * chunks (SURVEY §2.7 extension; the "concat-then-chunk" step of an LLM
+  * pretraining pipeline — docs are laid end-to-end in a deterministic
+  * order and the stream is cut every `chunkTokens` tokens, so one doc may
+  * span several chunks and one chunk may hold several docs).
+  *
+  * This is the distributable formulation: a doc's placement is a pure
+  * function of the PREFIX SUM of token counts in doc order — not the
+  * sequential first-fit bin-packing loop, which has no partition-parallel
+  * form (every placement depends on all prior bins). Chunk membership
+  * comes out as arithmetic on the prefix sum: a doc spanning tokens
+  * [start, end) lands in chunks start/C .. (end-1)/C, exploded into one
+  * row per (doc, chunk) with the doc-local token span each chunk takes.
+  *
+  * The prefix sum itself is the textbook two-level scan, expressed as one
+  * lazy plan: range-partition by id (so partition p holds ids strictly
+  * below partition p+1), take per-partition running sums with a window
+  * PARTITIONED by `spark_partition_id()`, and add each partition's
+  * exclusive offset — the cumulative of the per-partition subtotals, a
+  * #partitions-row table that broadcasts. A bare `Window.orderBy(id)`
+  * would instead drag the whole corpus into ONE task (Spark's unpartitioned
+  * window), which is exactly what dies first at 100 TB.
+  *
+  * Both window/aggregate branches consume the SAME range exchange, which
+  * Catalyst de-duplicates (ReusedExchange — asserted in PackingSpec), so
+  * the sampled range boundaries — and therefore `spark_partition_id()` —
+  * are consistent across the two consumers. */
+object Packing {
+
+  /** One row per (doc, chunk) the doc occupies: (idCol, chunk_id,
+    * tok_from, tok_to, n_toks) with [tok_from, tok_to) the doc-local
+    * half-open token span placed in that chunk. Docs are packed in
+    * ascending `idCol` order; token counts use the engine's whitespace
+    * tokenizer ([[TextFunctions.tokenCount]]). Null-text docs carry no
+    * tokens and produce no rows. */
+  def packChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    val c = lit(chunkTokens.toLong)
+    val counted = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), TextFunctions.tokenCount(col(textCol))
+        .cast("long").as("__n"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // Exclusive cross-partition offsets: cumsum over the (tiny)
+    // per-partition subtotal table. The unpartitioned window here is on
+    // #partitions rows, not the corpus.
+    val offsets = counted.groupBy(col("__pid"))
+      .agg(sum(col("__n")).as("__tot"))
+      .withColumn("__off", coalesce(
+        sum(col("__tot")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__end", col("__off") + sum(col("__n")).over(w))
+      .withColumn("__start", col("__end") - col("__n"))
+      // expr: DIV is exact integer division (non-negative here); a
+      // double `/` would round above 2^53 total tokens.
+      .withColumn("chunk_id",
+        explode(sequence(expr(s"__start DIV $chunkTokens"),
+          expr(s"(__end - 1) DIV $chunkTokens"))))
+      .select(col(idCol), col("chunk_id"),
+        greatest(col("chunk_id") * c - col("__start"), lit(0L)).as("tok_from"),
+        least((col("chunk_id") + 1) * c - col("__start"), col("__n"))
+          .as("tok_to"))
+      .withColumn("n_toks", col("tok_to") - col("tok_from"))
+  }
+}

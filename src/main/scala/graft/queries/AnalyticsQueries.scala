@@ -133,6 +133,31 @@ object AnalyticsQueries extends graft.QueryModule {
           TextFunctions.scrubPii($"__txt").as("scrubbed"))
     },
 
+    // Per-domain crawl profiling: extract every URL (the PiiPatterns
+    // <URL> regex, so extraction and redaction agree), take its host,
+    // and aggregate URL/document counts per host — the source-
+    // distribution pass a web-corpus pipeline runs before per-domain
+    // filtering/reweighting. The fixture corpus carries no URLs, so
+    // each row plants two (a pure function of doc_id, mirrored by the
+    // oracle). Pure projection + explode + one aggregate shuffle.
+    "text_url_domains" -> { (s, dir) =>
+      import s.implicits._
+      val planted = concat($"text",
+        lit(" see https://sub"), ($"doc_id" % 7).cast("string"),
+        lit(".site"), ($"doc_id" % 13).cast("string"),
+        lit(".example.com/page/"), $"doc_id".cast("string"),
+        lit(" and http://news"), ($"doc_id" % 5).cast("string"),
+        lit(".example.org/a?id="), $"doc_id".cast("string"))
+      Tables.documents(s, dir)
+        .select($"doc_id", planted.as("__t"))
+        .select($"doc_id", explode(TextFunctions.urls($"__t")).as("url"))
+        .select($"doc_id", TextFunctions.urlHost($"url").as("host"))
+        .groupBy($"host")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"host")
+    },
+
     // HTML markup stripping (the crawl-extraction first pass). The
     // fixture corpus is plain text, so each row is wrapped in
     // deterministic markup (a pure function of doc_id, mirrored by the
@@ -367,6 +392,20 @@ object AnalyticsQueries extends graft.QueryModule {
         |SELECT bigram, COUNT(*) AS n_occurrences
         |FROM b GROUP BY bigram
         |ORDER BY n_occurrences DESC, bigram LIMIT 20""".stripMargin,
+
+    "text_url_domains" -> s"""
+      |WITH f AS (SELECT doc_id,
+      |  text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
+      |    || '.site' || CAST(doc_id % 13 AS VARCHAR)
+      |    || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+      |    || ' and http://news' || CAST(doc_id % 5 AS VARCHAR)
+      |    || '.example.org/a?id=' || CAST(doc_id AS VARCHAR) AS txt
+      |  FROM documents),
+      |u AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(txt, '$urlRe')) AS url FROM f)
+      |SELECT regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1) AS host,
+      |  COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM u GROUP BY host ORDER BY host""".stripMargin,
 
     "text_strip_html" ->
       """WITH f AS (SELECT doc_id,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import scala.util.chaining._
 
+import graft.functions.VectorFunctions
 import graft.model.Tables
 
 /** Relational-core query set over the driver fixtures (SURVEY §7 step 6).
@@ -361,6 +362,78 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"o_orderkey")
     },
 
+    // Calendar/date function battery (complements q_scalar_battery's
+    // year/month/day): quarter, ISO week fields, month-end, date
+    // arithmetic with month clamping, day diffs, epoch seconds,
+    // formatting. Only functions with engine-identical definitions
+    // (Spark weekday 0=Monday == DuckDB isodow-1; both weekofyear are
+    // ISO weeks; both add-months clamp to month end).
+    "q_datetime_battery" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey", to_date($"o_orderdate").as("od"))
+        .select($"o_orderkey",
+          quarter($"od").as("qtr"),
+          weekday($"od").as("dow"),
+          dayofyear($"od").as("doy"),
+          weekofyear($"od").as("iso_week"),
+          last_day($"od").as("month_end"),
+          date_add($"od", 30).as("plus_30d"),
+          add_months($"od", 2).as("plus_2mo"),
+          datediff($"od", to_date(lit("1995-01-01"))).as("days_since"),
+          unix_timestamp($"od".cast("timestamp")).as("epoch_s"),
+          date_format($"od", "yyyy-MM").as("ym"))
+        .orderBy($"o_orderkey")
+    },
+
+    // String function battery (complements q_scalar_battery's
+    // upper/length/substring/concat_ws): padding, translation, search,
+    // slicing from both ends, repetition, character codes, printf
+    // formatting, edit distance.
+    "q_string_battery" -> { (s, dir) =>
+      import s.implicits._
+      Tables.part(s, dir)
+        .select($"p_partkey", $"p_name", $"p_brand", $"p_type")
+        .orderBy($"p_partkey")
+        .select($"p_partkey",
+          lpad($"p_brand", 12, "*").as("brand_padded"),
+          rpad($"p_type", 10, ".").as("type_padded"),
+          translate($"p_name", "aeiou", "AEIOU").as("name_tr"),
+          reverse($"p_name").as("name_rev"),
+          regexp_replace($"p_name", "#", "/").as("name_repl"),
+          instr($"p_name", "#").as("hash_pos"),
+          substring($"p_name", 1, 4).as("head4"),
+          expr("right(p_name, 3)").as("tail3"),
+          repeat($"p_brand", 2).as("brand_x2"),
+          ascii($"p_type").as("type_ascii"),
+          concat(lit("["), $"p_brand", lit("]")).as("brand_tag"),
+          format_string("%08d", $"p_partkey").as("key_padded"),
+          levenshtein($"p_brand", $"p_type").as("brand_type_dist"))
+    },
+
+    // Array function battery over the embedding column: length, 1-based
+    // element access from both ends, extrema, ordered extraction,
+    // slicing, and a sum via the proven-exact sequential dot against a
+    // ones vector (aggregate() would also work; the dot form reuses the
+    // bit-equality already established by the knn oracles).
+    "q_array_battery" -> { (s, dir) =>
+      import s.implicits._
+      val v = VectorFunctions.toDouble($"embedding")
+      Tables.embeddings(s, dir)
+        .orderBy($"vec_id")
+        .select($"vec_id",
+          size($"embedding").as("dims"),
+          element_at(v, 1).as("first_d"),
+          element_at(v, -1).as("last_d"),
+          array_max(v).as("max_d"),
+          array_min(v).as("min_d"),
+          element_at(array_sort(v), 3).as("third_smallest"),
+          graft.GraftFunctions.dotProduct(v, transform(v, _ => lit(1.0)))
+            .as("total"),
+          graft.GraftFunctions.dotProduct(slice(v, 1, 8),
+            transform(slice(v, 1, 8), _ => lit(1.0))).as("head8_total"))
+    },
+
     // LEFT OUTER join with null handling: order count per customer
     // including customers with none.
     "q_left_join_nulls" -> { (s, dir) =>
@@ -444,6 +517,84 @@ object CoreQueries extends graft.QueryModule {
         .join(building, Seq("o_custkey"), "left_semi")
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .orderBy($"o_orderkey")
+    },
+
+    // Correlated aggregate subquery (TPC-H Q2 shape): the cheapest
+    // supplier(s) per part. Written as Catalyst's own decorrelation —
+    // per-key min aggregate joined back on (key, value). Equality on
+    // untouched doubles (no arithmetic), so cross-engine exact.
+    "q2_min_cost" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+      val mins = li.groupBy($"l_partkey")
+        .agg(min($"l_extendedprice").as("__mn"))
+      li.join(mins, Seq("l_partkey"))
+        .filter($"l_extendedprice" === $"__mn")
+        .select($"l_partkey", $"l_suppkey",
+          $"l_extendedprice".as("min_price"))
+        .distinct()
+        .orderBy($"l_partkey", $"l_suppkey")
+    },
+
+    // Conditional-aggregate share (TPC-H Q14 shape): monthly PROMO
+    // revenue share. Both sums are exact decimals rounded before the
+    // double cast; the share is one IEEE double division of those —
+    // engine-independent end to end. part is the broadcast side.
+    "q14_promo_share" -> { (s, dir) =>
+      import s.implicits._
+      val part = Tables.part(s, dir).select($"p_partkey", $"p_type")
+      val li = Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
+      val rev = $"l_extendedprice".cast(DecimalType(18, 4)) *
+        (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))
+      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .groupBy(trunc($"l_shipdate", "month").as("month"))
+        .agg(
+          sum(when($"p_type" === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 4))))
+            .pipe(Parity.roundedDouble).as("promo_rev"),
+          sum(rev).pipe(Parity.roundedDouble).as("total_rev"))
+        .withColumn("promo_share",
+          lit(100.0) * $"promo_rev" / $"total_rev")
+        .orderBy($"month")
+    },
+
+    // Aggregate-HAVING subquery join (TPC-H Q18 shape): large-volume
+    // orders — orders whose lineitem quantity total passes a threshold,
+    // joined back to the order header. The filter runs on the exact
+    // decimal sum BEFORE the rounded double cast surfaces it.
+    "q18_large_orders" -> { (s, dir) =>
+      import s.implicits._
+      val big = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast(DecimalType(18, 4))).as("__sq"))
+        .filter($"__sq" > 250)
+      Tables.orders(s, dir)
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          Parity.roundedDouble($"__sq").as("sum_qty"))
+        .orderBy($"o_orderkey")
+    },
+
+    // Scalar subquery + anti join + derived grouping key (TPC-H Q22
+    // shape): above-average-balance customers with no 'F'-status order,
+    // grouped by a name-derived code. The average is the exact rounded
+    // decimal sum over an exact long count — one IEEE division.
+    "q22_idle_rich" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.customer(s, dir)
+      val avgBal = cust.agg(
+        (dsum($"c_acctbal") / count(lit(1)).cast("double")).as("__avg"))
+      val fCust = Tables.orders(s, dir)
+        .filter($"o_orderstatus" === "F")
+        .select($"o_custkey".as("c_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter($"c_acctbal" > $"__avg")
+        .join(fCust, Seq("c_custkey"), "left_anti")
+        .groupBy(substring($"c_name", 17, 2).as("code"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum($"c_acctbal").as("total_bal"))
+        .orderBy($"code")
     },
 
     // Exact interpolated percentiles (the SQL-standard percentile_cont).
@@ -735,6 +886,51 @@ object CoreQueries extends graft.QueryModule {
         |  o_orderkey % 7 AS key_mod
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "q_datetime_battery" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(od) AS INTEGER) AS qtr,
+        |  CAST(isodow(od) - 1 AS INTEGER) AS dow,
+        |  CAST(dayofyear(od) AS INTEGER) AS doy,
+        |  CAST(weekofyear(od) AS INTEGER) AS iso_week,
+        |  last_day(od) AS month_end,
+        |  od + 30 AS plus_30d,
+        |  CAST(od + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+        |  CAST(od - DATE '1995-01-01' AS INTEGER) AS days_since,
+        |  CAST(epoch(CAST(od AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+        |  strftime(od, '%Y-%m') AS ym
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_battery" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_padded,
+        |  rpad(p_type, 10, '.') AS type_padded,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+        |  reverse(p_name) AS name_rev,
+        |  regexp_replace(p_name, '#', '/', 'g') AS name_repl,
+        |  CAST(strpos(p_name, '#') AS INTEGER) AS hash_pos,
+        |  substring(p_name, 1, 4) AS head4,
+        |  right(p_name, 3) AS tail3,
+        |  repeat(p_brand, 2) AS brand_x2,
+        |  CAST(ascii(p_type) AS INTEGER) AS type_ascii,
+        |  '[' || p_brand || ']' AS brand_tag,
+        |  printf('%08d', p_partkey) AS key_padded,
+        |  CAST(levenshtein(p_brand, p_type) AS INTEGER) AS brand_type_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_array_battery" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(v) AS INTEGER) AS dims,
+        |  v[1] AS first_d,
+        |  v[len(v)] AS last_d,
+        |  list_aggregate(v, 'max') AS max_d,
+        |  list_aggregate(v, 'min') AS min_d,
+        |  list_sort(v)[3] AS third_smallest,
+        |  list_dot_product(v, list_transform(v, x -> 1.0)) AS total,
+        |  list_dot_product(v[1:8], list_transform(v[1:8], x -> 1.0)) AS head8_total
+        |FROM e ORDER BY vec_id""".stripMargin,
+
     "q_left_join_nulls" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
@@ -774,6 +970,49 @@ object CoreQueries extends graft.QueryModule {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q2_min_cost" ->
+      """SELECT DISTINCT l_partkey, l_suppkey, l_extendedprice AS min_price
+        |FROM lineitem l1
+        |WHERE l_extendedprice = (
+        |  SELECT min(l_extendedprice) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  CAST(round(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_rev,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_rev,
+        |  100.0 * CAST(round(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+        |    / CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(round(sum_qty, 2) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
+        |) ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q22_idle_rich" ->
+      """SELECT substr(c_name, 17, 2) AS code, COUNT(*) AS n_cust,
+        |  CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) FROM customer)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY code ORDER BY code""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

@@ -215,6 +215,26 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Semantic dedup (SemDeDup): centroid-bucketed embedding-space
+    // near-dup removal — pairwise cosine quadratic only within buckets,
+    // keep-lowest-id survivors. Full assign→pair→drop pipeline replayed
+    // by the oracle.
+    "dedup_semantic" -> { (s, dir) =>
+      Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        centroids = 16, threshold = 0.4, graft.GraftFunctions.cosineSim)
+        .orderBy(col("vid"))
+    },
+
+    // Training-sequence packing: docs laid end-to-end in doc_id order,
+    // cut every 512 tokens; one row per (doc, chunk) span. One window
+    // shuffle, no join (the distributable prefix-sum formulation of
+    // concat-then-chunk).
+    "docs_pack_chunks" -> { (s, dir) =>
+      graft.ops.Packing.packChunks(Tables.documents(s, dir), "doc_id",
+        "text", chunkTokens = 512)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // IVF approximate top-10 (deterministic smallest-id centroids, so the
     // full assign→probe→search pipeline is oracle-checked; recall vs
     // brute force asserted in KnnSpec).
@@ -336,6 +356,36 @@ object ExtensionQueries extends graft.QueryModule {
           count(when($"c" > $"v", lit(1))).as("n_view_click"),
           count(when($"c" > $"v" && $"p" > $"c", lit(1)))
             .as("n_view_click_purchase"))
+    },
+
+    // Cohort retention: users grouped by first-seen day, distinct active
+    // users per (cohort, day offset). The per-user first-day table is
+    // |users| rows — broadcastable against the event stream when small,
+    // an AQE-planned shuffle join above that; the corpus aggregates once.
+    "events_retention" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("d"))
+      val cohorts = e.groupBy($"user_id").agg(min($"d").as("cohort"))
+      e.join(cohorts, Seq("user_id"))
+        .groupBy($"cohort", datediff($"d", $"cohort").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort", $"day_offset")
+    },
+
+    // Token-count histogram per source: integer bit-length buckets
+    // (length of the base-2 string — exact integer arithmetic, never a
+    // floating log2 whose floor can differ by 1 ulp across engines).
+    "docs_token_histogram" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter($"text".isNotNull)
+        .select($"source",
+          TextFunctions.tokenCount($"text").cast("long").as("__nt"))
+        .groupBy($"source", length(bin($"__nt")).as("bucket_bits"))
+        .agg(count(lit(1)).as("n_docs"),
+          min($"__nt").as("min_tokens"), max($"__nt").as("max_tokens"))
+        .orderBy($"source", $"bucket_bits")
     },
 
     // Gap-filled hourly series: every (hour, event_type) cell between the
@@ -852,6 +902,50 @@ object ExtensionQueries extends graft.QueryModule {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
+    "dedup_semantic" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vid AS centroid_id, v AS centv, nv AS nc
+        |  FROM corpus ORDER BY vid LIMIT 16),
+        |assigned AS (
+        |  SELECT vid, v, nv, bucket FROM (
+        |    SELECT vid, v, nv, centroid_id AS bucket,
+        |      row_number() OVER (PARTITION BY vid ORDER BY
+        |        CASE WHEN nv * nc > 0 THEN list_dot_product(v, centv) / (nv * nc) END
+        |          DESC, centroid_id) AS rk
+        |    FROM corpus CROSS JOIN cents)
+        |  WHERE rk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vid FROM assigned a JOIN assigned b
+        |    ON a.bucket = b.bucket AND a.vid < b.vid
+        |  WHERE CASE WHEN a.nv * b.nv > 0
+        |    THEN list_dot_product(a.v, b.v) / (a.nv * b.nv) END >= 0.4)
+        |SELECT vid, bucket FROM assigned
+        |WHERE vid NOT IN (SELECT vid FROM dropped)
+        |ORDER BY vid""".stripMargin,
+
+    "docs_pack_chunks" ->
+      """WITH counts AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |cums AS (
+        |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+        |  FROM counts),
+        |spans AS (
+        |  SELECT doc_id, n, e, e - n AS s,
+        |    unnest(generate_series((e - n) // 512, (e - 1) // 512)) AS chunk_id
+        |  FROM cums)
+        |SELECT doc_id, chunk_id,
+        |  greatest(chunk_id * 512 - s, 0) AS tok_from,
+        |  least((chunk_id + 1) * 512 - s, n) AS tok_to,
+        |  least((chunk_id + 1) * 512 - s, n)
+        |    - greatest(chunk_id * 512 - s, 0) AS n_toks
+        |FROM spans ORDER BY doc_id, chunk_id""".stripMargin,
+
     "multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte
@@ -874,6 +968,23 @@ object ExtensionQueries extends graft.QueryModule {
         |  count(CASE WHEN c > v THEN 1 END) AS n_view_click,
         |  count(CASE WHEN c > v AND p > c THEN 1 END) AS n_view_click_purchase
         |FROM firsts""".stripMargin,
+
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id)
+        |SELECT cohort, CAST(e.d - f.cohort AS INTEGER) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin,
+
+    "docs_token_histogram" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, CAST(length(bin(nt)) AS INTEGER) AS bucket_bits,
+        |  COUNT(*) AS n_docs, min(nt) AS min_tokens, max(nt) AS max_tokens
+        |FROM t GROUP BY source, bucket_bits
+        |ORDER BY source, bucket_bits""".stripMargin,
 
     "events_gapfill" ->
       """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),

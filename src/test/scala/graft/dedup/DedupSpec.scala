@@ -257,4 +257,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select($"id", $"text_deduped").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "a b c d e f", 2L -> "g h i j k"))
   }
+
+  test("semanticDedup drops the larger id of a same-bucket near-dup pair") {
+    // 2-dim embeddings, 2 centroids = vectors of ids 1 and 2 (smallest
+    // ids): bucket A around (1, 0), bucket B around (0, 1). 3 and 4 are
+    // near-dups of their bucket's centroid; 5 is same-bucket but distant
+    // (cosine 0 to everything in A it pairs with would be ~0.7 — keep
+    // threshold high); 6 would pair with 3 ACROSS buckets, so survives.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.999f, 0.04f)),   // bucket 1, near-dup of 1 -> dropped
+      (4L, Array(0.04f, 0.999f)),   // bucket 2, near-dup of 2 -> dropped
+      (5L, Array(0.6f, -0.8f)),     // bucket 1, far from 1 and 3 -> kept
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      centroids = 2, threshold = 0.95)
+      .select($"vid").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 5L))
+  }
+
+  test("semanticDedup: cross-bucket near-dups survive (the SemDeDup recall trade)") {
+    // 7 is nearly identical to 2 but assigned to... both centroids are
+    // ids 1,2 themselves; anything close to 2 buckets WITH 2, so force
+    // the cross-bucket case with a vector between the centroids, slightly
+    // nearer centroid 1, paired with a near-identical one slightly nearer
+    // centroid 2: neither is dropped despite cosine ~1 between them.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7072f, 0.7070f)), // hair nearer centroid 1
+      (4L, Array(0.7070f, 0.7072f)), // hair nearer centroid 2
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      centroids = 2, threshold = 0.99)
+    val buckets = out.select($"vid", $"bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(buckets.keySet == Set(1L, 2L, 3L, 4L))
+    assert(buckets(3L) == 1L && buckets(4L) == 2L)
+  }
 }

@@ -66,4 +66,26 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, String)].collect()
     got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
   }
+
+  test("urls extracts whitespace-delimited URLs; urlHost takes the authority") {
+    val t = "pre https://a.b.example.com/x?q=1 mid http://news.org/p#f end ftp://skip.me"
+    val got = Seq(t).toDF("t")
+      .select(explode(TextFunctions.urls($"t")).as("u"))
+      .select($"u", TextFunctions.urlHost($"u").as("h"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(
+      ("https://a.b.example.com/x?q=1", "a.b.example.com"),
+      ("http://news.org/p#f", "news.org")))
+  }
+
+  test("urlHost stops at port, path, query, or fragment") {
+    val cases = Seq(
+      "https://h.example.com:8443/p" -> "h.example.com",
+      "http://bare.example.org" -> "bare.example.org",
+      "https://q.example.net?x=1" -> "q.example.net")
+    val got = cases.map(_._1).toDF("u")
+      .select($"u", TextFunctions.urlHost($"u").as("h"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, h) => assert(got(u) == h) }
+  }
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class PackingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def pack(rows: Seq[(Long, String)], c: Int) =
+    Packing.packChunks(rows.toDF("doc_id", "text"), "doc_id", "text", c)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("docs pack end-to-end; one doc may span chunks, chunks may share docs") {
+    // token counts: 2, 3, 4 — cumulative [0,2), [2,5), [5,9), capacity 4
+    val got = pack(Seq(1L -> "a b", 2L -> "c d e", 3L -> "f g h i"), 4)
+    assert(got === Seq(
+      (1L, 0L, 0L, 2L, 2L), // doc1 fully in chunk 0
+      (2L, 0L, 0L, 2L, 2L), // doc2 tokens 0-1 finish chunk 0
+      (2L, 1L, 2L, 3L, 1L), // doc2 token 2 starts chunk 1
+      (3L, 1L, 0L, 3L, 3L), // doc3 tokens 0-2 fill chunk 1
+      (3L, 2L, 3L, 4L, 1L))) // doc3 token 3 starts chunk 2
+  }
+
+  test("doc spanning many whole chunks emits every chunk with full spans") {
+    val words = (0 until 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val got = pack(Seq(1L -> words), 3)
+    assert(got === Seq(
+      (1L, 0L, 0L, 3L, 3L), (1L, 1L, 3L, 6L, 3L),
+      (1L, 2L, 6L, 9L, 3L), (1L, 3L, 9L, 10L, 1L)))
+  }
+
+  test("per-doc spans reassemble the doc exactly: contiguous, complete") {
+    val docs = Seq(1L -> "a b c", 2L -> "d", 3L -> "e f g h i j k", 4L -> "l m")
+    val got = pack(docs, 5)
+    val byDoc = got.groupBy(_._1)
+    for ((id, text) <- docs) {
+      val spans = byDoc(id).sortBy(_._2)
+      val n = text.split(" ").length.toLong
+      assert(spans.head._3 === 0L, s"doc $id starts at 0")
+      assert(spans.last._4 === n, s"doc $id ends at its token count")
+      spans.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 === b._3, s"doc $id spans contiguous")
+          assert(b._2 === a._2 + 1, s"doc $id chunks consecutive")
+        case _ =>
+      }
+      assert(spans.map(_._5).sum === n, s"doc $id total tokens")
+    }
+    // Chunk occupancy: every chunk except the last holds exactly C tokens.
+    val byChunk = got.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val last = byChunk.keys.max
+    byChunk.foreach { case (c, tot) =>
+      if (c < last) assert(tot === 5L, s"chunk $c full") else assert(tot <= 5L)
+    }
+  }
+
+  test("null text docs are skipped; empty text counts one token") {
+    val got = pack(Seq(1L -> null, 2L -> "", 3L -> "x y"), 2)
+    assert(got === Seq((2L, 0L, 0L, 1L, 1L), (3L, 0L, 0L, 1L, 1L),
+      (3L, 1L, 1L, 2L, 1L)))
+  }
+
+  test("capacity larger than the corpus puts everything in chunk 0") {
+    val got = pack(Seq(1L -> "a b", 2L -> "c"), 100)
+    assert(got.map(_._2).toSet === Set(0L))
+  }
+
+  test("multi-partition corpus matches a single-pass local reference exactly") {
+    // 500 docs over 4 shuffle partitions exercises the two-level scan's
+    // cross-partition offsets; any inconsistency between the two range-
+    // exchange consumers (offsets vs window) would shift whole spans.
+    val docs = (1L to 500L).map(i => i -> ("w " * ((i % 17) + 1).toInt).trim)
+    val got = pack(docs, 64)
+    val expected = {
+      var cum = 0L
+      docs.flatMap { case (id, text) =>
+        val n = text.split(" ").length.toLong
+        val start = cum; cum += n
+        (start / 64 to (cum - 1) / 64).map { ch =>
+          val from = math.max(ch * 64 - start, 0L)
+          val to = math.min((ch + 1) * 64 - start, n)
+          (id, ch, from, to, to - from)
+        }
+      }
+    }
+    assert(got === expected)
+    // The plan must not contain a corpus-wide unpartitioned window: the
+    // only unpartitioned window runs on the per-partition subtotal rows.
+    val plan = Packing.packChunks(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 64)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("spark_partition_id"), plan.take(500))
+  }
+}
