@@ -205,6 +205,86 @@ object CoreQueries extends graft.QueryModule {
           AND l_quantity < 24""")
     },
 
+    // LATERAL correlated subquery with ORDER BY + LIMIT (per-customer
+    // top-2 orders) through the SQL entry point — Catalyst decorrelates
+    // the lateral into a join + per-key limit; the same text runs
+    // verbatim in DuckDB.
+    "q_lateral_topk" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_v,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    },
+
+    // Recursive CTE month spine with a gap-preserving LEFT JOIN — the
+    // WITH RECURSIVE surface (Spark 4) on a query whose anchor/step both
+    // carry scalar subqueries; identical text runs in DuckDB. (The
+    // non-recursive gap-fill formulation is events_gapfill.)
+    "q_recursive_spine" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders_v)) AS DATE)
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders_v)) AS DATE))
+        SELECT m, count(o_orderkey) AS n
+        FROM months LEFT JOIN orders_v
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m ORDER BY m""")
+    },
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): derived
+    // nullable keys on both sides so the null row genuinely matches.
+    "q_null_safe_join" -> { (s, dir) =>
+      import s.implicits._
+      def bucket(c: org.apache.spark.sql.Column) =
+        when(c % 7 === 3, lit(null)).otherwise(c % 7)
+      val a = Tables.orders(s, dir)
+        .groupBy(bucket($"o_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_orders"))
+      val b = Tables.lineitem(s, dir)
+        .groupBy(bucket($"l_orderkey").as("kk"))
+        .agg(count(lit(1)).as("n_lines"))
+      a.join(b, $"k" <=> $"kk").select($"k", $"n_orders", $"n_lines")
+        .orderBy($"k")
+    },
+
+    // Bit/bool aggregate battery: exact integer bitwise folds and
+    // boolean conjunction/disjunction per group.
+    "q_bitbool_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          bit_and($"l_orderkey").as("key_and"),
+          bit_or($"l_orderkey").as("key_or"),
+          bit_xor($"l_orderkey").as("key_xor"),
+          bool_and($"l_quantity" > 1.0).as("all_multi"),
+          bool_or($"l_discount" > 0.09).as("any_deep_discount"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Regex function battery: capture-group extraction, boolean match,
+    // match counting, global replacement — all patterns Java∩RE2 so both
+    // engines see identical match sets.
+    "q_regex_battery" -> { (s, dir) =>
+      import s.implicits._
+      Tables.part(s, dir)
+        .orderBy($"p_partkey")
+        .select($"p_partkey",
+          regexp_extract($"p_name", "^([a-z]+)", 1).as("first_word"),
+          $"p_name".rlike("[aeiou]{2}").as("has_vowel_pair"),
+          regexp_count($"p_name", lit("[aeiou]")).as("n_vowels"),
+          regexp_count($"p_name", lit("[a-z]+")).as("n_words"),
+          regexp_replace($"p_name", "[aeiou]", "*").as("masked"))
+    },
+
     // Distribution window battery: percent_rank / cume_dist / ntile over
     // each customer's orders. Partitioned by a high-cardinality key
     // (bounded partition size — the scale-safe window shape), ordered
@@ -788,6 +868,56 @@ object CoreQueries extends graft.QueryModule {
         |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q_lateral_topk" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+
+    "q_recursive_spine" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+        |  WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE))
+        |SELECT m, count(o_orderkey) AS n
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        |GROUP BY m ORDER BY m""".stripMargin,
+
+    "q_null_safe_join" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 3 THEN NULL
+        |    ELSE o_orderkey % 7 END AS k, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN l_orderkey % 7 = 3 THEN NULL
+        |    ELSE l_orderkey % 7 END AS kk, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT a.k, n_orders, n_lines
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.kk
+        |ORDER BY a.k NULLS FIRST""".stripMargin,
+
+    "q_bitbool_agg" ->
+      """SELECT l_returnflag,
+        |  bit_and(l_orderkey) AS key_and,
+        |  bit_or(l_orderkey) AS key_or,
+        |  bit_xor(l_orderkey) AS key_xor,
+        |  bool_and(l_quantity > 1.0) AS all_multi,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_regex_battery" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  regexp_matches(p_name, '[aeiou]{2}') AS has_vowel_pair,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+        |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INTEGER) AS n_words,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS masked
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_window_distribution" ->
       """SELECT o_custkey, o_orderkey,
