@@ -286,6 +286,91 @@ object Knn {
         col("cosine"), col("rk"))
   }
 
+  /** Product-quantization codebooks as ONE broadcastable array row:
+    * the vector space splits into `m` contiguous subspaces of dims/m
+    * components; each subspace's codebook is the sub-vectors of the `k`
+    * smallest-id corpus vectors (the same deterministic stand-in for
+    * offline per-subspace k-means that [[ivfAssign]] uses, so any engine
+    * reproduces the books exactly). The flat array stores subspace j's
+    * p-th centroid (p = 1..k, ordered by source id) at index j*k + p —
+    * codes address centroids by RANK, never by raw id, so lookups are
+    * pure arithmetic. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dims: Int): DataFrame = {
+    val sub = dims / m
+    require(m * sub == dims, s"m=$m must divide dims=$dims")
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cid"), VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("v"))
+      .select(col("j"), col("cid"),
+        slice(col("v"), col("j") * sub + 1, lit(sub)).as("centv"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("cid"), col("centv"))))
+        .as("__sorted"))
+      .select(transform(col("__sorted"), e => e.getField("centv"))
+        .as("books"))
+  }
+
+  /** PQ top-k by asymmetric distance: corpus vectors are stored as m
+    * one-byte-ish codes (the rank of the nearest sub-centroid per
+    * subspace, L2, ties to the smaller rank); queries stay exact and
+    * score against code RECONSTRUCTIONS — score(q, x) = Σ_j q_j ·
+    * books[j][code_j(x)], the standard ADC lookup expressed as
+    * sequential sub-dots so any engine reproduces it bit-for-bit.
+    *
+    * Scale shape: encoding is one unshuffled pass (books broadcast,
+    * m×k 8-dim distances per vector); at rest a vector is m small ints —
+    * 16x smaller than the float vector at m=16/dims=64 — which is the
+    * point: the 100 TB corpus scan reads codes, never raw vectors. The
+    * only shuffle is the per-query top-k window, cost ∝ |Q|×|N| scored
+    * pairs like [[bruteForce]] (bucket with [[ivfWith]]/[[lshCosine]] to
+    * cut candidates; PQ is the storage/bandwidth leg, not the pruning
+    * leg). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 16, codebook: Int = 16,
+      dims: Int = 64,
+      dotFn: (Column, Column) => Column = VectorFunctions.dot): DataFrame = {
+    val sub = dims / m
+    require(m * sub == dims, s"m=$m must divide dims=$dims")
+    val books = pqCodebooks(corpus, idCol, vecCol, m, codebook, dims)
+    // Sequential Σ(x-y)² via the dot of the difference with itself —
+    // the one L2 form both engines evaluate identically (an expanded
+    // |a|²-2ab+|b|² would round differently).
+    def d2(a: Column, b: Column): Column = {
+      val d = zip_with(a, b, (x, y) => x - y)
+      dotFn(d, d)
+    }
+    val coded = corpus.crossJoin(broadcast(books))
+      .select(col(idCol).as("vid"),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          array_min(transform(sequence(lit(1), lit(codebook)), p =>
+            struct(
+              d2(slice(VectorFunctions.toDouble(col(vecCol)), j * sub + 1,
+                lit(sub)), element_at(col("books"), j * codebook + p))
+                .as("d2"),
+              p.as("p")))).getField("p")).as("codes"))
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        VectorFunctions.toDouble(col(vecCol)).as("qv"))
+    val ones = array((0 until m).map(_ => lit(1.0)): _*)
+    val scored = coded.join(broadcast(q), col("query_id") =!= col("vid"))
+      .crossJoin(broadcast(books))
+      // Ordered Σ_j of sub-dots, again as a dot against ones: both the
+      // inner q_j·centv and the outer fold run left-to-right.
+      .withColumn("score", dotFn(
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          dotFn(slice(col("qv"), j * sub + 1, lit(sub)),
+            element_at(col("books"),
+              j * codebook + element_at(col("codes"), j + 1)))),
+        ones))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("score"),
+        col("rk"))
+  }
+
   /** IVF top-k with naive deterministic centroids. */
   def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int, nprobe: Int,

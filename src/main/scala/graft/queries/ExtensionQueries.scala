@@ -260,6 +260,19 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Product-quantization ANN: corpus stored as 16 sub-codes (16x
+    // smaller than raw vectors), queries exact, asymmetric-distance
+    // scoring against code reconstructions. Deterministic smallest-id
+    // codebooks, so the full book->code->ADC pipeline is oracle-replayed;
+    // recall vs exact dot asserted in KnnSpec.
+    "knn_pq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, m = 16, codebook = 16, dims = 64,
+        dotFn = graft.GraftFunctions.dotProduct)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Benchmark decontamination signal: fraction of each corpus doc's
     // 3-gram shingles that appear anywhere in the eval set (source
     // 'src0' stands in as the benchmark). Only contaminated docs listed.
@@ -834,6 +847,48 @@ object ExtensionQueries extends graft.QueryModule {
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     // Replays the full LSH pipeline: 24x6 md5-derived hyperplanes,
+    // PQ replay: deterministic codebooks (16 smallest-id vectors' 4-dim
+    // sub-vectors, rank-ordered by source id), per-subspace argmin L2
+    // (as the sequential dot of the difference with itself — the one
+    // form both engines evaluate identically), ADC scoring as sequential
+    // sub-dots folded by a dot against ones.
+    "knn_pq_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+        |js AS (SELECT unnest(range(0, 16)) AS j),
+        |base AS (SELECT vid, v FROM corpus ORDER BY vid LIMIT 16),
+        |bk AS (
+        |  SELECT j, row_number() OVER (PARTITION BY j ORDER BY vid) AS p,
+        |    v[j*4+1 : j*4+4] AS centv
+        |  FROM base CROSS JOIN js),
+        |books AS (SELECT list(centv ORDER BY j, p) AS bks FROM bk),
+        |codes AS (
+        |  SELECT vid, list(code ORDER BY j) AS codes FROM (
+        |    SELECT vid, j, p AS code FROM (
+        |      SELECT c.vid, b.j, b.p, row_number() OVER (
+        |        PARTITION BY c.vid, b.j
+        |        ORDER BY list_dot_product(
+        |          list_transform(range(1, 5), i -> c.v[b.j*4 + i] - b.centv[i]),
+        |          list_transform(range(1, 5), i -> c.v[b.j*4 + i] - b.centv[i])),
+        |          b.p) AS rk
+        |      FROM corpus c CROSS JOIN bk b)
+        |    WHERE rk = 1)
+        |  GROUP BY vid),
+        |scored AS (
+        |  SELECT q.vid AS query_id, c.vid,
+        |    list_dot_product(
+        |      list_transform(range(0, 16), j ->
+        |        list_dot_product(q.v[j*4+1 : j*4+4], bks[j*16 + codes[j+1]])),
+        |      list_transform(range(0, 16), j -> 1.0)) AS score
+        |  FROM (SELECT * FROM corpus WHERE vid < 5) q
+        |  JOIN codes c ON c.vid <> q.vid
+        |  CROSS JOIN books)
+        |SELECT query_id, neighbor_id, score, rk FROM (
+        |  SELECT query_id, vid AS neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vid) AS rk
+        |  FROM scored)
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
     // sign-signature buckets, candidate join across tables, exact-cosine
     // verification, per-query top-10. Identical arithmetic order —
     // weights, dots, and pow(2, p) are the same IEEE double ops.

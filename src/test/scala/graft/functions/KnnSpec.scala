@@ -87,6 +87,36 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"quantized-vs-exact-dot recall $recall")
   }
 
+  test("pqTopK codes address every subspace; ADC ranking tracks exact dot") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    // Exact max-inner-product baseline (same objective as ADC).
+    val q = queries.select($"vec_id".as("query_id"),
+      VectorFunctions.toDouble($"embedding").as("qv"))
+    val c = emb.select($"vec_id".as("neighbor_id"),
+      VectorFunctions.toDouble($"embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"dot".desc, $"neighbor_id")
+    val exactDot = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .withColumn("dot", aggregate(zip_with($"qv", $"cv", _ * _), lit(0.0), _ + _))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Knn.pqTopK(emb, queries, "vec_id", "embedding", k = 10)
+    val rows = pq.select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect()
+    // Shape: 10 self-free ranked rows per query.
+    assert(rows.groupBy(_._1).forall { case (qid, rs) =>
+      rs.length == 10 && rs.map(_._3).sorted.toSeq == (1 to 10) &&
+        !rs.exists(_._2 == qid)
+    })
+    val got = rows.map(r => (r._1, r._2)).toSet
+    val recall = got.intersect(exactDot).size.toDouble / exactDot.size
+    // 16 subspaces x 16 centroids on near-random 64-dim vectors is a
+    // coarse quantizer; planted near-dup pairs still surface. Real
+    // clustered corpora sit far above this floor.
+    assert(recall >= 0.25, s"pq-vs-exact-dot recall $recall")
+  }
+
   test("lshCosine recall@10 >= 0.4 vs brute force, ranked and self-free") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 10)
