@@ -334,20 +334,27 @@ object Knn {
     val sub = dims / m
     require(m * sub == dims, s"m=$m must divide dims=$dims")
     val books = pqCodebooks(corpus, idCol, vecCol, m, codebook, dims)
-    // Sequential Σ(x-y)² via the dot of the difference with itself —
-    // the one L2 form both engines evaluate identically (an expanded
-    // |a|²-2ab+|b|² would round differently).
-    def d2(a: Column, b: Column): Column = {
-      val d = zip_with(a, b, (x, y) => x - y)
-      dotFn(d, d)
-    }
+    // Argmin metric: |b|² - 2a·b, the L2 expansion with the per-(vector,
+    // subspace) constant |a|² dropped — a uniform shift that preserves
+    // the ordering AND the ties, so the chosen code is the true L2
+    // argmin. Two native-dot kernels per probe, no per-probe difference
+    // arrays (a zip_with/aggregate form measured 4x slower: HOF lambdas
+    // evaluate per-element expression trees). The oracle replays this
+    // exact expression, so left-to-right rounding matches bit-for-bit.
+    def score2(a: Column, b: Column): Column =
+      dotFn(b, b) - lit(2.0) * dotFn(a, b)
+    // Sub-slices are shared by nesting transforms: the inner transform
+    // materializes each vector's m sub-vectors ONCE per row; the outer
+    // (element, index) lambda then probes all k centroids per subspace.
     val coded = corpus.crossJoin(broadcast(books))
       .select(col(idCol).as("vid"),
-        transform(sequence(lit(0), lit(m - 1)), j =>
-          array_min(transform(sequence(lit(1), lit(codebook)), p =>
-            struct(
-              d2(slice(VectorFunctions.toDouble(col(vecCol)), j * sub + 1,
-                lit(sub)), element_at(col("books"), j * codebook + p))
+        transform(
+          transform(sequence(lit(0), lit(m - 1)), j =>
+            slice(VectorFunctions.toDouble(col(vecCol)), j * sub + 1,
+              lit(sub))),
+          (sv, j) => array_min(transform(sequence(lit(1), lit(codebook)),
+            p => struct(
+              score2(sv, element_at(col("books"), j * codebook + p))
                 .as("d2"),
               p.as("p")))).getField("p")).as("codes"))
     val q = queries

@@ -34,6 +34,32 @@ object ScaleOps {
     (a.repartition(numPartitions, col(key)),
       b.repartition(numPartitions, col(key)))
 
+  /** Runtime-filter semi-join: build a Bloom filter over the small
+    * side's keys, pre-filter the big side with the broadcast filter (a
+    * pure projection — no shuffle), THEN run the exact left-semi join on
+    * the survivors. Bloom filters have no false negatives, so the result
+    * is exactly `big semi-join small`; the payoff at 100 TB is that the
+    * big side's shuffle input shrinks by the filter's selectivity before
+    * the exchange (the explicit form of Spark's own
+    * spark.sql.optimizer.runtime.bloomFilter.enabled rewrite, usable
+    * when the planner can't infer it — e.g. keys crossing a UDF or a
+    * non-equi pre-transform). False positives only cost shuffle bytes;
+    * the final semi join removes them. */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
+      m: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
+    import graft.functions.Sketches
+    val filter = Sketches.bloomBuild(small, col(key), m, numHashes)
+    val member = (0 until numHashes)
+      .map(j => array_contains(col("positions"),
+        pmod(Sketches.affineSlot(Sketches.base28(col(key), "bloom"), lit(j)),
+          lit(m))))
+      .reduce(_ && _)
+    big.crossJoin(broadcast(filter))
+      .filter(member) // inline projection-level prune, no shuffle
+      .drop("positions")
+      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
   /** Durable co-location: write as a bucketed+sorted catalog table. Two
     * tables bucketed on the same key with the same bucket count join with
     * NO exchange — the shuffle is paid once at write time, amortized over

@@ -848,10 +848,10 @@ object ExtensionQueries extends graft.QueryModule {
 
     // Replays the full LSH pipeline: 24x6 md5-derived hyperplanes,
     // PQ replay: deterministic codebooks (16 smallest-id vectors' 4-dim
-    // sub-vectors, rank-ordered by source id), per-subspace argmin L2
-    // (as the sequential dot of the difference with itself — the one
-    // form both engines evaluate identically), ADC scoring as sequential
-    // sub-dots folded by a dot against ones.
+    // sub-vectors, rank-ordered by source id), per-subspace argmin over
+    // |b|² - 2a·b (L2 minus the constant |a|² — same order, same ties,
+    // and both engines evaluate the identical sequential-dot expression),
+    // ADC scoring as sequential sub-dots folded by a dot against ones.
     "knn_pq_topk" ->
       """WITH corpus AS (
         |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
@@ -867,9 +867,8 @@ object ExtensionQueries extends graft.QueryModule {
         |    SELECT vid, j, p AS code FROM (
         |      SELECT c.vid, b.j, b.p, row_number() OVER (
         |        PARTITION BY c.vid, b.j
-        |        ORDER BY list_dot_product(
-        |          list_transform(range(1, 5), i -> c.v[b.j*4 + i] - b.centv[i]),
-        |          list_transform(range(1, 5), i -> c.v[b.j*4 + i] - b.centv[i])),
+        |        ORDER BY list_dot_product(b.centv, b.centv)
+        |          - 2.0 * list_dot_product(c.v[b.j*4+1 : b.j*4+4], b.centv),
         |          b.p) AS rk
         |      FROM corpus c CROSS JOIN bk b)
         |    WHERE rk = 1)

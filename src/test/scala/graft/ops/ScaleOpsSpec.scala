@@ -20,6 +20,38 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(plain.count(_._1 == 42) == 900)
   }
 
+  test("bloomSemiJoin equals the plain left-semi join (no false negatives)") {
+    val big = graft.model.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    val small = graft.model.Tables.orders(spark, sf)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey"))
+    val plain = big.join(small.distinct(), Seq("l_orderkey"), "left_semi")
+      .select($"l_orderkey", $"l_linenumber")
+      .as[(Long, Int)].collect().sorted.toSeq
+    val bloomed = ScaleOps.bloomSemiJoin(big, small, "l_orderkey", m = 4096)
+      .select($"l_orderkey", $"l_linenumber")
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(bloomed == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("bloomSemiJoin with a tiny saturated filter still returns exact results") {
+    // m=64 over ~500 keys saturates the filter (most probes pass) — the
+    // prune degrades to a no-op but the trailing semi join keeps the
+    // result exact, which is the safety property that matters.
+    val big = graft.model.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber")
+    val small = graft.model.Tables.orders(spark, sf)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey"))
+    val plain = big.join(small.distinct(), Seq("l_orderkey"), "left_semi")
+      .as[(Long, Int)].collect().sorted.toSeq
+    val bloomed = ScaleOps.bloomSemiJoin(big, small, "l_orderkey", m = 64)
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(bloomed == plain)
+  }
+
   test("bucketed tables join with no exchange (shuffle paid at write time)") {
     val li = graft.model.Tables.lineitem(spark, sf)
       .select($"l_orderkey", $"l_quantity")
