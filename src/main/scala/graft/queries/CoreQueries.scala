@@ -679,6 +679,70 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"o_orderkey")
     },
 
+    // Four-table join + multi-key aggregate (TPC-H Q9 shape): revenue by
+    // supplier nation and order year. nation/supplier broadcast; the
+    // lineitem-orders join is the only fact shuffle.
+    "q9_profit_nation" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate")
+      val supp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+      val nat = Tables.nation(s, dir).select($"n_nationkey", $"n_name")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", year($"o_orderdate").as("o_year"))
+        .agg(
+          sum($"l_extendedprice".cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4))))
+            .pipe(Parity.roundedDouble).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"n_name", $"o_year")
+    },
+
+    // Filtered join + top-20 by aggregate (TPC-H Q10 shape): customers
+    // ranked by revenue on returned items. The rank key is the rounded
+    // decimal sum surfaced as a double, so the global sort is
+    // engine-deterministic; custkey breaks ties.
+    "q10_returned" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      val cust = Tables.customer(s, dir).select($"c_custkey", $"c_name")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(
+          sum($"l_extendedprice".cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4))))
+            .pipe(Parity.roundedDouble).as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+
+    // try_* error-handling battery: malformed casts, zero divides, and
+    // unparseable dates degrade to NULL instead of failing the job —
+    // the ingest-hardening surface (strict variants raise; see ref_p8).
+    "q_try_battery" -> { (s, dir) =>
+      import s.implicits._
+      Tables.part(s, dir)
+        .orderBy($"p_partkey")
+        .select($"p_partkey",
+          when($"p_partkey" % 3 === 0, $"p_name")
+            .otherwise($"p_partkey".cast("string")).as("__s"),
+          when($"p_partkey" % 2 === 0, lit("15/06/2023"))
+            .otherwise(lit("not-a-date")).as("__d"),
+          ($"p_partkey" % 5).as("__k"),
+          $"p_retailprice")
+        .select($"p_partkey",
+          expr("try_cast(__s AS BIGINT)").as("maybe_num"),
+          try_divide($"p_retailprice", $"__k").as("maybe_ratio"),
+          try_to_date($"__d", "dd/MM/yyyy").as("maybe_date"))
+    },
+
     // Scalar subquery + anti join + derived grouping key (TPC-H Q22
     // shape): above-average-balance customers with no 'F'-status order,
     // grouped by a name-derived code. The average is the exact rounded
@@ -1166,6 +1230,40 @@ object CoreQueries extends graft.QueryModule {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
         |) ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q9_profit_nation" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year""".stripMargin,
+
+    "q10_returned" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_try_battery" ->
+      """WITH f AS (SELECT p_partkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN p_name
+        |    ELSE CAST(p_partkey AS VARCHAR) END AS s,
+        |  CASE WHEN p_partkey % 2 = 0 THEN '15/06/2023'
+        |    ELSE 'not-a-date' END AS d,
+        |  p_partkey % 5 AS k, p_retailprice
+        |  FROM part)
+        |SELECT p_partkey,
+        |  TRY_CAST(s AS BIGINT) AS maybe_num,
+        |  p_retailprice / nullif(k, 0) AS maybe_ratio,
+        |  CAST(try_strptime(d, '%d/%m/%Y') AS DATE) AS maybe_date
+        |FROM f ORDER BY p_partkey""".stripMargin,
 
     "q22_idle_rich" ->
       """SELECT substr(c_name, 17, 2) AS code, COUNT(*) AS n_cust,

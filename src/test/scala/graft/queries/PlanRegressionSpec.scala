@@ -87,4 +87,43 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges <= 3, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q14_promo_share broadcasts part (the fact table never shuffles for the join)") {
+    val p = planOf("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("knn_pq_topk encodes via broadcast codebooks: the corpus never shuffles") {
+    val p = planOf("knn_pq_topk")
+    // Codebooks and queries ride broadcasts; the only shuffle is the
+    // per-query top-k window on scored pairs.
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_semantic shuffles the corpus only on the bucket id") {
+    val p = planOf("dedup_semantic")
+    // Assignment is a broadcast projection; the within-bucket self join
+    // and the survivor anti join are the only corpus exchanges.
+    assert(!p.contains("CartesianProduct"), p)
+    val lines = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(lines.forall(l => l.contains("bucket") || l.contains("vid")), lines.mkString("\n"))
+  }
+
+  test("docs_pack_chunks reuses one range exchange; windows are pid-partitioned") {
+    // AQE materializes exchange reuse only during execution — run the
+    // query, then inspect the final adaptive plan.
+    val df = SparkEntry.queries("docs_pack_chunks")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.linesIterator.next())
+    assert(p.toLowerCase.contains("reused"), p)
+    // The corpus-wide window must be partitioned (by the partition id),
+    // not a drag-everything-to-one-task unpartitioned window.
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")),
+      winLines.mkString("\n"))
+  }
 }
