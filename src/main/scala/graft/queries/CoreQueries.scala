@@ -723,6 +723,24 @@ object CoreQueries extends graft.QueryModule {
         .limit(20)
     },
 
+    // CDC history compaction -> SCD2 intervals: orders read as a
+    // per-customer version stream (orderkey = GLOBALLY UNIQUE version —
+    // compressHistory requires a tie-free per-key order; lineitem's
+    // linenumber repeats within an order, which would make the window
+    // nondeterministic). Only change points survive, each stamped with
+    // its validity interval. One window exchange on the
+    // high-cardinality key. Companion to the MERGE snapshot loads
+    // (ref_l2_upsert).
+    "cdc_scd2" -> { (s, dir) =>
+      import s.implicits._
+      val history = Tables.orders(s, dir)
+        .select($"o_custkey".as("key"), $"o_orderkey".as("version"),
+          $"o_totalprice".as("amount"))
+      graft.ops.Cdc.compressHistory(history, Seq("key"), "version",
+        Seq("amount"))
+        .orderBy($"key", $"valid_from")
+    },
+
     // try_* error-handling battery: malformed casts, zero divides, and
     // unparseable dates degrade to NULL instead of failing the job —
     // the ingest-hardening surface (strict variants raise; see ref_p8).
@@ -1250,6 +1268,20 @@ object CoreQueries extends graft.QueryModule {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "cdc_scd2" ->
+      """WITH h AS (SELECT o_custkey AS key, o_orderkey AS version,
+        |  o_totalprice AS amount FROM orders),
+        |c AS (SELECT key, version, amount,
+        |  lag(amount) OVER (PARTITION BY key ORDER BY version) AS prev
+        |  FROM h),
+        |ch AS (SELECT key, version, amount FROM c
+        |  WHERE prev IS NULL OR amount IS DISTINCT FROM prev)
+        |SELECT key, amount, version AS valid_from,
+        |  lead(version) OVER (PARTITION BY key ORDER BY version) AS valid_to,
+        |  lead(version) OVER (PARTITION BY key ORDER BY version) IS NULL
+        |    AS is_current
+        |FROM ch ORDER BY key, valid_from""".stripMargin,
 
     "q_try_battery" ->
       """WITH f AS (SELECT p_partkey,

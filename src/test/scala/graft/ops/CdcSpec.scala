@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CdcSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("compressHistory keeps change points with correct validity intervals") {
+    val history = Seq(
+      // key 1: value changes at v1, v3 (v2 is a no-op copy), v4 no-op
+      (1L, 1, "a"), (1L, 2, "a"), (1L, 3, "b"), (1L, 4, "b"),
+      // key 2: single version
+      (2L, 1, "x"),
+      // key 3: flip-flop — every version is a change
+      (3L, 1, "p"), (3L, 2, "q"), (3L, 3, "p"),
+    ).toDF("k", "v", "value")
+    val got = Cdc.compressHistory(history, Seq("k"), "v", Seq("value"))
+      .select($"k", $"value", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Int, Option[Int], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got === Seq(
+      (1L, "a", 1, Some(3), false),
+      (1L, "b", 3, None, true),
+      (2L, "x", 1, None, true),
+      (3L, "p", 1, Some(2), false),
+      (3L, "q", 2, Some(3), false),
+      (3L, "p", 3, None, true)))
+  }
+
+  test("null value transitions are change points (null-safe comparison)") {
+    val history = Seq(
+      (1L, 1, Some("a")), (1L, 2, None), (1L, 3, None), (1L, 4, Some("a")),
+    ).toDF("k", "v", "value")
+    val got = Cdc.compressHistory(history, Seq("k"), "v", Seq("value"))
+      .select($"valid_from", $"value").as[(Int, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1, Some("a")), (2, None), (4, Some("a"))))
+  }
+
+  test("multi-column tracking: a change in ANY tracked column opens a version") {
+    val history = Seq(
+      (1L, 1, "a", 10), (1L, 2, "a", 20), (1L, 3, "b", 20),
+    ).toDF("k", "v", "s", "n")
+    val got = Cdc.compressHistory(history, Seq("k"), "v", Seq("s", "n"))
+      .select($"valid_from").as[Int].collect().sorted.toSeq
+    assert(got === Seq(1, 2, 3))
+  }
+}
