@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, ExtensionQueries, RefQueries, SourceQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, ExtensionQueries, RefQueries, SourceQueries, TpchQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] =
     Seq(CoreQueries, RefQueries, ExtensionQueries, AnalyticsQueries,
-      SourceQueries)
+      SourceQueries, TpchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -475,6 +475,10 @@ object CoreQueries extends graft.QueryModule {
       import s.implicits._
       Tables.orders(s, dir)
         .select($"o_orderkey", to_date($"o_orderdate").as("od"))
+        // Battery ABOVE the sort: the range partitioner's sampling pass
+        // re-executes the sort's child, so the ten datetime kernels
+        // would otherwise run twice over every row.
+        .orderBy($"o_orderkey")
         .select($"o_orderkey",
           quarter($"od").as("qtr"),
           weekday($"od").as("dow"),
@@ -486,7 +490,6 @@ object CoreQueries extends graft.QueryModule {
           datediff($"od", to_date(lit("1995-01-01"))).as("days_since"),
           unix_timestamp($"od".cast("timestamp")).as("epoch_s"),
           date_format($"od", "yyyy-MM").as("ym"))
-        .orderBy($"o_orderkey")
     },
 
     // String function battery (complements q_scalar_battery's
