@@ -95,7 +95,13 @@ object Dedup {
     * co-occurrence: only pairs sharing ≥1 shingle are ever materialized. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(df, textCol, idCol, n)
+    // The shingle table feeds FOUR plan branches (both join sides and
+    // both size lookups); without pinning, the tokenize+shingle+explode
+    // pipeline re-executes per branch (the plan shows 4 Generate chains;
+    // AQE's exchange reuse recovers only the aggregated ones). One eager
+    // localCheckpoint runs it once; the pinned RDD is released by the
+    // ContextCleaner when the result DataFrame is dropped.
+    val sh = shingleTable(df, textCol, idCol, n).localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("id").as("id_a"), col("shingle"))
     val b = sh.select(col("id").as("id_b"), col("shingle"))

@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.ops.Sampling
+
+/** End-to-end corpus curation: the composed pretraining-data pipeline —
+  * quality filter → exact dedup → near-dup removal → benchmark
+  * decontamination → reproducible split — built ENTIRELY from the
+  * engine's oracled operators ([[graft.functions.TextFunctions]],
+  * [[graft.dedup.Dedup]], [[graft.ops.Sampling]]).
+  *
+  * Design: each stage TAGS rather than drops — the result carries one
+  * audit column per stage plus the split assignment, and [[kept]]
+  * applies the conjunction. Tagging costs one boolean column per stage
+  * but preserves WHY every dropped document was dropped, which is what a
+  * 100 TB curation run needs for filter-rate monitoring (a silent 30%
+  * quality-drop regression is invisible in a drop-as-you-go pipeline).
+  *
+  * Scale shape: stages stay lazy on one lineage; the near-dup and
+  * decontamination stages join back on the id (never on text), so the
+  * document payload column is shuffled at most once (the exact-dedup
+  * fingerprint exchange).
+  */
+object Curation {
+
+  /** Quality gate tuned for the fixture corpus's signal ranges; every
+    * threshold is a parameter because real corpora tune these per
+    * source. */
+  final case class QualityThresholds(
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      minStopwordRatio: Double = 0.05,
+      maxMeanTokenLength: Double = 12.0)
+
+  /** Audit-tagged curation result over `docs(idCol, textCol)`.
+    *
+    * Output columns = input columns ++
+    *  - `passed_quality`: length/stopword/token-shape gate
+    *  - `is_exact_dup`:   a lower-id doc has the same fingerprint
+    *  - `is_near_dup`:    MinHash-LSH candidate verified ≥ `jaccard`,
+    *                      and not the cluster's canonical (kept) doc
+    *  - `is_contaminated`: shingle overlap with `bench` ≥ `contamination`
+    *  - `split`:          deterministic hash split (train/val/test)
+    */
+  def curate(docs: DataFrame, bench: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      quality: QualityThresholds = QualityThresholds(),
+      shingleN: Int = 3, jaccard: Double = 0.8,
+      contamination: Double = 0.8, salt: String = "curation-v1",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)): DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+
+    // Stage 1: quality — pure projection, no shuffle.
+    val q = qualityPredicate(text, quality)
+
+    // Stage 2: exact dedup — keep the minimum-id doc per fingerprint
+    // (one window exchange on the fingerprint).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextFunctions.fingerprint(text)).orderBy(id)
+    val tagged = docs
+      .withColumn("passed_quality", q)
+      .withColumn("is_exact_dup",
+        text.isNotNull && row_number().over(w) =!= 1)
+
+    // Stage 3: near-dup — LSH candidates verified by exact Jaccard,
+    // losers (non-canonical cluster members) tagged via an id-only join.
+    val nearLosers = Dedup.clusterPairs(
+      Dedup.minhashPairs(docs, textCol, idCol, shingleN, jaccard))
+      .filter(col("id") =!= col("canonical_id"))
+      .select(col("id").as(idCol)).withColumn("__near", lit(true))
+
+    // Stage 4: decontamination — benchmark shingle overlap (bench
+    // vocabulary broadcasts; corpus text never reshuffles).
+    val contaminated = Dedup.contaminationRatio(docs, bench, textCol, idCol,
+      shingleN)
+      .filter(col("contamination") >= contamination)
+      .select(col("id").as(idCol)).withColumn("__cont", lit(true))
+
+    // No broadcast hints here: loser/contaminated id sets are tiny on a
+    // healthy corpus (AQE broadcasts them) but duplicate-proportional,
+    // and an adversarial corpus can make them a large fraction of the
+    // input — the hint would force an executor-memory blowup exactly
+    // when the data is worst.
+    tagged
+      .join(nearLosers, Seq(idCol), "left")
+      .join(contaminated, Seq(idCol), "left")
+      .withColumn("is_near_dup", coalesce(col("__near"), lit(false)))
+      .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
+      .drop("__near", "__cont")
+      // Stage 5: reproducible split — pure function of (id, salt).
+      .withColumn("split", Sampling.splitColumn(id, salt, splits))
+  }
+
+  /** The quality gate as a reusable predicate column. */
+  def qualityPredicate(text: Column, t: QualityThresholds): Column = {
+    val n = TextFunctions.tokenCount(text)
+    text.isNotNull &&
+      n >= t.minTokens && n <= t.maxTokens &&
+      TextFunctions.stopwordRatio(text) >= t.minStopwordRatio &&
+      TextFunctions.meanTokenLength(text) <= t.maxMeanTokenLength
+  }
+
+  /** The documents a curation run keeps: quality-passing, non-duplicate,
+    * uncontaminated. */
+  def kept(curated: DataFrame): DataFrame =
+    curated.filter(col("passed_quality") &&
+      !col("is_exact_dup") && !col("is_near_dup") &&
+      !col("is_contaminated"))
+
+  /** Per-stage drop accounting (the filter-rate monitoring table): one
+    * row per (stage, dropped) with counts — the first thing a corpus
+    * run dashboards. */
+  def auditCounts(curated: DataFrame): DataFrame =
+    curated.select(
+      count(lit(1)).as("n_docs"),
+      count(when(!col("passed_quality"), 1)).as("n_low_quality"),
+      count(when(col("is_exact_dup"), 1)).as("n_exact_dup"),
+      count(when(col("is_near_dup"), 1)).as("n_near_dup"),
+      count(when(col("is_contaminated"), 1)).as("n_contaminated"),
+      count(when(col("passed_quality") && !col("is_exact_dup") &&
+        !col("is_near_dup") && !col("is_contaminated"), 1)).as("n_kept"))
+}

@@ -386,6 +386,25 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"cohort", $"day_offset")
     },
 
+    // Markov transition counts over each user's event sequence — the
+    // path-analysis shape of product analytics ("what follows a view?").
+    // One lag window exchange on the high-cardinality user_id, then a
+    // tiny (|types|²) aggregate; event_id breaks timestamp ties so the
+    // sequence (and thus the count matrix) is fully deterministic.
+    "events_transitions" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .select($"prev_type", $"event_type".as("cur_type"))
+        .groupBy($"prev_type", $"cur_type")
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy($"prev_type", $"cur_type")
+    },
+
     // Token-count histogram per source: integer bit-length buckets
     // (length of the base-2 string — exact integer arithmetic, never a
     // floating log2 whose floor can differ by 1 ulp across engines).
@@ -1030,6 +1049,17 @@ object ExtensionQueries extends graft.QueryModule {
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin,
+
+    "events_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS cur_type, COUNT(*) AS n_transitions
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, cur_type
+        |ORDER BY prev_type, cur_type""".stripMargin,
 
     "docs_token_histogram" ->
       """WITH t AS (SELECT source,

@@ -116,4 +116,21 @@ object EventsOps {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Stream-static enrichment: each micro-batch of the event stream
+    * joins a STATIC dimension on `key` — the standard streaming lookup
+    * (user → profile, shop → metadata). Stateless: Spark plans a
+    * per-batch broadcast hash join when the dimension is small (the
+    * `broadcast` hint makes it unconditional), so the stream side never
+    * shuffles and no watermark/state is needed. Left join: events with
+    * no dimension row pass through with nulls (dropping them silently
+    * is an availability bug at ingest time — filter downstream if
+    * wanted). The same call works on a batch `events` DataFrame
+    * unchanged (batch ≡ stream semantics, like [[tumbling]]). */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    val overlap = events.columns.toSet.intersect(dim.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint, overlapping: ${overlap.mkString(", ")}")
+    events.join(broadcast(dim), Seq(key), "left")
+  }
 }

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // Docs long enough to clear the token gate, with stopwords for the
+  // ratio gate. 1↔2 exact dup (whitespace/case), 3≈4 near dup (one token
+  // changed in 12), 5 low quality (3 tokens), 6 contaminated (equals a
+  // bench doc), 7 clean.
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river"
+  private val base2 =
+    "all happy families are alike but every unhappy family is unhappy in its own way it said"
+  private val docs = Seq(
+    (1L, base),
+    (2L, "The  Quick  Brown fox jumps over the lazy dog near the river"),
+    (3L, base2),
+    (4L, base2 + " twice"),
+    (5L, "tiny doc here"),
+    (6L, "this exact passage appears inside the held out benchmark suite"),
+    (7L, "a completely different story about the sea and all the ships sailing on it"),
+  ).toDF("doc_id", "text")
+
+  private val bench = Seq(
+    (100L, "this exact passage appears inside the held out benchmark suite"))
+    .toDF("doc_id", "text")
+
+  private lazy val curated =
+    Curation.curate(docs, bench,
+      quality = Curation.QualityThresholds(minTokens = 5)).cache()
+
+  private def ids(pred: org.apache.spark.sql.Column): Set[Long] =
+    curated.filter(pred).select("doc_id").as[Long].collect().toSet
+
+  test("each stage tags the right documents") {
+    assert(ids(!$"passed_quality") == Set(5L))
+    assert(ids($"is_exact_dup") == Set(2L)) // min-id 1 survives
+    assert(ids($"is_near_dup") == Set(4L)) // canonical 3 survives
+    assert(ids($"is_contaminated") == Set(6L))
+  }
+
+  test("kept applies the conjunction; split is assigned to every row") {
+    assert(Curation.kept(curated).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 7L))
+    val splits = curated.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(curated.filter($"split".isNull).count() == 0)
+  }
+
+  test("split assignment is a pure function of (id, salt): rerun-stable") {
+    val again = Curation.curate(docs, bench,
+      quality = Curation.QualityThresholds(minTokens = 5))
+      .select($"doc_id", $"split".as("split2"))
+    val joined = curated.join(again, "doc_id")
+    assert(joined.filter($"split" =!= $"split2").count() == 0)
+  }
+
+  test("auditCounts reconciles: drops + kept cover the corpus") {
+    val row = Curation.auditCounts(curated).head()
+    assert(row.getAs[Long]("n_docs") == 7L)
+    assert(row.getAs[Long]("n_low_quality") == 1L)
+    assert(row.getAs[Long]("n_exact_dup") == 1L)
+    assert(row.getAs[Long]("n_near_dup") == 1L)
+    assert(row.getAs[Long]("n_contaminated") == 1L)
+    assert(row.getAs[Long]("n_kept") == 3L)
+  }
+}

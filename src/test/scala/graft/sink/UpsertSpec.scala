@@ -54,6 +54,27 @@ class UpsertSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(path).filter($"day" === "2024-01-01").count() == 1)
   }
 
+  test("partitioned warehouse reads prune to the filtered partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_prune").toString
+    val path = s"$dir/t"
+    val src = (1 to 100).map(k => (k, s"v$k", f"2024-01-${k % 10 + 1}%02d"))
+      .toDF("k", "v", "day")
+    Upsert.upsertPartitioned(spark, path, src, Seq("k"), "day")
+    // A day-filtered scan must prune at the PARTITION level (the 100 TB
+    // contract of the layout): the filter appears as a PartitionFilters
+    // entry on the scan, and the scan reads 1/10th of the files — never
+    // a full-table read followed by a row filter.
+    val q = spark.read.parquet(path).filter($"day" === "2024-01-03")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      s"day filter not applied at partition level: $scan")
+    assert(scan.relation.location.inputFiles.length > // table has 10 days
+      scan.selectedPartitions.totalNumberOfFiles) // scan reads 1 day's
+    assert(q.count() == 10)
+  }
+
   test("upsertPartitioned double-apply is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("upsert_idem").toString
     val path = s"$dir/t"
