@@ -208,6 +208,24 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Filtered vector search — retrieval with a metadata predicate: the
+    // attribute filter (documents lang/length) joins the embedding
+    // corpus BEFORE scoring, so distances are computed only for
+    // qualifying vectors — pre-filter ANN, never post-filter (which
+    // under-fills k whenever the filter is selective). The filter side
+    // is an id-only projection of the metadata table; AQE broadcasts it
+    // when small.
+    "knn_filtered_topk" -> { (s, dir) =>
+      val keep = Tables.documents(s, dir)
+        .filter(col("lang") === "en" && col("n_chars") >= 200)
+        .select(col("doc_id").as("vec_id"))
+      val emb = Tables.embeddings(s, dir)
+      Knn.bruteForce(emb.join(keep, "vec_id"),
+        emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10, graft.GraftFunctions.cosineSim)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Embedding-cosine near-dup pairs (exact all-pairs baseline).
     "dedup_embedding_pairs" -> { (s, dir) =>
       Knn.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -647,6 +665,28 @@ object ExtensionQueries extends graft.QueryModule {
         |                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
         |      END AS cosine
         |    FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |    WHERE q.vec_id <> c.vec_id))
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "knn_filtered_topk" ->
+      """WITH keep AS (
+        |  SELECT doc_id AS vec_id FROM documents
+        |  WHERE lang = 'en' AND n_chars >= 200),
+        |c AS (SELECT e.vec_id, e.embedding FROM embeddings e
+        |      JOIN keep USING (vec_id)),
+        |q AS (SELECT * FROM embeddings WHERE vec_id < 5)
+        |SELECT query_id, neighbor_id, cosine, rk FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      CASE WHEN sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) > 0
+        |           THEN list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+        |             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+        |                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+        |      END AS cosine
+        |    FROM c CROSS JOIN q
         |    WHERE q.vec_id <> c.vec_id))
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 

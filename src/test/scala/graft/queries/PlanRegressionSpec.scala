@@ -47,6 +47,16 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("knn_filtered_topk pushes the metadata predicate into the documents scan") {
+    val p = planOf("knn_filtered_topk")
+    // Pre-filter ANN: lang/n_chars reach the documents parquet scan as
+    // pushed filters (scoring never sees disqualified vectors)...
+    assert(p.contains("EqualTo(lang,en)") && p.contains(
+      "GreaterThanOrEqual(n_chars,200)"), p)
+    // ...and the probe set broadcasts, as in the unfiltered query.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("docs_hash_split is a pure projection: no exchange except the output sort") {
     val p = planOf("docs_hash_split")
     val exchanges = p.linesIterator.count(l =>
