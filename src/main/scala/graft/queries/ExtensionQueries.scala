@@ -366,6 +366,26 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Frame sampling over an opaque payload: every 3rd 32-byte frame
+    // (stride 96) of each document's bytes, one output row per sampled
+    // frame with its digest — the video→frames row-multiplying decode
+    // shape as a pure declarative plan (sequence + explode + substr;
+    // no UDF). MultimodalSpec pins the typed mapPartitions path
+    // (MultimodalOps.extractFrames) to these exact frames.
+    "multimodal_frames" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter($"text".isNotNull && length($"text") > 0)
+        .select($"doc_id", $"text", length($"text").as("n"))
+        .select($"doc_id", $"text",
+          explode(sequence(lit(0),
+            (($"n" + 95) / 96).cast("int") - 1)).as("frame_no"))
+        .select($"doc_id", $"frame_no",
+          md5($"text".substr($"frame_no" * 96 + 1, lit(32)).cast("binary"))
+            .as("frame_md5"))
+        .orderBy($"doc_id", $"frame_no")
+    },
+
     // Windowed event aggregation (batch form of the streaming plans).
     "events_tumbling_hour" -> { (s, dir) =>
       EventsOps.tumbling(Tables.events(s, dir), "1 hour")
@@ -1063,6 +1083,15 @@ object ExtensionQueries extends graft.QueryModule {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+        |  md5(substr(text, CAST(i * 96 + 1 AS INTEGER), 32)) AS frame_md5
+        |FROM f, LATERAL unnest(range(0, (n + 95) // 96)) AS t(i)
+        |ORDER BY doc_id, frame_no""".stripMargin,
 
     "events_tumbling_hour" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -46,6 +46,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("typed extractFrames matches the declarative multimodal_frames query") {
+    import org.apache.spark.sql.functions._
+    // The oracled query samples every 3rd 32-byte frame (stride 96); the
+    // typed path must produce byte-identical frames so a user can move
+    // between the declarative and mapPartitions forms freely.
+    val docs = Tables.documents(spark, sf).limit(50).cache()
+    val media = MultimodalOps.documentsAsMedia(spark, docs)
+    val typed = MultimodalOps.extractFrames(media, frameSize = 32, every = 3)
+      .collect()
+      .map(f => (f.media_id, f.frame_no.toLong,
+        java.security.MessageDigest.getInstance("MD5").digest(f.frame)
+          .map("%02x".format(_)).mkString))
+      .toSet
+    val declarative = docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          ((col("n") + 95) / 96).cast("int") - 1)).as("frame_no"))
+      .select(col("doc_id"), col("frame_no").cast("long"),
+        md5(col("text").substr(col("frame_no") * 96 + 1, lit(32))
+          .cast("binary")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(typed == declarative)
+    docs.unpersist()
+  }
+
   test("decodeStub is a pure function of the bytes") {
     val a = MultimodalOps.decodeStub("hello".getBytes("UTF-8"))
     val b = MultimodalOps.decodeStub("hello".getBytes("UTF-8"))
