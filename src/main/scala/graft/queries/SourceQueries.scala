@@ -48,6 +48,24 @@ object SourceQueries extends graft.QueryModule {
           min($"c_name").as("first_name"),
           max($"c_nationkey").as("max_nation"))
         .orderBy($"c_mktsegment")
+    },
+
+    // Lineitem through ORC: the second COLUMNAR at-rest format; the
+    // aggregate (with pushed shipdate filter on the ORC scan) must match
+    // the oracle reading the original parquet value-for-value.
+    "src_orc_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val path = FileSources.scratchDir("orc", "lineitem", dir)
+      val back = FileSources.orcRoundTrip(Tables.lineitem(s, dir), path)
+      back.filter($"l_shipdate" >= lit("1996-01-01"))
+        .groupBy($"l_returnflag").agg(
+          count(lit(1)).as("n_lines"),
+          sum($"l_quantity".cast(DecimalType(18, 4)))
+            .cast(DecimalType(38, 2)).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast(DecimalType(18, 4)))
+            .cast(DecimalType(38, 2)).cast("double").as("sum_price"),
+          max($"l_shipdate").as("last_ship"))
+        .orderBy($"l_returnflag")
     })
 
   // Oracles read the ORIGINAL parquet tables: any loss in the text
@@ -65,5 +83,14 @@ object SourceQueries extends graft.QueryModule {
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
         |  CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_acctbal,
         |  MIN(c_name) AS first_name, MAX(c_nationkey) AS max_nation
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "src_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        |  MAX(l_shipdate) AS last_ship
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -68,6 +68,21 @@ object FileSources {
       .schema(schema)
       .json(path)
 
+  /** Write `df` as ORC under `path` (overwrite), then read it back. ORC
+    * is the second columnar at-rest format (parquet being the primary):
+    * schema and values travel natively (no text-format pitfalls), so the
+    * round trip exercises only the format plumbing — still read with the
+    * explicit schema so column order and types are pinned, never taken
+    * from whatever the files claim. */
+  def orcRoundTrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").orc(path)
+    readOrc(df.sparkSession, path, df.schema)
+  }
+
+  def readOrc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Deterministic scratch dir for a (format, table, sfDir) triple —
     * keyed by the sf dir's basename so sf0.01 and sf0.1 runs never read
     * each other's files. */

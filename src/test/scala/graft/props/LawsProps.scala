@@ -108,6 +108,29 @@ object LawsProps extends Properties("graft.laws") with SparkTestBase {
       }
     }
 
+  property("SCD2 reconstruction: intervals replay every version's snapshot") =
+    forAll(Gen.listOfN(12, for {
+      k <- Gen.choose(0, 3)
+      ver <- Gen.choose(0, 30)
+      v <- Gen.option(Gen.choose(0, 2).map(i => s"v$i"))
+    } yield (k, ver, v.orNull))) { raw =>
+      // Versions unique per key (compressHistory's contract).
+      val rows = raw.groupBy(r => (r._1, r._2)).values.map(_.head).toList
+      val hist = rows.toDF("k", "ver", "v")
+      val scd2 = graft.ops.Cdc.compressHistory(hist, Seq("k"), "ver", Seq("v"))
+        .select($"k", $"v", $"valid_from", $"valid_to")
+        .as[(Int, Option[String], Int, Option[Int])].collect()
+      // For EVERY original (k, ver): exactly one interval covers it, and
+      // that interval carries the value of the latest change <= ver —
+      // i.e. the compacted history answers point-in-time lookups exactly.
+      rows.forall { case (k, ver, v) =>
+        val covering = scd2.filter { case (ik, _, from, to) =>
+          ik == k && from <= ver && to.forall(ver < _)
+        }
+        covering.length == 1 && covering.head._2 == Option(v)
+      }
+    }
+
   property("kmv est_distinct == exact count when distinct < k") =
     forAll(Gen.listOfN(30, Gen.choose(0L, 1000L))) { keys =>
       import graft.functions.Sketches

@@ -44,6 +44,12 @@ class FileSourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(canon(back) == canon(tricky))
   }
 
+  test("orc round trip preserves every value exactly") {
+    val back = FileSources.orcRoundTrip(tricky, tmp("orc"))
+    assert(shape(back) == shape(tricky))
+    assert(canon(back) == canon(tricky))
+  }
+
   test("csv read is schema-explicit: no inference pass, types as declared") {
     val back = FileSources.csvRoundTrip(tricky, tmp("csv2"))
     assert(back.schema("d").dataType.typeName == "double")
