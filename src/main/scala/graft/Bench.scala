@@ -27,12 +27,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: JVM + codegen + parquet footer caches, once per fixture
-    // family (lineitem-shaped and documents-shaped) — otherwise the
-    // alphabetically-first query of each family absorbs several seconds
-    // of one-time JIT/footer cost that belongs to no query.
+    // Warmup: JVM + codegen + parquet footer caches, once per OPERATOR
+    // family — otherwise the alphabetically-first query of each family
+    // absorbs seconds of one-time JIT cost that belongs to no query
+    // (measured: dedup_clusters cold 7.1 s vs 2.9 s steady-state, the
+    // delta being first-use JIT of the shingle explode + object-hash
+    // aggregate + shuffle-join pipeline it shares with every dedup_*
+    // query). Families: relational scan/agg, text battery, shingle/
+    // dedup joins, embedding lambdas, sketch aggregates.
     runOnce("q1_agg")
     runOnce("text_stats")
+    runOnce("dedup_jaccard_pairs")
+    runOnce("knn_cosine_topk_native")
+    runOnce("sketch_hll_buckets")
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration on a
     // hotspot subset); the driver never sets it, so contract runs are

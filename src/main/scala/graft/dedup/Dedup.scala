@@ -401,8 +401,11 @@ object Dedup {
       centroids: Int, threshold: Double,
       cosineFn: (Column, Column) => Column =
         graft.functions.VectorFunctions.cosine): DataFrame = {
+    // Three plan branches read the assignment (both pair-join sides and
+    // the survivor anti join); pin it so the centroid argmin runs over
+    // the corpus once, not three times (same diamond as jaccardPairs).
     val assigned = graft.functions.Knn
-      .ivfAssign(corpus, idCol, vecCol, centroids)
+      .ivfAssign(corpus, idCol, vecCol, centroids).localCheckpoint()
     val a = assigned.select(col("bucket"), col("vid").as("id_a"),
       col("v").as("va"))
     val b = assigned.select(col("bucket"), col("vid").as("id_b"),
