@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((ident, info, builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }
 
@@ -44,6 +45,11 @@ object GraftFunctions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.WindowTopKRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.WindowTopKRewrite
     }
   }
 
