@@ -540,6 +540,51 @@ object CoreQueries extends graft.QueryModule {
             transform(slice(v, 1, 8), _ => lit(1.0))).as("head8_total"))
     },
 
+    // MapType end-to-end (SURVEY §1.3's sub_category_dict mapping):
+    // build a (status → count) map per priority from grouped counts,
+    // then read it back through the map surface — element_at by key,
+    // size, sorted key list. Map construction is order-insensitive by
+    // key, so the collect_list feeding map_from_entries needs no
+    // ordering; every OUTPUT is a scalar the oracle reproduces from
+    // plain conditional aggregation (results-equal, not impl-equal).
+    "q_map_battery" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("__n"))
+        .groupBy($"o_orderpriority")
+        .agg(map_from_entries(collect_list(struct($"o_orderstatus", $"__n")))
+          .as("__m"))
+        .select($"o_orderpriority",
+          coalesce(element_at($"__m", "F"), lit(0L)).as("n_f"),
+          coalesce(element_at($"__m", "O"), lit(0L)).as("n_o"),
+          coalesce(element_at($"__m", "P"), lit(0L)).as("n_p"),
+          size($"__m").as("n_statuses"),
+          concat_ws(",", array_sort(map_keys($"__m"))).as("statuses"),
+          aggregate(map_values($"__m"), lit(0L), _ + _).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // StructType ordering surface: min/max over struct columns compare
+    // lexicographically (field order = tiebreak order), which is the
+    // shuffle-free argmin/argmax idiom used across the engine (IVF
+    // assignment, keep-first dedup). Outputs are plain fields; the
+    // oracle reproduces them with explicitly-tiebroken windows.
+    "q_struct_battery" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(
+          max(struct($"o_totalprice", $"o_orderkey")).as("best"),
+          min(struct($"o_orderdate", $"o_orderkey")).as("first"))
+        .select($"o_custkey",
+          $"best.o_totalprice".as("best_price"),
+          $"best.o_orderkey".as("best_key"),
+          $"first.o_orderdate".as("first_date"),
+          $"first.o_orderkey".as("first_key"))
+        .orderBy($"o_custkey")
+    },
+
     // LEFT OUTER join with null handling: order count per customer
     // including customers with none.
     "q_left_join_nulls" -> { (s, dir) =>
@@ -1180,6 +1225,30 @@ object CoreQueries extends graft.QueryModule {
         |  list_dot_product(v, list_transform(v, x -> 1.0)) AS total,
         |  list_dot_product(v[1:8], list_transform(v[1:8], x -> 1.0)) AS head8_total
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q_map_battery" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS INTEGER) AS n_statuses,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_struct_battery" ->
+      """WITH r AS (SELECT o_custkey, o_totalprice, o_orderkey, o_orderdate,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS rf
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  max(CASE WHEN rb = 1 THEN o_totalprice END) AS best_price,
+        |  max(CASE WHEN rb = 1 THEN o_orderkey END) AS best_key,
+        |  max(CASE WHEN rf = 1 THEN o_orderdate END) AS first_date,
+        |  max(CASE WHEN rf = 1 THEN o_orderkey END) AS first_key
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_left_join_nulls" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
