@@ -77,6 +77,35 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    // One hot key carrying ~100× the median partition's bytes, with the
+    // skew thresholds lowered so the fixture-scale skew qualifies. The
+    // assertion is on the ADAPTIVE plan AFTER execution: AQE must have
+    // replanned the sort-merge join with skew splitting — the runtime
+    // half of the engine's skew story (ScaleOps.saltedJoin is the
+    // static half for keys known hot in advance).
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val big = ((1 to 60000).map(i => (42, s"hot-payload-$i")) ++
+        (1 to 6000).map(i => (i % 200, s"tail-$i"))).toDF("k", "v")
+      val right = (0 to 200).flatMap(k => (1 to 5).map(j => (k, s"r$j")))
+        .toDF("k", "w")
+      val joined = big.join(right, Seq("k"))
+      // Execute through THIS QueryExecution (count()/write would build a
+      // fresh one and the adaptive re-plan would happen there): the
+      // final adaptive plan only exists after an action on this tree.
+      assert(joined.collect().length === 60000 * 5 + 6000 * 5)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split join in the adaptive plan, got:\n$plan")
+    }
+  }
+
   test("coPartition aligns both sides on the key partitioning") {
     val (a, b) = ScaleOps.coPartition(
       Seq((1, "a")).toDF("k", "v"), Seq((1, "b")).toDF("k", "w"), "k", 4)
