@@ -16,6 +16,12 @@ run / fork := true
 // which breaks machine consumers of Bench's one-line JSON contract
 // (a line-oriented parser sees "[info] {...}" — not JSON).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// When sbt runs under a PTY (as machine drivers often do), the
+// supershell progress bar interleaves ANSI control sequences
+// (e.g. ESC[0J) with the forked program's stdout — the captured
+// contract line becomes `{...}ESC[0J\r`, which no JSON parser
+// accepts. Kill the supershell so stdout is byte-clean.
+Global / useSuperShell := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

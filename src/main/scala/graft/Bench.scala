@@ -66,6 +66,7 @@ object Bench {
     // per-query map to a sidecar file for humans.
     val headline = Seq(
       "q1_agg", "q3_join_agg", "q5_multiway_join", "q7_nation_flows",
+      "q8_market_share", "q21_waiting_supplier",
       "q_window_rank", "q_topk_perkey_native", "ref_l2_upsert",
       "dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
       "knn_cosine_topk_native", "knn_ivf_topk", "events_session",
