@@ -12,7 +12,11 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default matches the contract environment (local[32], 32 shuffle
+    // partitions); the driver sets no CPU env var, so a conservative
+    // default here would benchmark the engine on 4 of the 32 cores.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors()))
     val spark = Sessions.local(cpus)
 
     def runOnce(name: String): Double = {
