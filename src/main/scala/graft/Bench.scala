@@ -39,17 +39,20 @@ object Bench {
     // aggregate + shuffle-join pipeline it shares with every dedup_*
     // query). Families: relational scan/agg, text battery, shingle/
     // dedup joins, embedding lambdas, sketch aggregates.
-    runOnce("q1_agg")
-    runOnce("text_stats")
-    runOnce("dedup_jaccard_pairs")
-    runOnce("knn_cosine_topk_native")
-    runOnce("sketch_hll_buckets")
-
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration on a
     // hotspot subset); the driver never sets it, so contract runs are
     // always the full set.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Restricted runs warm only the selected queries themselves — paying
+    // all five family warmups to iterate on one query defeats the env
+    // var's purpose.
+    only match {
+      case Some(sel) => sel.foreach(runOnce)
+      case None =>
+        Seq("q1_agg", "text_stats", "dedup_jaccard_pairs",
+          "knn_cosine_topk_native", "sketch_hll_buckets").foreach(runOnce)
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> runOnce(n))

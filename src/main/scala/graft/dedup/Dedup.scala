@@ -396,10 +396,17 @@ object Dedup {
     * shuffle key is the bucket id. Bucket skew is the risk at 100 TB:
     * use k-means centroids ([[graft.functions.Knn.kmeans]]) for balanced
     * buckets, and raise `centroids` with corpus size so per-bucket
-    * populations stay bounded. */
+    * populations stay bounded.
+    *
+    * `pairScoreFn` customizes only the WITHIN-BUCKET pair score; bucket
+    * assignment is always cosine-nearest-centroid (ivfAssign's metric).
+    * A non-cosine score therefore changes which same-bucket pairs drop,
+    * but the candidate space — which pairs are ever compared — remains
+    * cosine-shaped; pairs similar under the custom score whose vectors
+    * bucket apart under cosine are never considered. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Int, threshold: Double,
-      cosineFn: (Column, Column) => Column =
+      pairScoreFn: (Column, Column) => Column =
         graft.functions.VectorFunctions.cosine): DataFrame = {
     // Three plan branches read the assignment (both pair-join sides and
     // the survivor anti join); pin it so the centroid argmin runs over
@@ -412,7 +419,7 @@ object Dedup {
       col("v").as("vb"))
     val dropped = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(cosineFn(col("va"), col("vb")) >= threshold)
+      .filter(pairScoreFn(col("va"), col("vb")) >= threshold)
       .select(col("id_b").as("vid")).distinct()
     assigned.join(dropped, Seq("vid"), "left_anti")
       .select(col("vid"), col("bucket"))

@@ -69,14 +69,18 @@ object Typed {
     Encoders.product[ProductDetail]
   implicit val ratingEncoder: Encoder[Rating] = Encoders.product[Rating]
 
-  /** `as[T]` with the DECIMAL precision pinned to the DDL's, not the
-    * encoder's default (38,18): a plain `.as[ShopInfo]` would silently
-    * up-cast DECIMAL(10,2) columns and change arithmetic scale
-    * downstream. Selecting through the declared schema keeps the
-    * warehouse types authoritative and fails fast on missing columns. */
+  /** `as[T]` with the column types pinned to the DDL's — in particular
+    * DECIMAL precision, not the encoder's default (38,18): a plain
+    * `.as[ShopInfo]` would silently up-cast DECIMAL(10,2) columns and
+    * change arithmetic scale downstream. The explicit cast makes the
+    * warehouse types authoritative even when the input frame drifted
+    * (e.g. arithmetic widened a decimal); a bare select would only
+    * reorder columns and inherit whatever type the input carries.
+    * Missing columns still fail fast at analysis. */
   private def as[T](df: DataFrame, schema: org.apache.spark.sql.types.StructType)(
       implicit e: Encoder[T]): Dataset[T] =
-    df.select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*).as[T]
+    df.select(schema.fields
+      .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*).as[T]
 
   def shopInfo(df: DataFrame): Dataset[ShopInfo] =
     as[ShopInfo](df, Schemas.shopInfo)

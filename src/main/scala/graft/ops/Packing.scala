@@ -49,6 +49,11 @@ object Packing {
       .filter(col(textCol).isNotNull)
       .select(col(idCol), TextFunctions.tokenCount(col(textCol))
         .cast("long").as("__n"))
+      // Enforce "no tokens → no rows" here rather than relying on the
+      // tokenizer never returning 0: a zero-token doc would make the
+      // sequence() below DESCEND (Spark auto-steps -1 when stop < start)
+      // and emit spurious zero-width chunk rows.
+      .filter(col("__n") > 0)
       .repartitionByRange(col(idCol))
       .withColumn("__pid", spark_partition_id())
     // Exclusive cross-partition offsets: cumsum over the (tiny)

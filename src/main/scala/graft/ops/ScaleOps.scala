@@ -48,16 +48,27 @@ object ScaleOps {
   def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
       m: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
     import graft.functions.Sketches
+    // Internal columns carry a __bloom_ prefix: `big` is an arbitrary
+    // caller frame, so a bare name like "positions" could collide with
+    // one of its columns and make the probe ambiguous.
     val filter = Sketches.bloomBuild(small, col(key), m, numHashes)
+      .withColumnRenamed("positions", "__bloom_positions")
+    // Project the md5 digest ONCE per row, then derive the k slots from
+    // it — inlining base28 into each conjunct re-digests the key
+    // numHashes times on exactly the hot pre-shuffle path this helper
+    // exists to thin (same one-digest rule as Sketches.bloomContains).
     val member = (0 until numHashes)
-      .map(j => array_contains(col("positions"),
-        pmod(Sketches.affineSlot(Sketches.base28(col(key), "bloom"), lit(j)),
-          lit(m))))
+      .map(j => array_contains(col("__bloom_positions"),
+        pmod(Sketches.affineSlot(col("__bloom_b"), lit(j)), lit(m))))
       .reduce(_ && _)
-    big.crossJoin(broadcast(filter))
+    big.withColumn("__bloom_b", Sketches.base28(col(key), "bloom"))
+      .crossJoin(broadcast(filter))
       .filter(member) // inline projection-level prune, no shuffle
-      .drop("positions")
-      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+      .drop("__bloom_positions", "__bloom_b")
+      // No distinct on the build side: left_semi deduplicates by
+      // definition, and the extra exchange+aggregate costs more than the
+      // duplicate probe rows it would remove.
+      .join(small.select(col(key)), Seq(key), "left_semi")
   }
 
   /** Durable co-location: write as a bucketed+sorted catalog table. Two

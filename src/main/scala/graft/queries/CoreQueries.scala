@@ -21,10 +21,7 @@ import graft.model.Tables
   */
 object CoreQueries extends graft.QueryModule {
 
-  /** Exact decimal sum of a double column, surfaced as an
-    * engine-independent double (see [[Parity.roundedDouble]]). */
-  private def dsum(c: Column): Column =
-    Parity.roundedDouble(sum(c.cast(DecimalType(18, 4))))
+  private def dsum(c: Column): Column = Parity.dsum(c)
 
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -42,8 +39,7 @@ object CoreQueries extends graft.QueryModule {
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(
-          sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
-            (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
+          sum(Parity.rev($"l_extendedprice", $"l_discount"))
             .pipe(Parity.roundedDouble).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"c_mktsegment")
@@ -68,8 +64,7 @@ object CoreQueries extends graft.QueryModule {
         .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
-          (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
+        .agg(sum(Parity.rev($"l_extendedprice", $"l_discount"))
           .pipe(Parity.roundedDouble).as("revenue"))
         .orderBy($"r_name", $"n_name")
     },
@@ -635,8 +630,7 @@ object CoreQueries extends graft.QueryModule {
         .join(broadcast(n2), $"c_nationkey" === $"ck")
         .filter($"supp_nation" =!= $"cust_nation")
         .groupBy($"supp_nation", $"cust_nation")
-        .agg(sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
-          (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
+        .agg(sum(Parity.rev($"l_extendedprice", $"l_discount"))
           .pipe(Parity.roundedDouble).as("revenue"))
         .orderBy($"supp_nation", $"cust_nation")
     },
@@ -697,8 +691,7 @@ object CoreQueries extends graft.QueryModule {
       val part = Tables.part(s, dir).select($"p_partkey", $"p_type")
       val li = Tables.lineitem(s, dir)
         .select($"l_partkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
-      val rev = $"l_extendedprice".cast(DecimalType(18, 4)) *
-        (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))
+      val rev = Parity.rev($"l_extendedprice", $"l_discount")
       li.join(broadcast(part), $"l_partkey" === $"p_partkey")
         .groupBy(trunc($"l_shipdate", "month").as("month"))
         .agg(
@@ -742,8 +735,7 @@ object CoreQueries extends graft.QueryModule {
         .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name", year($"o_orderdate").as("o_year"))
         .agg(
-          sum($"l_extendedprice".cast(DecimalType(18, 4)) *
-            (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4))))
+          sum(Parity.rev($"l_extendedprice", $"l_discount"))
             .pipe(Parity.roundedDouble).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"n_name", $"o_year")
@@ -764,8 +756,7 @@ object CoreQueries extends graft.QueryModule {
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .groupBy($"c_custkey", $"c_name")
         .agg(
-          sum($"l_extendedprice".cast(DecimalType(18, 4)) *
-            (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4))))
+          sum(Parity.rev($"l_extendedprice", $"l_discount"))
             .pipe(Parity.roundedDouble).as("revenue"))
         .orderBy($"revenue".desc, $"c_custkey")
         .limit(20)
@@ -920,8 +911,7 @@ object CoreQueries extends graft.QueryModule {
         .agg(
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
-          sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
-            (lit(1).cast(DecimalType(18, 4)) - $"l_discount".cast(DecimalType(18, 4)))))
+          sum(Parity.rev($"l_extendedprice", $"l_discount"))
             .pipe(Parity.roundedDouble).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")

@@ -15,4 +15,21 @@ object Parity {
   /** Surface a decimal aggregate as an engine-independent double. */
   def roundedDouble(c: Column): Column =
     c.cast(DecimalType(38, 2)).cast("double")
+
+  /** Exact decimal sum of a double column, surfaced as an
+    * engine-independent double. The ONE definition: query modules must
+    * not re-derive the precision locally, or a future precision change
+    * would have to find every copy to keep Spark-vs-oracle parity. */
+  def dsum(c: Column): Column = {
+    import org.apache.spark.sql.functions.sum
+    roundedDouble(sum(c.cast(DecimalType(18, 4))))
+  }
+
+  /** l_extendedprice * (1 - l_discount) in exact decimal — the TPC-H
+    * revenue term, shared for the same single-definition reason. */
+  def rev(price: Column, disc: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    price.cast(DecimalType(18, 4)) *
+      (lit(1).cast(DecimalType(18, 4)) - disc.cast(DecimalType(18, 4)))
+  }
 }

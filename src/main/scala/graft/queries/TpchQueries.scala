@@ -23,13 +23,11 @@ import graft.model.Tables
   */
 object TpchQueries extends graft.QueryModule {
 
-  private def dsum(c: Column): Column =
-    Parity.roundedDouble(sum(c.cast(DecimalType(18, 4))))
+  private def dsum(c: Column): Column = Parity.dsum(c)
 
   /** l_extendedprice * (1 - l_discount) in exact decimal. */
   private def rev(price: Column, disc: Column): Column =
-    price.cast(DecimalType(18, 4)) *
-      (lit(1).cast(DecimalType(18, 4)) - disc.cast(DecimalType(18, 4)))
+    Parity.rev(price, disc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -209,9 +207,14 @@ object TpchQueries extends graft.QueryModule {
       import s.implicits._
       val brandParts = Tables.part(s, dir)
         .filter($"p_brand" === "Brand#12").select($"p_partkey")
+      // Pin the brand-filtered join: it feeds BOTH the per-part average
+      // and the main scan, and without the checkpoint each branch
+      // re-executes the lineitem scan + broadcast join (the jaccardPairs
+      // diamond). The pinned set is tiny — one brand's lineitems.
       val li = Tables.lineitem(s, dir)
         .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
         .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        .localCheckpoint()
       val avgQ = li.groupBy($"l_partkey".as("__pk"))
         .agg((dsum($"l_quantity") / count(lit(1)).cast("double"))
           .as("__avg"))

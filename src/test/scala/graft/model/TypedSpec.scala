@@ -67,4 +67,16 @@ class TypedSpec extends AnyFunSuite with SparkTestBase {
     val dt = ds.schema("good_review_percent").dataType
     assert(dt == DecimalType(10, 2))
   }
+
+  test("typed surface re-pins decimals the input frame has drifted wider") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Arithmetic widens DECIMAL(10,2); the typed boundary must cast back
+    // to the DDL type, not inherit the drift.
+    val drifted = df(Schemas.shopInfo, shopRow)
+      .withColumn("score", col("score") * lit(1))
+    assert(drifted.schema("score").dataType != DecimalType(10, 2))
+    val ds = Typed.shopInfo(drifted)
+    assert(ds.schema("score").dataType == DecimalType(10, 2))
+    assert(ds.collect().head.score == new JBigDecimal("4.80"))
+  }
 }

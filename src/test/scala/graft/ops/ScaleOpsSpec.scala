@@ -52,6 +52,25 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(bloomed == plain)
   }
 
+  test("bloomSemiJoin tolerates caller columns named like its internals") {
+    // The probe frame is arbitrary caller data: a column literally named
+    // "positions" must not collide with the broadcast filter's array.
+    val big = graft.model.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber",
+        org.apache.spark.sql.functions.array($"l_linenumber").as("positions"))
+    val small = graft.model.Tables.orders(spark, sf)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey"))
+    val plain = big.join(small.distinct(), Seq("l_orderkey"), "left_semi")
+      .select($"l_orderkey", $"l_linenumber")
+      .as[(Long, Int)].collect().sorted.toSeq
+    val bloomed = ScaleOps.bloomSemiJoin(big, small, "l_orderkey", m = 4096)
+      .select($"l_orderkey", $"l_linenumber")
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(bloomed == plain)
+    assert(bloomed.nonEmpty)
+  }
+
   test("bucketed tables join with no exchange (shuffle paid at write time)") {
     val li = graft.model.Tables.lineitem(spark, sf)
       .select($"l_orderkey", $"l_quantity")
