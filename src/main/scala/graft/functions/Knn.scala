@@ -208,9 +208,7 @@ object Knn {
     * once and broadcast. */
   def lshPlanes(spark: SparkSession, tables: Int, bits: Int,
       dims: Int): DataFrame = {
-    def u(c: Column): Column =
-      conv(substring(md5(c), 1, 13), 16, 10).cast("double") /
-        lit(4503599627370496.0) // 2^52
+    def u(c: Column): Column = graft.functions.Sketches.unit52(c)
     val t = floor(col("id") / bits).cast("int")
     val p = pmod(col("id"), lit(bits)).cast("int")
     spark.range(tables.toLong * bits).select(
@@ -299,6 +297,13 @@ object Knn {
       m: Int, k: Int, dims: Int): DataFrame = {
     val sub = dims / m
     require(m * sub == dims, s"m=$m must divide dims=$dims")
+    // The flat books array is addressed with a FIXED stride of k
+    // (index j*k + p in pqTopK): fewer than k corpus vectors would
+    // silently mis-stride every subspace after the first, so fail
+    // loudly. The count scans ≤ k rows (limit pushes down).
+    val have = corpus.select(col(idCol)).limit(k).count()
+    require(have == k,
+      s"pqCodebooks needs >= $k corpus vectors for k=$k, found $have")
     corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cid"), VectorFunctions.toDouble(col(vecCol)).as("v"))
       .select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("j"),

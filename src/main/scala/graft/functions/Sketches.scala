@@ -35,6 +35,15 @@ object Sketches {
 
   val HashSpace: Long = 1L << 52
 
+  /** Uniform [0, 1) double from an arbitrary pre-salted string column —
+    * the 52-bit family above without the (key, salt) shape, for callers
+    * that hash structured coordinates (e.g. LSH plane components). ONE
+    * definition: the digit count and 2^52 divisor must never drift from
+    * [[hash52]]/[[HashSpace]], or oracle-replayed hashes shift. */
+  def unit52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("double") /
+      lit(HashSpace.toDouble)
+
   /** KMV distinct-count estimate of `key` per `group`.
     *
     * Output: (group, n_kept, kth_hash, est_distinct). For groups with

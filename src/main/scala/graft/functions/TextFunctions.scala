@@ -171,7 +171,13 @@ object TextFunctions {
     * classic gibberish/boilerplate quality signal: low for repeated
     * filler, high for random noise; natural text sits in between.
     * Computed as log2(n) - (Σ cnt·log2(cnt))/n over per-char counts, so
-    * the only floating-point steps are log2/divide on exact integers. */
+    * the only floating-point steps are log2/divide on exact integers.
+    *
+    * PERF: O(distinct·len) per row — the inner filter re-splits the text
+    * once per distinct character. Fine as an inline filter on short
+    * fields; for corpus-scale per-doc scoring use the linear
+    * explode → per-(doc, char) count → fold formulation (see the
+    * text_char_entropy query — measured 4× faster at sf0.1). */
   def charEntropy(text: Column): Column = {
     val counts = transform(
       array_distinct(split(text, "")),

@@ -30,7 +30,14 @@ object Sampling {
 
   /** Split assignment: named buckets with weights (need not sum to 1;
     * they are normalized). Rows hash into buckets by cumulative weight,
-    * e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. */
+    * e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`.
+    *
+    * A null key gets a NULL split: without the guard every null-key row
+    * would fall through the when-chain into the LAST bucket — a
+    * deterministic, correlated leak into what is usually the held-out
+    * test split. Null-key rows are the caller's decision (filter or
+    * repair); they are never silently bucketed, matching
+    * [[sampleByHash]]/[[stratifiedK]] which drop null keys. */
   def splitColumn(key: Column, salt: String,
       splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
@@ -39,9 +46,11 @@ object Sampling {
     val u = hashUnit(key, salt)
     val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
     // Last bucket is the otherwise-branch: covers u up to 1 exactly.
-    splits.init.zip(cums.init).foldRight(lit(splits.last._1): Column) {
-      case (((name, _), cum), rest) => when(u < lit(cum), name).otherwise(rest)
-    }
+    val chain = splits.init.zip(cums.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), cum), rest) => when(u < lit(cum), name).otherwise(rest)
+      }
+    when(key.isNull, lit(null).cast("string")).otherwise(chain)
   }
 
   /** Keep ~fraction of rows, chosen deterministically by key hash. */

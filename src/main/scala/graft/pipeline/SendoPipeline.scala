@@ -28,6 +28,13 @@ object SendoPipeline {
 
   // ---- payload schemas (FIXTURES.md §2; explicit, fail-fast) ----
 
+  /** from_json options: a malformed (non-JSON) body must FAIL the job,
+    * not parse to null and silently drop the page via explode(null) —
+    * the reference's pandas parse raises on garbage too. A well-formed
+    * body whose `data` is null stays a normal skip: that is the scan's
+    * last-page protocol (reference dags/etl.py:58). */
+  private val FailFast = Map("mode" -> "FAILFAST")
+
   private val sitemapChild = StructType(Seq(StructField("url_key", StringType)))
   private val sitemapCat = StructType(Seq(
     StructField("url_key", StringType),
@@ -91,7 +98,7 @@ object SendoPipeline {
     import spark.implicits._
     val body = transport.get(SitemapUrl) // one request, driver-side (S1)
     Seq(body).toDF("json")
-      .select(from_json($"json", sitemapSchema).as("j"))
+      .select(from_json($"json", sitemapSchema, FailFast).as("j"))
       .select(explode($"j.result.data").as("cat"))
       .select($"cat.url_key".as("category"),
         explode($"cat.child.url_key").as("sub_category"))
@@ -103,7 +110,13 @@ object SendoPipeline {
   def products(spark: SparkSession, subCats: DataFrame,
       transport: Transport): DataFrame = {
     import spark.implicits._
-    val keys = subCats.select(
+    // A null category/sub_category cannot form a scan URL — concat_ws
+    // SKIPS nulls, so the key would silently lose its separator and the
+    // split-indexing in the fetch lambda would crash the executor task.
+    // Droppable rows are dropped explicitly, here.
+    val keys = subCats
+      .filter(col("category").isNotNull && col("sub_category").isNotNull)
+      .select(
       concat_ws("|", col("category"), col("sub_category")).as("key"))
       .as[String]
     val pages = RestScan.paginated(keys,
@@ -114,7 +127,7 @@ object SendoPipeline {
       .withColumn("category", split(col("key"), "\\|").getItem(0))
       .withColumn("sub_category", split(col("key"), "\\|").getItem(1))
       .select(col("category"), col("sub_category"),
-        explode(from_json(col("body"), productPageSchema).getField("data"))
+        explode(from_json(col("body"), productPageSchema, FailFast).getField("data"))
           .as("p"))
       .select(col("p.*"), col("category"), col("sub_category"))
     RefOps.project(Schemas.productColumns)(parsed)
@@ -133,7 +146,7 @@ object SendoPipeline {
       .as[String]
     val bodies = RestScan.perKey(keys, detailUrl, transport).toDF("path", "body")
     val parsed = bodies
-      .select(from_json(col("body"), shopDetailSchema)
+      .select(from_json(col("body"), shopDetailSchema, FailFast)
         .getField("data").getField("shop_info").as("s"))
       .select(col("s.*"))
     RefOps.project(Schemas.shopInfoColumns)(parsed)
@@ -149,7 +162,7 @@ object SendoPipeline {
       RestScan.ratingLastPage).toDF("shop_id", "page", "body")
     val parsed = pages
       .select(col("shop_id"),
-        explode(from_json(col("body"), ratingPageSchema)
+        explode(from_json(col("body"), ratingPageSchema, FailFast)
           .getField("data").getField("ratings")).as("r"))
       .select(col("shop_id"), col("r.*"))
       .withColumn("update_time",

@@ -32,6 +32,21 @@ case class TopKPerKey(keys: Seq[Expression], ordering: Seq[SortOrder],
     copy(child = newChild)
 }
 
+object TopKPerKey {
+
+  /** Group keys go through raw UnsafeRow byte comparison (the heaps) and
+    * HashPartitioning (the exchange), so floating-point keys need the
+    * same 0.0/-0.0 and NaN canonicalization Spark's optimizer applies to
+    * Window partition specs and grouping keys — without it a double key
+    * holding both zero encodings splits one semantic group across two
+    * heaps and potentially two partitions. Spark's own
+    * NormalizeFloatingNumbers rule does not know this node, so the
+    * constructors normalize explicitly. No-op for non-float keys. */
+  def normalized(keys: Seq[Expression], ordering: Seq[SortOrder], k: Int,
+      child: LogicalPlan): TopKPerKey =
+    TopKPerKey(keys.map(GraftSqlShim.normalizeFloats), ordering, k, child)
+}
+
 case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
 
@@ -166,6 +181,6 @@ object TopK {
         case ne: NamedExpression => ne
       }
     GraftSqlShim.ofRows(df.sparkSession,
-      TopKPerKey(keyExprs, sortOrders, k, sorted.child))
+      TopKPerKey.normalized(keyExprs, sortOrders, k, sorted.child))
   }
 }

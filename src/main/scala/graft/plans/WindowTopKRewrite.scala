@@ -73,8 +73,8 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
             residual.exists(_.references.exists(_.exprId == rank.exprId))
           if (bounds.size == 1 && bounds.head >= 1 &&
               !projReferencesRank && !residualReferencesRank) {
-            val topk = TopKPerKey(w.partitionSpec, w.orderSpec, bounds.head,
-              w.child)
+            val topk = TopKPerKey.normalized(w.partitionSpec, w.orderSpec,
+              bounds.head, w.child)
             Project(projList,
               residual.reduceOption(And).map(Filter(_, topk)).getOrElse(topk))
           } else p

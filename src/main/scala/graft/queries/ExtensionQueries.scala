@@ -795,7 +795,10 @@ object ExtensionQueries extends graft.QueryModule {
           case (rest, ((name, _), cum)) =>
             s"CASE WHEN $u < $cum THEN '$name' ELSE $rest END"
         }
-      s"""SELECT doc_id, source, $cases AS split
+      // Null-key guard mirrors Sampling.splitColumn: null doc_id →
+      // NULL split in both engines (never a silent last-bucket leak).
+      s"""SELECT doc_id, source,
+         |  CASE WHEN doc_id IS NULL THEN NULL ELSE $cases END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 

@@ -1,7 +1,6 @@
 package graft.sink
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MERGE/upsert semantics of the reference's staged loads (SURVEY §2.4,
@@ -32,10 +31,7 @@ object Upsert {
   def upsert(target: DataFrame, source: DataFrame, pk: Seq[String],
       winner: Option[Seq[Column]] = None): DataFrame = {
     val src = winner match {
-      case Some(order) =>
-        val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
-        source.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+      case Some(order) => graft.ops.RefOps.dedupByKeyFirst(pk, order)(source)
       case None => source.dropDuplicates(pk)
     }
     // Source may carry extra columns (e.g. the winner-ordering version);
@@ -64,8 +60,14 @@ object Upsert {
     } else {
       val target = spark.read.parquet(targetPath)
       // Partition pruning: only read target partitions present in source.
-      val touched = source.select(partitionCol).distinct()
-      val affected = target.join(broadcast(touched), Seq(partitionCol), "left_semi")
+      // NULL-SAFE (<=>) on the partition value: parquet stores null
+      // partitions as a real directory, and dynamic overwrite rewrites
+      // it whenever the source touches it — an equi-join here would skip
+      // existing null-partition target rows and the rewrite would then
+      // silently drop them.
+      val touched = source.select(col(partitionCol).as("__touched_p")).distinct()
+      val affected = target.join(broadcast(touched),
+        col(partitionCol) <=> col("__touched_p"), "left_semi")
       upsert(affected, source, pk, winner)
     }
     merged.write

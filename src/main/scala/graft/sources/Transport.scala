@@ -55,6 +55,13 @@ class HttpTransport(
         try {
           val code = conn.getResponseCode
           if (code >= 500) throw new IOException(s"HTTP $code for $url")
+          // 4xx is not transient: retrying a 404/403 just burns
+          // maxRetries×backoff per permanently-failing URL (and
+          // getInputStream would throw IOException for it, which the
+          // retry loop below would treat as transient). Fail fast with a
+          // non-IOException.
+          if (code >= 400)
+            throw new IllegalStateException(s"HTTP $code (client error) for $url")
           return new String(conn.getInputStream.readAllBytes(),
             StandardCharsets.UTF_8)
         } finally conn.disconnect()

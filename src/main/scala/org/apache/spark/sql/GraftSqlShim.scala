@@ -16,4 +16,10 @@ object GraftSqlShim {
 
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Spark's 0.0/-0.0 + NaN canonicalization for grouping/join keys
+    * (private[sql]); no-op for expressions that don't need it. */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -23,6 +23,17 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestBase {
     assert(native == windowed && native.nonEmpty)
   }
 
+  test("0.0 and -0.0 double keys form ONE group, like the window form") {
+    // Raw UnsafeRow bytes differ for the two zero encodings; the keys
+    // must be normalized at construction or one semantic group splits
+    // across two heaps (and potentially two shuffle partitions).
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L))
+      .toDF("k", "v")
+    val got = TopK.perKey(df, Seq($"k"), Seq($"v"), 1)
+      .select("v").as[Long].collect().toSet
+    assert(got == Set(1L, 4L), s"got $got")
+  }
+
   test("plans as partial + final with one exchange between them") {
     val plan = TopK.perKey(Tables.orders(spark, sf),
         Seq($"o_custkey"), Seq($"o_totalprice".desc), 2)

@@ -54,6 +54,23 @@ class UpsertSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(path).filter($"day" === "2024-01-01").count() == 1)
   }
 
+  test("upsertPartitioned preserves existing null-partition rows on merge") {
+    // Null partition values land in a real parquet partition directory;
+    // when the source touches it, the semi join selecting affected
+    // target rows must be null-safe or the dynamic overwrite silently
+    // drops every pre-existing null-partition row.
+    val dir = java.nio.file.Files.createTempDirectory("upsert_nullp").toString
+    val path = s"$dir/t"
+    val base = Seq((1, "a", Option("2024-01-01")), (2, "b", None))
+      .toDF("k", "v", "day")
+    Upsert.upsertPartitioned(spark, path, base, Seq("k"), "day")
+    val delta = Seq((3, "c", Option.empty[String])).toDF("k", "v", "day")
+    Upsert.upsertPartitioned(spark, path, delta, Seq("k"), "day")
+    val got = spark.read.parquet(path)
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("partitioned warehouse reads prune to the filtered partitions") {
     val dir = java.nio.file.Files.createTempDirectory("upsert_prune").toString
     val path = s"$dir/t"
