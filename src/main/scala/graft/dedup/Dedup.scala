@@ -27,10 +27,19 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
 
-  /** Keep one row per exact-duplicate group (the minimum-id row). */
+  /** Keep one row per exact-duplicate group (the minimum-id row).
+    * Null-text rows all pass through: they have no fingerprint, so they
+    * are not duplicates of each other (the module's null policy, see
+    * [[incrementalDedup]]). Implemented by giving each null-text row its
+    * OWN group key ("null:" + id — a ':' never occurs in an md5 hex
+    * fingerprint, so synthetic keys cannot collide with real ones); the
+    * filter stays the pure `row_number = 1` idiom, which is what lets
+    * [[graft.plans.WindowTopKRewrite]] route this through the native
+    * bounded-heap operator. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(TextFunctions.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
+    val key = coalesce(TextFunctions.fingerprint(col(textCol)),
+      concat(lit("null:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(key).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn")
   }
@@ -131,7 +140,10 @@ object Dedup {
     * results are identical. */
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(df, textCol, idCol, n)
+    // Same diamond as jaccardPairs: the shingle table feeds ~6 plan
+    // branches (sizes, dfs, ranked, both verification joins, final
+    // lookups) — pin it so tokenize+shingle+explode runs once.
+    val sh = shingleTable(df, textCol, idCol, n).localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfs, Seq("shingle"))
@@ -308,7 +320,9 @@ object Dedup {
   /** Fixed-size token chunks of a raw text column (1-based slices of the
     * space-split tokens, original case preserved) — the unit function for
     * [[unitDedup]] on unstructured text that has no paragraph breaks.
-    * Empty text yields an empty array; null text stays null. */
+    * Empty text yields one empty chunk (split("", " ") = [""] — pinned
+    * by DedupSpec); null text yields an EMPTY array (no units), which is
+    * what makes null-text docs disappear from [[unitDedup]] output. */
   def tokenChunks(text: Column, chunkTokens: Int): Column = {
     val toks = split(text, " ")
     when(size(toks) > 0,
@@ -433,11 +447,19 @@ object Dedup {
     * per-fingerprint, partitioned by Spark's streaming state store, so it
     * scales out with the cluster rather than any single host's memory. */
   def exactDedupStream(df: DataFrame, textCol: String, tsCol: String,
-      watermark: String): DataFrame =
-    df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      watermark: String): DataFrame = {
+    // Null-text rows pass through un-deduplicated (the module's null
+    // policy): fingerprint(null) is null, and running the null key
+    // through the state store would collapse every null-text document
+    // into one. The null branch is stateless, so the union adds no
+    // watermark or state interaction.
+    val fp = df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+    val deduped = fp.filter(col("__fp").isNotNull)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+    deduped.unionByName(fp.filter(col("__fp").isNull).drop("__fp"))
+  }
 
   /** Default 64-bit token/shingle hash: xxhash64 (codegen'd, fast). */
   val xxHash: Column => Column = c => xxhash64(c)

@@ -12,27 +12,27 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Hashing: XXH64 of the shingle's UTF-8 bytes, salted by the hash-function
   * index as the seed (same family as Spark's `xxhash64`, via the lz4-java
-  * library Spark already ships). Usage:
+  * library Spark already ships). Usage (over a typed (id, shingle)
+  * Dataset — see MinHashAggSpec's adapter for Row-shaped input):
   * {{{
-  *   shingleTable.groupByKey(_.getLong(0))
-  *     .agg(new MinHashAgg(16).toColumn)
+  *   shingles.groupByKey(_._1)
+  *     .agg(new MinHashAggOnPair(16).toColumn)  // input (Long, String)
   * }}}
   */
 class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Seq[Long]] {
 
   @transient private lazy val factory = XXHashFactory.fastestInstance()
 
-  private def hash(shingle: String, seed: Long): Long = {
-    val bytes = shingle.getBytes("UTF-8")
-    factory.hash64().hash(bytes, 0, bytes.length, seed)
-  }
-
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    // Encode the shingle and obtain the hasher ONCE per row, not once
+    // per hash slot — this loop is the aggregation hot path.
+    val bytes = shingle.getBytes("UTF-8")
+    val h64 = factory.hash64()
     var i = 0
     while (i < k) {
-      val h = hash(shingle, i.toLong)
+      val h = h64.hash(bytes, 0, bytes.length, i.toLong)
       if (h < buf(i)) buf(i) = h
       i += 1
     }

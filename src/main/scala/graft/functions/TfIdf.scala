@@ -40,7 +40,12 @@ object TfIdf {
   def topTerms(docs: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     val tf = termFreq(docs, textCol, idCol)
-    val df = docFreq(docs, textCol, idCol)
+    // df derives from tf — one row per (doc, token) exists there already,
+    // so counting rows per token IS the document frequency. Running
+    // docFreq instead would tokenize and shuffle the whole corpus a
+    // second time; here the second pass aggregates the (already tiny)
+    // tf aggregate, and the tf exchange is reused across both branches.
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf.join(df, "token").crossJoin(broadcast(n))
       .withColumn("score",

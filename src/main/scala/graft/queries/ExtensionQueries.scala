@@ -1150,7 +1150,8 @@ object ExtensionQueries extends graft.QueryModule {
         |types AS (SELECT DISTINCT event_type FROM ev)
         |SELECT spine.h AS hour, types.event_type AS event_type, COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN types
-        |LEFT JOIN counts ON counts.h = spine.h AND counts.event_type = types.event_type
+        |LEFT JOIN counts ON counts.h = spine.h
+        |  AND counts.event_type IS NOT DISTINCT FROM types.event_type
         |ORDER BY hour, event_type""".stripMargin,
 
     "events_sliding" ->

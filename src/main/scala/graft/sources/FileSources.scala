@@ -21,9 +21,15 @@ object FileSources {
 
   /** Null sentinel for CSV: with the default (empty string) a read-back
     * cannot distinguish NULL from '' — the classic CSV ambiguity — so
-    * both directions pin the MySQL-style `\N` marker. (A data string
-    * equal to the raw two characters `\N` is quoted on write, so the
-    * marker never collides with payload.) */
+    * both directions pin the MySQL-style `\N` marker.
+    *
+    * LIMITATION: a payload string equal to the raw two characters `\N`
+    * still reads back as NULL — the writer only quotes values containing
+    * delimiter/quote/newline, and the parser compares the null marker
+    * AFTER unquoting anyway, so no quoting scheme protects it. CSV
+    * sentinels are inherently in-band; the marker merely moves the
+    * collision from the common '' to an unlikely token. Payloads that
+    * may legitimately contain `\N` belong in parquet/ORC/JSON, not CSV. */
   val CsvNullMarker = "\\N"
 
   /** Write `df` as headered CSV under `path` (overwrite), then read it

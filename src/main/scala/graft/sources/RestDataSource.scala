@@ -131,6 +131,15 @@ private[sources] case class RestInputPartition(keys: Seq[String])
   * 1. A page at/past a key's terminator contributes no rows. `maxPages`
   * bounds the offset; once reached the stream stops advancing (idles).
   *
+  * Keys whose scan already terminated are still probed once per window:
+  * the offset is deliberately stateless (see below), and DSv2 streaming
+  * gives executors no channel to report "key done" back to the driver's
+  * offset planning — so the cost is bounded at `pagesPerBatch` requests
+  * per finished key per batch, and `maxPages` caps the total. Origins
+  * that answer past-the-end pages with 4xx instead of an empty payload
+  * are handled: a client error IS the terminator for that key's window
+  * (transient 5xx/transport failures still fail the task and retry).
+  *
   * Implements [[SupportsAdmissionControl]] so the engine hands the
   * current start offset to `latestOffset(start, limit)`: the next window
   * is derived STATELESSLY from it (`min(start + pagesPerBatch,
@@ -201,9 +210,17 @@ private[sources] case class RestStreamReaderFactory(urlTemplate: String,
         .map { page =>
           val url = urlTemplate
             .replace("{key}", key).replace("{page}", page.toString)
-          (key, page, transport.get(url))
+          // 4xx past a key's last page is a terminator, not a failure:
+          // the stream re-probes finished keys every window (stateless
+          // offsets), and many origins 404 beyond the end. Transport
+          // throws IllegalStateException exactly for client errors;
+          // transient errors (IOException after retries) still
+          // propagate and fail the task.
+          try Some((key, page, transport.get(url)))
+          catch { case _: IllegalStateException => None }
         }
-        .takeWhile { case (_, _, body) => !isLast(body) }
+        .takeWhile(_.exists { case (_, _, body) => !isLast(body) })
+        .map(_.get)
     }
     new PartitionReader[InternalRow] {
       private var current: (String, Int, String) = _

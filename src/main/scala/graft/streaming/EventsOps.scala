@@ -12,6 +12,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventsOps {
 
+  // NOT Parity.dsum: event values are small (unit-scale) doubles, so the
+  // pinned precision here is (18,6) — matching every events_* oracle's
+  // `CAST(value AS DECIMAL(18,6))` — not the (18,4) of the TPC-H money
+  // columns. A precision change must update this AND those oracles.
   private def dsum(c: Column): Column =
     graft.queries.Parity.roundedDouble(sum(c.cast(DecimalType(18, 6))))
 
@@ -54,10 +58,19 @@ object EventsOps {
       .select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 hour"))).as("h"))
     val types = ev.select(col("event_type")).distinct()
-    spine.crossJoin(broadcast(types))
-      .join(counts, Seq("h", "event_type"), "left")
-      .select(col("h").as("hour"), col("event_type"),
-        coalesce(col("n"), lit(0L)).as("n"))
+    // Null-safe (<=>) on event_type: a null type is a legitimate key
+    // (distinct() emits it, SQL GROUP BY groups it) — an equi-join would
+    // never match it and the fill would report n=0 for hours where null-
+    // typed events actually occurred (an undercount, not a missing row).
+    // Explicit aliases: all three frames share the `ev` lineage, so
+    // unqualified references are ambiguous self-join columns.
+    spine.as("s").crossJoin(broadcast(types.as("t")))
+      .join(counts.as("c"),
+        col("s.h") === col("c.h") &&
+          (col("t.event_type") <=> col("c.event_type")),
+        "left")
+      .select(col("s.h").as("hour"), col("t.event_type").as("event_type"),
+        coalesce(col("c.n"), lit(0L)).as("n"))
   }
 
   case class UserEvent(user_id: Long, value: Double)

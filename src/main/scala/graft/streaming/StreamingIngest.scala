@@ -41,7 +41,14 @@ object StreamingIngest {
     val spark = batch.sparkSession
     val idx = SendoPipeline.readTable(spark, warehouseDir,
       indexTable(table), fpSchema)
-    val kept = Dedup.incrementalDedup(batch, idx, textCol, pk)
+    // Resolve intra-batch PK duplicates BEFORE fingerprint dedup: the
+    // downstream MERGE stores one row per PK, and indexing fingerprints
+    // of rows the merge then discards would poison the index — a later
+    // document with the discarded row's text would be dropped as
+    // "already in corpus" despite the warehouse never storing it. After
+    // this line, kept rows and stored rows coincide exactly.
+    val kept = Dedup.incrementalDedup(batch.dropDuplicates(pk), idx,
+      textCol, pk)
     // The two merges read `kept` twice; persist so the dedup window +
     // anti join run once per batch, not per merge.
     kept.persist()

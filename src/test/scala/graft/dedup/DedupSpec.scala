@@ -31,6 +31,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 2L, 3L, 5L))
   }
 
+  test("exactDedup passes ALL null-text rows through (module null policy)") {
+    val withNulls = planted.unionByName(
+      Seq((90L, null: String), (91L, null: String)).toDF("doc_id", "text"))
+    val kept = Dedup.exactDedup(withNulls, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // Both null-text rows survive — they are not duplicates of each other.
+    assert(kept == Set(1L, 2L, 3L, 5L, 90L, 91L))
+  }
+
   test("jaccardPairs finds the planted near-dup and nothing else") {
     val pairs = Dedup.jaccardPairs(planted, "text", "doc_id", 3, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -71,6 +71,27 @@ class EventsStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally { sq.stop(); ssq.stop() }
   }
 
+  test("gapFillHourly counts null-typed events instead of zero-filling them") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (Timestamp.valueOf("2024-01-01 10:15:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), null: String),
+      (Timestamp.valueOf("2024-01-01 12:05:00"), "click"))
+      .toDF("ts", "event_type")
+    val got = EventsOps.gapFillHourly(ev)
+      .as[(Timestamp, String, Long)].collect()
+      .map { case (h, t, n) => (h.toString, Option(t), n) }.toSet
+    // 3 hours × 2 types; the null type's 10:00 bucket must carry its
+    // real count (an equi-join would zero it out).
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", Some("click"), 1L),
+      ("2024-01-01 10:00:00.0", None, 1L),
+      ("2024-01-01 11:00:00.0", Some("click"), 0L),
+      ("2024-01-01 11:00:00.0", None, 0L),
+      ("2024-01-01 12:00:00.0", Some("click"), 1L),
+      ("2024-01-01 12:00:00.0", None, 0L)))
+  }
+
   test("sessions merge events within the gap and split beyond it") {
     val df = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:05:00"),

@@ -44,6 +44,27 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("intra-batch PK duplicates cannot poison the fingerprint index") {
+    // Two rows share a PK but differ in text: the merge stores ONE row,
+    // so only the stored row's fingerprint may enter the index — else a
+    // later arrival of the discarded text is dropped as "already in
+    // corpus" despite never being stored.
+    val wh = tmpDir("ingest_pkdup")
+    val b1 = Seq((1L, "text alpha"), (1L, "text beta")).toDF("doc_id", "text")
+    StreamingIngest.ingestBatch(b1, wh, "docs", "text", "doc_id")
+    val stored = spark.read.parquet(s"$wh/docs")
+      .select("text").as[String].collect().toSet
+    assert(stored.size == 1)
+    assert(spark.read.parquet(s"$wh/docs_fpindex").count() == 1L)
+    // The text the merge discarded must still be ingestible later.
+    val discarded = (Set("text alpha", "text beta") -- stored).head
+    StreamingIngest.ingestBatch(Seq((2L, discarded)).toDF("doc_id", "text"),
+      wh, "docs", "text", "doc_id")
+    val after = spark.read.parquet(s"$wh/docs")
+      .select("text").as[String].collect().toSet
+    assert(after == Set("text alpha", "text beta"))
+  }
+
   test("replaying a batch converges to the same warehouse (at-least-once safe)") {
     val wh = tmpDir("ingest_replay")
     val batch = Seq((1L, "doc one"), (2L, "doc two")).toDF("doc_id", "text")
