@@ -130,6 +130,11 @@ object Knn {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),
           transform(col("pm"), e => e.getField("m")).as("centv"))
+        // Materialize each iteration's (<=C-row) centroids: iterative
+        // lazy plans otherwise nest — iteration i's plan contains all
+        // i-1 prior corpus scans, and anything consuming the result
+        // re-runs the whole chain per reference.
+        .localCheckpoint()
     }
     cents
   }
@@ -184,7 +189,9 @@ object Knn {
   def bruteForceQuantized(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, levels: Int = 256,
       dotFn: (Column, Column) => Column = VectorFunctions.dot): DataFrame = {
-    val stats = quantizeStats(corpus, vecCol, levels)
+    // One-row stats table, two quantizeCodes consumers: pin so the
+    // per-dimension min/max corpus aggregate runs once.
+    val stats = quantizeStats(corpus, vecCol, levels).localCheckpoint()
     val c = quantizeCodes(corpus, idCol, vecCol, stats, levels)
     val q = quantizeCodes(queries, idCol, vecCol, stats, levels)
       .select(col("vid").as("query_id"), col("recon").as("qr"))
@@ -338,7 +345,10 @@ object Knn {
       dotFn: (Column, Column) => Column = VectorFunctions.dot): DataFrame = {
     val sub = dims / m
     require(m * sub == dims, s"m=$m must divide dims=$dims")
+    // One-row codebook, consumed by the coded projection AND the query
+    // scorer: pin so the codebook build runs once.
     val books = pqCodebooks(corpus, idCol, vecCol, m, codebook, dims)
+      .localCheckpoint()
     // Argmin metric: |b|² - 2a·b, the L2 expansion with the per-(vector,
     // subspace) constant |a|² dropped — a uniform shift that preserves
     // the ordering AND the ties, so the chosen code is the true L2
@@ -408,10 +418,16 @@ object Knn {
   def ivfWith(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: DataFrame, nprobe: Int,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+    // Pin the (tiny, <=centroids-row) table: it feeds BOTH the
+    // assignment fold and the probe broadcast, and an unpinned plan
+    // re-executes whatever produced it per branch — for ivfTrained that
+    // is the ENTIRE k-means iteration chain, corpus scans included.
+    val centsPinned = cents.localCheckpoint()
     val assigned = assignBuckets(
-      corpus.select(col(idCol).as("vid"), col(vecCol).as("v")), cents, cosineFn)
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("v")), centsPinned,
+      cosineFn)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = q.crossJoin(broadcast(cents))
+    val probes = q.crossJoin(broadcast(centsPinned))
       .withColumn("sim", cosineFn(col("qv"), col("centv")))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("centroid_id"))

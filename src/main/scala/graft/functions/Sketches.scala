@@ -260,14 +260,15 @@ object Sketches {
       case 64 => 0.709
       case _ => 0.7213 / (1.0 + 1.079 / m)
     }
-    // groups may have absent buckets (no key hashed there): they
-    // contribute 2^0 = 1 to the harmonic sum and count as zero-registers.
+    // Groups may have absent buckets (no key hashed there): they
+    // contribute 2^0 = 1 to the harmonic sum and are the zero-registers.
+    // Present buckets are NEVER zero-registers — hllBuckets' rho is
+    // always >= 1 — so zeros is exactly m - (#present buckets).
     buckets.groupBy(col("group"))
       .agg(sum(pow(lit(2.0), -col("max_rho"))).as("__s"),
-        count(lit(1)).as("__nb"),
-        sum(when(col("max_rho") === 0, 1).otherwise(0)).as("__z0"))
+        count(lit(1)).as("__nb"))
       .select(col("group"), {
-        val zeros = col("__z0") + (lit(m) - col("__nb")) // absent = zero
+        val zeros = lit(m) - col("__nb")
         val harm = col("__s") + (lit(m) - col("__nb")) * lit(1.0)
         val raw = lit(alpha * m * m) / harm
         when(raw <= lit(2.5 * m) && zeros > 0,

@@ -49,7 +49,14 @@ object AsOfJoin {
     *                      interval string (e.g. "15 minutes"); matches
     *                      farther away resolve to NULL, the left row is
     *                      kept (pandas merge_asof semantics). Requires a
-    *                      timestamp `ts` column. */
+    *                      timestamp `ts` column.
+    *
+    * Null policy (merge_asof's: null keys/times never match): right rows
+    * with a null key or null ts are dropped from the timeline; left rows
+    * with a null key or null ts are kept but enriched with all-null
+    * values. All carried right columns come from ONE matched right row —
+    * the fill carries a single struct, so a null inside a matched right
+    * row stays null rather than being stitched from an older row. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       leftTiebreak: String, rightTiebreak: String,
       rightCols: Map[String, String], direction: String = "backward",
@@ -57,14 +64,33 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     // "__rts" rides along so tolerance can compare the matched row's ts.
     val carried = (rightCols.toSeq ++ Seq(ts -> "__rts")).sortBy(_._2)
+    require(!rightCols.values.exists(_ == "__rts"),
+      "rightCols must not target the reserved name __rts")
+    // The matched right row travels as ONE struct: per-column
+    // last(ignoreNulls) fills would stitch values from DIFFERENT right
+    // rows whenever a carried column is null in the matched row (and
+    // break the tolerance gate, which must apply to the row the values
+    // actually came from).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      carried.map { case (src, dst) =>
+        org.apache.spark.sql.types.StructField(dst,
+          right.schema(src).dataType, nullable = true)
+      })
     // Side 0 = right (sorts before left on equal ts, so a same-instant
-    // right row is visible to the left row in either direction).
-    val r = right.select(
-      Seq(col(key), col(ts), col(rightTiebreak).as("__tb"), lit(0).as("__side")) ++
-        carried.map { case (src, dst) => col(src).as(s"__r_$dst") }: _*)
+    // right row is visible to the left row in either direction). Null
+    // key/ts right rows can never legitimately match — drop them here
+    // (asc NULLS FIRST would otherwise make a null-ts right row the
+    // "most recent" match for early left rows).
+    val r = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(
+        Seq(col(key), col(ts), col(rightTiebreak).as("__tb"),
+          lit(0).as("__side"),
+          struct(carried.map { case (src, dst) => col(src).as(dst) }: _*)
+            .as("__r")): _*)
     val l = left.select(
-      Seq(col(key), col(ts), col(leftTiebreak).as("__tb"), lit(1).as("__side")) ++
-        carried.map { case (_, dst) => lit(null).as(s"__r_$dst") } ++
+      Seq(col(key), col(ts), col(leftTiebreak).as("__tb"),
+        lit(1).as("__side"), lit(null).cast(rStructType).as("__r")) ++
         leftCols.filterNot(c => c == key || c == ts).map(col): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val order = direction match {
@@ -78,22 +104,24 @@ object AsOfJoin {
     }
     val w = Window.partitionBy(col(key)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = carried.foldLeft(unioned) { case (df, (_, dst)) =>
-      df.withColumn(s"__f_$dst",
-        last(col(s"__r_$dst"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("__f",
+      last(col("__r"), ignoreNulls = true).over(w))
     val inTolerance: Column = tolerance match {
       case None => lit(true)
       case Some(t) =>
         Intervals.validate("asOf tolerance", t)
         val iv = expr(s"INTERVAL $t")
-        if (direction == "backward") col("__f___rts") >= col(ts) - iv
-        else col("__f___rts") <= col(ts) + iv
+        if (direction == "backward") col("__f").getField("__rts") >= col(ts) - iv
+        else col("__f").getField("__rts") <= col(ts) + iv
     }
+    // Left rows with a null key/ts keep their columns but match nothing
+    // (the explicit gate also covers forward's desc NULLS LAST frame,
+    // where a null-ts left row would otherwise see the whole partition).
+    val matched = col(key).isNotNull && col(ts).isNotNull && inTolerance
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightCols.toSeq.sortBy(_._2).map { case (_, dst) =>
-          when(inTolerance, col(s"__f_$dst")).otherwise(lit(null)).as(dst)
+          when(matched, col("__f").getField(dst)).otherwise(lit(null)).as(dst)
         }: _*)
   }
 }

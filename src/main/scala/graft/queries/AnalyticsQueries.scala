@@ -212,25 +212,28 @@ object AnalyticsQueries extends graft.QueryModule {
     // Unigram language-model quality score (the CCNet/Gopher-style LM
     // filter signal, with the corpus itself as the LM): per-doc mean
     // log2-probability of its tokens under corpus unigram frequencies.
-    // The vocabulary aggregate broadcasts into the token join (hot path
-    // never shuffles doc tokens twice); per-term log2 values are cast to
-    // decimal before summation so the per-doc sum is order-independent,
-    // then rounded once at 4 decimals (the char_entropy treatment).
+    // Tokenize ONCE: everything derives from the per-(doc, token) count
+    // aggregate — vocabulary and totals are aggregates OF it (exchange
+    // reuse), and the per-doc sum weights each term's decimal-cast lp
+    // by tf, which is exactly the per-occurrence sum (decimal × integer
+    // is exact) in the order-independent decimal form, rounded once at
+    // 4 decimals (the char_entropy treatment).
     "docs_unigram_logprob" -> { (s, dir) =>
       import s.implicits._
-      val toks = Tables.documents(s, dir)
+      val tf = Tables.documents(s, dir)
         .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
-      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy($"tok").agg(sum($"tf").as("c"))
       val totals = vocab.agg(sum($"c").as("total"))
-      toks.join(broadcast(vocab), Seq("tok"))
+      tf.join(broadcast(vocab), Seq("tok"))
         .crossJoin(broadcast(totals))
-        .select($"doc_id",
+        .select($"doc_id", $"tf",
           (log2($"c".cast("double")) - log2($"total".cast("double")))
             .cast(DecimalType(28, 10)).as("lp"))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          round(sum($"lp").cast("double") / count(lit(1)).cast("double"), 4)
-            .as("avg_logprob"))
+        .agg(sum($"tf").as("n_tokens"),
+          round(sum($"lp" * $"tf").cast("double") /
+            sum($"tf").cast("double"), 4).as("avg_logprob"))
         .orderBy($"doc_id")
     },
 

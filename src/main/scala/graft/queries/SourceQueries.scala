@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.model.Tables
+import graft.queries.Parity
 import graft.sources.FileSources
 
 /** File-format source/sink queries (SURVEY §2.1 widening): each query
@@ -27,8 +28,7 @@ object SourceQueries extends graft.QueryModule {
       val back = FileSources.csvRoundTrip(Tables.orders(s, dir), path)
       back.groupBy($"o_orderstatus").agg(
           count(lit(1)).as("n_orders"),
-          sum($"o_totalprice".cast(DecimalType(18, 4)))
-            .cast(DecimalType(38, 2)).cast("double").as("sum_total"),
+          Parity.dsum($"o_totalprice").as("sum_total"),
           min($"o_orderdate").as("first_date"),
           max($"o_orderdate").as("last_date"),
           min($"o_orderpriority").as("min_priority"))
@@ -43,8 +43,7 @@ object SourceQueries extends graft.QueryModule {
       val back = FileSources.jsonRoundTrip(Tables.customer(s, dir), path)
       back.groupBy($"c_mktsegment").agg(
           count(lit(1)).as("n_customers"),
-          sum($"c_acctbal".cast(DecimalType(18, 4)))
-            .cast(DecimalType(38, 2)).cast("double").as("sum_acctbal"),
+          Parity.dsum($"c_acctbal").as("sum_acctbal"),
           min($"c_name").as("first_name"),
           max($"c_nationkey").as("max_nation"))
         .orderBy($"c_mktsegment")
@@ -60,10 +59,8 @@ object SourceQueries extends graft.QueryModule {
       back.filter($"l_shipdate" >= lit("1996-01-01"))
         .groupBy($"l_returnflag").agg(
           count(lit(1)).as("n_lines"),
-          sum($"l_quantity".cast(DecimalType(18, 4)))
-            .cast(DecimalType(38, 2)).cast("double").as("sum_qty"),
-          sum($"l_extendedprice".cast(DecimalType(18, 4)))
-            .cast(DecimalType(38, 2)).cast("double").as("sum_price"),
+          Parity.dsum($"l_quantity").as("sum_qty"),
+          Parity.dsum($"l_extendedprice").as("sum_price"),
           max($"l_shipdate").as("last_ship"))
         .orderBy($"l_returnflag")
     })
