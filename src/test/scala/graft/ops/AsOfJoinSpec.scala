@@ -92,4 +92,58 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       Map("v" -> "last_v")).select("last_v").collect()(0)
     assert(got.isNullAt(0))
   }
+
+  test("a matched right row's null value stays null (no stitching from older rows)") {
+    // r2 is the match (latest <= left.t) but carries a null v: the output
+    // must be (v=null, rid=20) from ONE row — not v from r1 with rid
+    // from r2.
+    val left = Seq((100L, ts("2024-01-01 12:00:00"), 1L))
+      .toDF("event_id", "t", "user_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(5.0), 10L),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Double], 20L),
+    ).toDF("user_id", "t", "v", "rid")
+    val got = AsOfJoin.asOf(left, right, "user_id", "t", "event_id", "rid",
+      Map("v" -> "last_v", "rid" -> "last_rid"))
+      .select("last_v", "last_rid")
+      .as[(Option[Double], Option[Long])].head()
+    assert(got == ((None, Some(20L))))
+  }
+
+  test("tolerance applies to the row the values came from, not a stitched one") {
+    // The match (11:59, null v) is in tolerance; the only non-null v is
+    // far outside it. Nothing outside tolerance may surface.
+    val left = Seq((100L, ts("2024-01-01 12:00:00"), 1L))
+      .toDF("event_id", "t", "user_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), Option(5.0), 10L),
+      (1L, ts("2024-01-01 11:59:00"), Option.empty[Double], 20L),
+    ).toDF("user_id", "t", "v", "rid")
+    val got = AsOfJoin.asOf(left, right, "user_id", "t", "event_id", "rid",
+      Map("v" -> "last_v", "rid" -> "last_rid"),
+      tolerance = Some("15 minutes"))
+      .select("last_v", "last_rid")
+      .as[(Option[Double], Option[Long])].head()
+    assert(got == ((None, Some(20L))))
+  }
+
+  test("null keys and null timestamps never match (merge_asof policy)") {
+    val left = Seq(
+      (100L, Option(ts("2024-01-01 12:00:00")), Option(1L)),
+      (101L, Option(ts("2024-01-01 12:00:00")), Option.empty[Long]), // null key
+      (102L, Option.empty[java.sql.Timestamp], Option(1L)),          // null ts
+    ).toDF("event_id", "t", "user_id")
+    val right = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), 5.0),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), 66.0), // null key
+      (Option(1L), Option.empty[java.sql.Timestamp], 77.0),          // null ts
+    ).toDF("user_id", "t", "v")
+    val got = AsOfJoin.asOf(left, right, "user_id", "t", "event_id", "v",
+      Map("v" -> "last_v"))
+      .select("event_id", "last_v").as[(Long, Option[Double])].collect().toMap
+    assert(got(100L).contains(5.0), "real rows still match")
+    assert(got(101L).isEmpty, "null-key left row is kept, unenriched")
+    assert(got(102L).isEmpty, "null-ts left row is kept, unenriched")
+    assert(got.size == 3)
+  }
 }
