@@ -55,8 +55,14 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> runOnce(n))
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val all = names.map(n => n -> runOnce(n))
+    // Failures are partitioned OUT of the timing map and reported as an
+    // explicit field: dropping a failed query only from `total` would
+    // make a broken engine benchmark as faster than a working one, and
+    // a -1 sentinel corrupts any consumer that sums the map.
+    val (results, failures) = all.partition(_._2 >= 0)
+    val failed = failures.map(_._1)
+    val total = results.map(_._2).sum
 
     // Locale.ROOT: the default-locale f interpolator renders a comma
     // decimal separator under e.g. de_DE, corrupting the contract JSON.
@@ -80,12 +86,20 @@ object Bench {
       "events_asof_join", "text_langid", "docs_quality_filter")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    // ONE template for both the sidecar and the contract line — a shape
+    // change edited in only one place would silently desynchronize them.
+    def line(qs: Seq[(String, Double)]): String = {
+      val failedField =
+        if (failed.isEmpty) ""
+        else s""","n_failed":${failed.size},"failed":${failed.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(qs)}$failedField,"sf":"$sfDir"}"""
+    }
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL_LOCAL.json")
-      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (line(results) + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    println(line(head))
     spark.stop()
   }
 }

@@ -21,10 +21,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  // lazy val, not def: Bench resolves queries(name) INSIDE its timed
+  // region — a def would rebuild and re-merge all six module maps per
+  // measurement.
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)
 
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     modules.map(_.oracles).reduce(_ ++ _)
 }
 

@@ -28,12 +28,25 @@ object MergeSql {
 
   private def q(ident: String): String = {
     require(ident.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe identifier: $ident")
-    ident
+    // Validated AND quoted: the regex blocks injection, but a reserved
+    // word (order, group, desc — all regex-legal) still breaks the
+    // statement unquoted. Double quotes are the SQL-standard identifier
+    // quoting; mysql accepts them under ANSI_QUOTES, which the load
+    // session must set (the reference's pandas to_sql quotes the same
+    // way).
+    "\"" + ident + "\""
   }
 
-  /** CREATE the staging table with the target's shape. */
-  def createStaging(staging: String, target: String): String =
-    s"CREATE TABLE ${q(staging)} LIKE ${q(target)}"
+  /** CREATE the staging table with the target's shape. Dialects diverge:
+    * mysql is `LIKE target`, postgres requires the parenthesized
+    * column-list form `(LIKE target)`. */
+  def createStaging(staging: String, target: String,
+      dialect: String = "mysql"): String = dialect match {
+    case "mysql" => s"CREATE TABLE ${q(staging)} LIKE ${q(target)}"
+    case "postgres" => s"CREATE TABLE ${q(staging)} (LIKE ${q(target)})"
+    case other => throw new IllegalArgumentException(
+      s"unknown dialect '$other' (mysql|postgres)")
+  }
 
   /** One chunked multi-row INSERT into staging (the reference's
     * `method="multi"`); values are SQL-escaped literals using the
@@ -92,7 +105,7 @@ object MergeSql {
       }
     }.toDF("statement")
     LoadPlan(
-      createStaging(staging, target),
+      createStaging(staging, target, dialect),
       inserts,
       merge(dialect, target, staging, pk, columns),
       dropStaging(staging))

@@ -251,6 +251,7 @@ private[sources] case class RestReaderFactory(urlTemplate: String,
       case _ => RestScan.productLastPage
     }
     val rows: Iterator[(String, Int, String)] = keys.iterator.flatMap { key =>
+      var terminated = false
       Iterator.from(1)
         .take(maxPages)
         .map { page =>
@@ -258,7 +259,18 @@ private[sources] case class RestReaderFactory(urlTemplate: String,
             .replace("{key}", key).replace("{page}", page.toString)
           (key, page, transport.get(url))
         }
-        .takeWhile { case (_, _, body) => !isLast(body) }
+        .takeWhile { case (_, _, body) =>
+          terminated = isLast(body); !terminated
+        } ++ {
+        // Same loud-truncation rule as RestScan.paginated: exhausting
+        // maxPages without a terminator is invisible data loss if
+        // silent. (A pushed LIMIT stops pulling before this evaluates,
+        // so bounded scans never trip it.)
+        if (!terminated) throw new IllegalStateException(
+          s"graft-rest scan for key '$key' exceeded maxPages=$maxPages " +
+            "without a terminator page")
+        Iterator.empty
+      }
     }.take(limit) // pushed LIMIT: stops the fetch loop, not just output
     new PartitionReader[InternalRow] {
       private var current: (String, Int, String) = _

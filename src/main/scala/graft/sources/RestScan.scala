@@ -23,17 +23,28 @@ object RestScan {
   /** Paginated scan: for each key, fetch pages 1..n until `isLastPage`
     * says the body is the terminator. Returns (key, page, body) rows.
     * `maxPages` bounds a runaway origin (the reference would loop
-    * forever on a server that never terminates). */
+    * forever on a server that never terminates) — and hitting that
+    * bound without seeing the terminator FAILS the task rather than
+    * silently truncating: a cut-off scan is indistinguishable from a
+    * complete one downstream, so silence here is invisible data loss. */
   def paginated(keys: Dataset[String], urlFor: (String, Int) => String,
       transport: Transport, isLastPage: String => Boolean,
       maxPages: Int = 100000): Dataset[(String, Int, String)] = {
     import keys.sparkSession.implicits._
     keys.mapPartitions { it =>
       it.flatMap { key =>
+        var terminated = false
         Iterator.from(1)
           .take(maxPages)
           .map(page => (key, page, transport.get(urlFor(key, page))))
-          .takeWhile { case (_, _, body) => !isLastPage(body) }
+          .takeWhile { case (_, _, body) =>
+            terminated = isLastPage(body); !terminated
+          } ++ {
+          if (!terminated) throw new IllegalStateException(
+            s"paginated scan exceeded maxPages=$maxPages without a " +
+              "terminator page — raise maxPages or fix the origin")
+          Iterator.empty
+        }
       }
     }
   }

@@ -33,8 +33,13 @@ trait SparkTestBase {
     * (the session is shared across suites, so leaks would be global). */
   def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally prev.foreach {
+    // The set loop lives INSIDE the try: if a later pair's set throws
+    // (e.g. a static conf), the earlier pairs must still be restored —
+    // otherwise they leak into the shared session for every later suite.
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      f
+    } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }

@@ -11,24 +11,24 @@ class MergeSqlSpec extends AnyFunSuite with SparkTestBase {
     val sql = MergeSql.merge("mysql", "rating", "rating_stage",
       Seq("rating_id"), Seq("rating_id", "score", "content"))
     assert(sql ==
-      """INSERT INTO rating (rating_id, score, content)
-        |SELECT rating_id, score, content FROM rating_stage
-        |ON DUPLICATE KEY UPDATE score = VALUES(score), content = VALUES(content)""".stripMargin)
+      """INSERT INTO "rating" ("rating_id", "score", "content")
+        |SELECT "rating_id", "score", "content" FROM "rating_stage"
+        |ON DUPLICATE KEY UPDATE "score" = VALUES("score"), "content" = VALUES("content")""".stripMargin)
   }
 
   test("postgres merge uses ON CONFLICT DO UPDATE with EXCLUDED") {
     val sql = MergeSql.merge("postgres", "t", "s", Seq("id"), Seq("id", "v"))
     assert(sql ==
-      """INSERT INTO t (id, v)
-        |SELECT id, v FROM s
-        |ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v""".stripMargin)
+      """INSERT INTO "t" ("id", "v")
+        |SELECT "id", "v" FROM "s"
+        |ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v"""".stripMargin)
   }
 
   test("insertChunk renders escaped multi-row VALUES") {
     val sql = MergeSql.insertChunk("s", Seq("id", "name"),
       Seq(Seq(1L, "it's"), Seq(2L, null)))
     assert(sql ==
-      """INSERT INTO s (id, name) VALUES
+      """INSERT INTO "s" ("id", "name") VALUES
         |(1, 'it''s'),
         |(2, NULL)""".stripMargin)
   }
@@ -59,6 +59,20 @@ class MergeSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally java.util.TimeZone.setDefault(prev)
   }
 
+  test("staging DDL is dialect-aware (postgres needs the parenthesized LIKE)") {
+    assert(MergeSql.createStaging("s", "t") == """CREATE TABLE "s" LIKE "t"""")
+    assert(MergeSql.createStaging("s", "t", "postgres") ==
+      """CREATE TABLE "s" (LIKE "t")""")
+  }
+
+  test("reserved-word column names are quoted, not emitted bare") {
+    val sql = MergeSql.merge("postgres", "t", "s",
+      Seq("id"), Seq("id", "order", "group"))
+    assert(sql.contains("\"order\" = EXCLUDED.\"order\""))
+    assert(!sql.matches("(?s).*[ (]order[,)].*"),
+      "no unquoted reserved word may appear")
+  }
+
   test("identifiers are validated against injection") {
     intercept[IllegalArgumentException] {
       MergeSql.merge("mysql", "t; DROP TABLE x", "s", Seq("id"), Seq("id", "v"))
@@ -71,9 +85,10 @@ class MergeSqlSpec extends AnyFunSuite with SparkTestBase {
     val plan = MergeSql.loadPlan(df, "mysql", "t", "t_stage", Seq("id"))
     val stmts = plan.inserts.as[String].collect()
     assert(stmts.length == 3) // 1000 + 1000 + 500
-    assert(stmts.forall(_.startsWith("INSERT INTO t_stage (id, v) VALUES")))
-    assert(plan.create == "CREATE TABLE t_stage LIKE t")
-    assert(plan.drop == "DROP TABLE t_stage")
+    assert(stmts.forall(
+      _.startsWith("""INSERT INTO "t_stage" ("id", "v") VALUES""")))
+    assert(plan.create == """CREATE TABLE "t_stage" LIKE "t"""")
+    assert(plan.drop == """DROP TABLE "t_stage"""")
     // Values survive the round trip in order within a chunk.
     assert(stmts(2).linesIterator.toSeq(1) == "(2001, 'v2001'),")
   }

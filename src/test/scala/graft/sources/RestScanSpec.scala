@@ -18,6 +18,18 @@ class RestScanSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(("a", 1, """{"data": [1]}"""), ("a", 2, """{"data": [2]}""")))
   }
 
+  test("hitting maxPages without a terminator fails loudly (no silent truncation)") {
+    val t = new FakeTransport(Map(
+      "u/a/1" -> """{"data": [1]}""", "u/a/2" -> """{"data": [2]}""",
+      "u/a/3" -> """{"data": [3]}"""))
+    val ex = intercept[org.apache.spark.SparkException] {
+      RestScan.paginated(Seq("a").toDS(), (k, p) => s"u/$k/$p", t,
+        RestScan.productLastPage, maxPages = 3).collect()
+    }
+    assert(ex.getMessage.contains("maxPages") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxPages")))
+  }
+
   test("rating terminator fires on empty array, not on a populated one") {
     assert(RestScan.ratingLastPage("""{"data": {"ratings": []}}"""))
     assert(!RestScan.ratingLastPage("""{"data": {"ratings": [{"x": 1}]}}"""))
