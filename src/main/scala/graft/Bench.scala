@@ -95,7 +95,10 @@ object Bench {
           .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(qs)}$failedField,"sf":"$sfDir"}"""
     }
-    try {
+    // The sidecar records the FULL suite only: a SPARK_GRAFT_ONLY
+    // iteration run would otherwise clobber the last complete picture
+    // with a 6-query subset.
+    if (only.isEmpty) try {
       val p = java.nio.file.Paths.get("BENCH_FULL_LOCAL.json")
       java.nio.file.Files.write(p, (line(results) + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{CosineSimilarity, DotProduct}
+import graft.functions.expressions.{CosineSimilarity, DotProduct,
+  StripAccents, UnicodeNormalize}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -33,7 +34,25 @@ object GraftFunctions {
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_norm"),
+      (args: Seq[Expression]) => {
+        // The form is a plan-time constant: fold the literal here so an
+        // invalid or non-literal form fails analysis, never mid-job.
+        val form = args(1) match {
+          case e if e.foldable && e.dataType ==
+              org.apache.spark.sql.types.StringType =>
+            e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+              .toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_norm form must be a string literal, got $other")
+        }
+        UnicodeNormalize(args(0), form)
+      }),
+    (FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (args: Seq[Expression]) => StripAccents(args(0))))
 
   /** Idempotent registration on an existing session (functions + the
     * TopKPerKey planner strategy). */
@@ -59,4 +78,13 @@ object GraftFunctions {
 
   /** Column-API form of the native dot product (same registry caveat). */
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** Unicode normalization (same registry caveat). `form` is one of
+    * NFC|NFD|NFKC|NFKD, fixed at plan time. */
+  def unicodeNorm(text: Column, form: String): Column =
+    call_function("unicode_norm", text, org.apache.spark.sql.functions.lit(form))
+
+  /** Accent stripping — NFD then drop combining marks (same registry
+    * caveat). */
+  def stripAccents(text: Column): Column = call_function("strip_accents", text)
 }

@@ -64,6 +64,27 @@ object TextFunctions {
     (length(text) - tokenCount(text) + lit(1)).cast("double") /
       greatest(tokenCount(text), lit(1)).cast("double")
 
+  /** Fraction of tokens containing at least one letter — the Gopher
+    * "80% of words must have an alphabetic character" rule's signal
+    * (filters digit/symbol soup that length rules miss). `toks` must be
+    * a materialized array column (the [[shinglesFromTokens]] caveat). */
+  def alphaWordRatio(toks: Column): Column =
+    size(filter(toks, t => t.rlike("\\p{L}"))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** Symbol-to-word ratio over `#` and `...` occurrences — the Gopher
+    * boilerplate/markup signal. Counts are non-overlapping regex matches,
+    * identical across engines. */
+  def symbolWordRatio(text: Column, nWords: Column): Column =
+    (countMatches(text, "#") + countMatches(text, "\\.\\.\\."))
+      .cast("double") / greatest(nWords, lit(1)).cast("double")
+
+  /** Number of DISTINCT `words` present among the tokens (the Gopher
+    * "contains at least 2 stop words" rule — presence, not frequency,
+    * unlike [[wordHits]]). */
+  def distinctWordHits(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
   /** Deterministic document fingerprint: md5 of whitespace-normalized
     * lowercase text. Same value in any engine with md5 — the exact-dedup
     * group key. */

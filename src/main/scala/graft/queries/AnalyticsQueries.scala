@@ -237,6 +237,71 @@ object AnalyticsQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Gopher/MassiveText-style quality-rule battery: word count, mean
+    // word length, symbol-to-word ratio, alpha-word ratio, and distinct-
+    // stopword presence, each thresholded into a boolean rule plus a
+    // combined keep flag. The fixture corpus is uniform word soup, so
+    // deterministic symbol/digit decorations (pure functions of doc_id,
+    // mirrored by the oracle) make every rule genuinely bite. All ratios
+    // are single divisions of exact integers — bit-identical across
+    // engines, no rounding step needed. Pure projection: zero shuffle at
+    // any corpus size.
+    "docs_gopher_rules" -> { (s, dir) =>
+      import s.implicits._
+      val decorated = concat($"text",
+        when($"doc_id" % 7 === 0, lit(" ### ... ###")).otherwise(lit("")),
+        when($"doc_id" % 11 === 0,
+          lit(" 101 202 303 404 505 606 707 808")).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select($"doc_id", decorated.as("__txt"))
+        .select($"doc_id", $"__txt",
+          TextFunctions.tokens($"__txt").as("__toks"))
+        .select($"doc_id",
+          size($"__toks").as("n_words"),
+          TextFunctions.meanTokenLength($"__txt").as("mean_word_len"),
+          TextFunctions.symbolWordRatio($"__txt", size($"__toks"))
+            .as("symbol_ratio"),
+          TextFunctions.alphaWordRatio($"__toks").as("alpha_ratio"),
+          TextFunctions.distinctWordHits($"__toks",
+            Seq("the", "a", "of", "to", "and")).as("n_stop_distinct"))
+        .select($"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
+          $"alpha_ratio", $"n_stop_distinct",
+          ($"n_words" >= 20 && $"n_words" <= 10000).as("r_word_count"),
+          ($"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0)
+            .as("r_mean_len"),
+          ($"symbol_ratio" <= 0.1).as("r_symbol"),
+          ($"alpha_ratio" >= 0.9).as("r_alpha"),
+          ($"n_stop_distinct" >= 2).as("r_stop"))
+        .withColumn("keep", $"r_word_count" && $"r_mean_len" &&
+          $"r_symbol" && $"r_alpha" && $"r_stop")
+        .orderBy($"doc_id")
+    },
+
+    // Unicode normalization + accent stripping (the canonicalization
+    // pass before fingerprint/dedup, so composed and decomposed
+    // encodings hash identically). The fixture is pure ASCII, so each
+    // row plants a decomposed e+U+0301 and precomposed é/ü/ñ (mirrored
+    // chr-for-chr by the oracle); NFC shrinks the decomposed pair to one
+    // code point, strip_accents folds all four to bare letters. Runs the
+    // native codegen expressions — Spark has no normalization builtin.
+    "text_normalize" -> { (s, dir) =>
+      import s.implicits._
+      val decorated = concat($"text", lit(" caf"),
+        // Escapes, not raw glyphs: the first marker is the DECOMPOSED
+        // e + U+0301 and must stay decomposed in source (an editor
+        // NFC-normalizing the file would silently change the query).
+        lit("e\u0301 \u00e9\u00fc\u00f1"))
+      Tables.documents(s, dir)
+        .select($"doc_id", decorated.as("__txt"))
+        .orderBy($"doc_id")
+        .select($"doc_id",
+          length($"__txt").as("n_raw"),
+          graft.GraftFunctions.unicodeNorm($"__txt", "NFC").as("nfc"),
+          length(graft.GraftFunctions.unicodeNorm($"__txt", "NFC"))
+            .as("n_nfc"),
+          graft.GraftFunctions.stripAccents($"__txt").as("stripped"))
+    },
+
     // Dispersion/correlation from exact decimal moments: Σx, Σx², Σd,
     // Σd², Σxd summed in decimal, rounded once at scale 6, then combined
     // with the textbook formulas in doubles. Engine-independent where the
@@ -442,6 +507,54 @@ object AnalyticsQueries extends graft.QueryModule {
         |    SUM(cnt * log2(CAST(cnt AS DOUBLE))) / CAST(n AS DOUBLE), 4)
         |    AS char_entropy
         |FROM g GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    // Decorations mirror the Spark side chr-for-chr; every ratio is one
+    // division of exact integers, so booleans compare bit-identically.
+    "docs_gopher_rules" ->
+      """WITH f AS (SELECT doc_id,
+        |    text
+        |      || CASE WHEN doc_id % 7 = 0 THEN ' ### ... ###' ELSE '' END
+        |      || CASE WHEN doc_id % 11 = 0
+        |           THEN ' 101 202 303 404 505 606 707 808' ELSE '' END AS txt
+        |  FROM documents),
+        |t AS (SELECT doc_id, txt, string_split(lower(txt), ' ') AS toks FROM f),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_words,
+        |    CAST(length(txt) - len(toks) + 1 AS DOUBLE)
+        |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(txt, '#'))
+        |       + len(regexp_extract_all(txt, '\.\.\.')) AS DOUBLE)
+        |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+        |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_intersect(toks, ['the','a','of','to','and'])) AS INTEGER)
+        |      AS n_stop_distinct
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+        |  n_stop_distinct,
+        |  n_words BETWEEN 20 AND 10000 AS r_word_count,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+        |  symbol_ratio <= 0.1 AS r_symbol,
+        |  alpha_ratio >= 0.9 AS r_alpha,
+        |  n_stop_distinct >= 2 AS r_stop,
+        |  (n_words BETWEEN 20 AND 10000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.9
+        |    AND n_stop_distinct >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // chr(101)||chr(769) is the decomposed e + combining acute the Spark
+    // side plants as "é"; 233/252/241 are precomposed é/ü/ñ.
+    "text_normalize" ->
+      """WITH f AS (SELECT doc_id,
+        |    text || ' caf' || chr(101) || chr(769) || ' '
+        |      || chr(233) || chr(252) || chr(241) AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(txt) AS INTEGER) AS n_raw,
+        |  nfc_normalize(txt) AS nfc,
+        |  CAST(length(nfc_normalize(txt)) AS INTEGER) AS n_nfc,
+        |  strip_accents(txt) AS stripped
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_stats_battery" ->
       """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
