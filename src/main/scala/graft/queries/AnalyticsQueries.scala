@@ -302,6 +302,63 @@ object AnalyticsQueries extends graft.QueryModule {
           graft.GraftFunctions.stripAccents($"__txt").as("stripped"))
     },
 
+    // Domain-authority PageRank over the planted link graph (3
+    // iterations, d=0.85): each doc contributes sub{id%7}.example.com →
+    // news{id%5}.example.org and the news host links back to
+    // sub{(id+3)%7}.example.com — 12 hosts, 1000 weighted edges, every
+    // node with in- and out-degree. Per-iteration contribution sums run
+    // in exact decimal and round once at 10 decimals, so the oracle
+    // replays the iterations bit-for-bit. The per-domain sampling
+    // weight a web-corpus pipeline derives from its crawl graph.
+    "docs_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val subHost = concat(lit("sub"), ($"doc_id" % 7).cast("string"),
+        lit(".example.com"))
+      val subHost3 = concat(lit("sub"), (($"doc_id" + 3) % 7).cast("string"),
+        lit(".example.com"))
+      val newsHost = concat(lit("news"), ($"doc_id" % 5).cast("string"),
+        lit(".example.org"))
+      val docs = Tables.documents(s, dir)
+      val edges = docs.select(subHost.as("src"), newsHost.as("dst"))
+        .unionAll(docs.select(newsHost.as("src"), subHost3.as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst")
+        .withColumnRenamed("pr", "pagerank")
+        .orderBy($"node")
+    },
+
+    // Weakly-connected components over a planted bipartite host graph:
+    // a{id%6} — b{id%15}. Residues agree mod 3 (CRT), so the 21 hosts
+    // split into exactly 3 components with canonical ids a0/a1/a2 — the
+    // cluster step of mirror-site detection. The 500-doc fixture covers
+    // all residues, so the shape is sf-independent; the graph is small
+    // enough for the driver union-find tier, while DedupSpec covers the
+    // distributed min-label tier on bigger graphs.
+    "docs_components" -> { (s, dir) =>
+      import s.implicits._
+      val edges = Tables.documents(s, dir).select(
+        concat(lit("a"), ($"doc_id" % 6).cast("string")).as("src"),
+        concat(lit("b"), ($"doc_id" % 15).cast("string")).as("dst"))
+      graft.ops.Graph.connectedComponents(edges, "src", "dst")
+        .orderBy($"node")
+    },
+
+    // In/out-degree profile of the PageRank link graph (parallel edges
+    // counted — they are crawl-frequency weights). Hub/authority
+    // screening: the first signal a crawl-frontier prioritizer reads.
+    "docs_degrees" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val subHost = concat(lit("sub"), ($"doc_id" % 7).cast("string"),
+        lit(".example.com"))
+      val subHost3 = concat(lit("sub"), (($"doc_id" + 3) % 7).cast("string"),
+        lit(".example.com"))
+      val newsHost = concat(lit("news"), ($"doc_id" % 5).cast("string"),
+        lit(".example.org"))
+      val edges = docs.select(subHost.as("src"), newsHost.as("dst"))
+        .unionAll(docs.select(newsHost.as("src"), subHost3.as("dst")))
+      graft.ops.Graph.degrees(edges, "src", "dst").orderBy($"node")
+    },
+
     // Dispersion/correlation from exact decimal moments: Σx, Σx², Σd,
     // Σd², Σxd summed in decimal, rounded once at scale 6, then combined
     // with the textbook formulas in doubles. Engine-independent where the
@@ -541,6 +598,75 @@ object AnalyticsQueries extends graft.QueryModule {
         |    AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.9
         |    AND n_stop_distinct >= 2 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Replays Graph.pageRank iteration-for-iteration. The CASTs to
+    // DOUBLE are load-bearing: bare 1.0 - 0.85 is DECIMAL arithmetic in
+    // DuckDB (exactly 0.15) while the Scala driver computes the double
+    // 0.15000000000000002 — forcing double subtraction reproduces it.
+    "docs_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT nd.node,
+           |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |      + CAST(0.85 AS DOUBLE) * COALESCE(
+           |          CAST(SUM(CAST(p.pr / o.od AS DECIMAL(38,18))) AS DOUBLE),
+           |          CAST(0.0 AS DOUBLE)), 10) AS pr
+           |  FROM nodes nd CROSS JOIN n nn
+           |  LEFT JOIN e ON e.dst = nd.node
+           |  LEFT JOIN $prev p ON p.node = e.src
+           |  LEFT JOIN outdeg o ON o.src = e.src
+           |  GROUP BY nd.node, nn.n)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT 'sub' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src,
+         |         'news' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS dst
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'news' || CAST(doc_id % 5 AS VARCHAR) || '.example.org',
+         |         'sub' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.example.com'
+         |  FROM documents),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         |n AS (SELECT COUNT(*) AS n FROM nodes),
+         |outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+         |  FROM nodes CROSS JOIN n nn),
+         |${iter("p0", "p1")},
+         |${iter("p1", "p2")},
+         |${iter("p2", "p3")}
+         |SELECT node, pr AS pagerank FROM p3 ORDER BY node""".stripMargin
+    },
+
+    // Transitive closure over the undirected planted bipartite graph;
+    // min reachable id (self included) = the component's canonical id.
+    "docs_components" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT 'a' || CAST(doc_id % 6 AS VARCHAR) AS x,
+        |         'b' || CAST(doc_id % 15 AS VARCHAR) AS y
+        |  FROM documents),
+        |edges AS (SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+        |SELECT x AS node, least(x, min(y)) AS component
+        |FROM reach GROUP BY x ORDER BY node""".stripMargin,
+
+    "docs_degrees" ->
+      """WITH e AS (
+        |  SELECT 'sub' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src,
+        |         'news' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'news' || CAST(doc_id % 5 AS VARCHAR) || '.example.org',
+        |         'sub' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.example.com'
+        |  FROM documents),
+        |o AS (SELECT src AS node, COUNT(*) AS out_degree FROM e GROUP BY src),
+        |i AS (SELECT dst AS node, COUNT(*) AS in_degree FROM e GROUP BY dst)
+        |SELECT COALESCE(o.node, i.node) AS node,
+        |  COALESCE(out_degree, 0) AS out_degree,
+        |  COALESCE(in_degree, 0) AS in_degree
+        |FROM o FULL OUTER JOIN i ON o.node = i.node
+        |ORDER BY node""".stripMargin,
 
     // chr(101)||chr(769) is the decomposed e + combining acute the Spark
     // side plants as "é"; 233/252/241 are precomposed é/ü/ñ.
