@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table profiling: per-column statistics in ONE pass over
+  * the data — the stats a warehouse collects for cost-based optimization
+  * (join reordering, broadcast decisions) and a data pipeline collects
+  * for drift/quality monitoring. At 100 TB a profile must never become
+  * one job per column; everything here is a single aggregate.
+  */
+object Profiling {
+
+  /** Exact per-column stats: one output row per requested column with
+    * (col_name, n_rows, n_nonnull, n_distinct, min_value, max_value).
+    * min/max are computed under the column's NATIVE type ordering, then
+    * rendered to string for the uniform output schema.
+    *
+    * One logical aggregate — Catalyst plans the multi-column DISTINCT
+    * set via one Expand (input ×|cols| pre-shuffle, partial-aggregated
+    * map-side), not |cols| scans. Exact n_distinct is the oracle-
+    * checkable form; at 100 TB prefer [[approxColumnStats]], which
+    * drops the Expand entirely.
+    *
+    * Callers pass numerically-stable columns for string rendering
+    * (integers, strings, dates, decimals); float min/max render
+    * engine-specifically and belong in typed profiles, not this one. */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame =
+    statsWith(df, cols, c => count_distinct(col(c)))
+
+  /** [[columnStats]] with HyperLogLog++ distinct counts (`relativeSD`
+    * standard error): no Expand, pure partial aggregation — the profile
+    * costs one scan + one 1-row shuffle regardless of column count.
+    * Estimates are deterministic for a given dataset (HLL++ sketches
+    * merge commutatively) but engine-specific, so this variant is
+    * spec-tested rather than oracle-hashed. */
+  def approxColumnStats(df: DataFrame, cols: Seq[String],
+      relativeSD: Double = 0.05): DataFrame =
+    statsWith(df, cols, c => approx_count_distinct(col(c), relativeSD))
+
+  private def statsWith(df: DataFrame, cols: Seq[String],
+      distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        distinctAgg(c).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"__nn_$c").as("n_nonnull"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n").as("n_rows"), explode(array(entries: _*)).as("__s"))
+      .select(col("__s.col_name"), col("n_rows"), col("__s.n_nonnull"),
+        col("__s.n_distinct"), col("__s.min_value"), col("__s.max_value"))
+  }
+}

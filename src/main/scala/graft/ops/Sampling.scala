@@ -91,4 +91,32 @@ object Sampling {
         Seq(col("__h").asc, key.asc), k)
       .drop("__stratum", "__h")
   }
+
+  /** Deterministic global shuffle for training order: every row gets a
+    * contiguous position 0..n-1 in `shuffle_pos`, ordered by
+    * (hash52(key, salt), key) — a reproducible permutation that is a
+    * pure function of the keys, like everything in this module. Change
+    * the salt to get an independent epoch order; `key` must be unique or
+    * rows that tie on the full sort key may swap positions.
+    *
+    * Scale path: the order is a RANGE-PARTITIONED sort (no single
+    * reducer), and positions come from RDD.zipWithIndex — one extra
+    * lightweight job to count rows per partition, then offsets are added
+    * per-partition. This is the standard two-pass global-index pattern;
+    * a window `row_number()` without PARTITION BY would funnel all
+    * 100 TB through one task. */
+  def shuffled(df: DataFrame, key: Column, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("__h", graft.functions.Sketches.hash52(key, salt))
+      .where(col("__h").isNotNull)
+      .orderBy(col("__h"), key)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed,
+        sorted.schema.add("shuffle_pos", org.apache.spark.sql.types.LongType,
+          nullable = false))
+      .drop("__h")
+  }
 }

@@ -327,6 +327,26 @@ object ExtensionQueries extends graft.QueryModule {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
     },
 
+    // Deterministic global shuffle (training order): contiguous
+    // positions assigned by the range-partitioned (hash, key) sort —
+    // replayable as a row_number over the same order in any engine.
+    "docs_shuffle" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Sampling.shuffled(
+        Tables.documents(s, dir).select($"doc_id", $"source"),
+        $"doc_id", "epoch-0")
+        .orderBy($"doc_id")
+    },
+
+    // One-pass ANALYZE profile of the documents table: per-column
+    // nonnull/distinct counts and native-ordering min/max.
+    "docs_column_stats" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Profiling.columnStats(Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy($"col_name")
+    },
+
     // Mixture reweighting: per-source keep fractions (downsample two
     // crawl sources, keep the rest whole) — deterministic by key hash.
     "docs_mixture_sample" -> { (s, dir) =>
@@ -800,6 +820,27 @@ object ExtensionQueries extends graft.QueryModule {
       s"""SELECT doc_id, source,
          |  CASE WHEN doc_id IS NULL THEN NULL ELSE $cases END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // Positions replay as row_number over the identical (hash52, key)
+    // total order; hash52 is the shared 52-bit md5 family.
+    "docs_shuffle" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':epoch-0'), 1, 13))::BIGINT,
+        |    doc_id) - 1 AS shuffle_pos
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "docs_column_stats" -> {
+      def one(c: String): String =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
 
     "docs_mixture_sample" ->

@@ -83,4 +83,28 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Sampling.splitColumn($"doc_id", "s", Seq("a" -> 0.0, "b" -> 1.0))
     }
   }
+
+  test("shuffled assigns a contiguous partition-invariant permutation") {
+    def perm(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Sampling.shuffled(df.select($"doc_id"), $"doc_id", "e0")
+        .as[(Long, Long)].collect().toMap
+    val base = perm(docs)
+    val n = docs.count()
+    assert(base.size == n)
+    assert(base.values.toSeq.sorted == (0L until n))
+    // Pure function of the keys: layout changes must not move any row.
+    assert(perm(docs.repartition(11, $"source")) == base)
+    // A different salt is an independent epoch order.
+    val other = Sampling.shuffled(docs.select($"doc_id"), $"doc_id", "e1")
+      .as[(Long, Long)].collect().toMap
+    assert(other != base && other.values.toSeq.sorted == (0L until n))
+  }
+
+  test("shuffled drops null keys rather than ranking them") {
+    val df = Seq(Some(1L), None, Some(2L)).toDF("doc_id")
+    val r = Sampling.shuffled(df, $"doc_id", "e0")
+      .as[(Long, Long)].collect()
+    assert(r.map(_._1).toSet == Set(1L, 2L))
+    assert(r.map(_._2).sorted.toSeq == Seq(0L, 1L))
+  }
 }
