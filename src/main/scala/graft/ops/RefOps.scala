@@ -76,10 +76,25 @@ object RefOps {
     * Divergence from the reference is intentional and documented
     * (SURVEY §2.3 U5).
     *
-    * Scale note: a global ntile needs a total order (single-partition
-    * window) — fine for the reference's thousands of shops. For balanced
-    * parallelism at 100 TB use `repartition(n)` instead; this function
-    * exists for reproducing the *deterministic keyed* split. */
-  def splitEven(n: Int, order: Seq[Column])(df: DataFrame): DataFrame =
-    df.withColumn("part_id", ntile(n).over(Window.orderBy(order: _*)))
+    * Scale note: a global ntile over `Window.orderBy(...)` funnels the
+    * dataset through ONE task. This computes the identical assignment
+    * from [[ScaleOps.withGlobalIndex]] (range-partitioned sort + two-pass
+    * offsets) and ntile's arithmetic: the first `total % n` tiles get
+    * `total / n + 1` rows, the rest `total / n` — bit-identical to the
+    * window form (oracle ref_u5_ntile_split pins it) with no
+    * single-partition stage. `order` must be a total order, which the
+    * window form needed anyway for determinism. */
+  def splitEven(n: Int, order: Seq[Column])(df: DataFrame): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val (indexed, total) = ScaleOps.withGlobalIndex(df, order, "__pos")
+    val q = total / n
+    val r = total % n
+    val pos = col("__pos")
+    val bigSpan = lit(r * (q + 1)) // rows covered by the (q+1)-sized tiles
+    val part =
+      if (q == 0) pos + 1L // more tiles than rows: one row per tile
+      else when(pos < bigSpan, pos / (q + 1))
+        .otherwise(lit(r) + (pos - bigSpan) / q) + 1L
+    indexed.withColumn("part_id", part.cast("int")).drop("__pos")
+  }
 }

@@ -99,24 +99,15 @@ object Sampling {
     * the salt to get an independent epoch order; `key` must be unique or
     * rows that tie on the full sort key may swap positions.
     *
-    * Scale path: the order is a RANGE-PARTITIONED sort (no single
-    * reducer), and positions come from RDD.zipWithIndex — one extra
-    * lightweight job to count rows per partition, then offsets are added
-    * per-partition. This is the standard two-pass global-index pattern;
-    * a window `row_number()` without PARTITION BY would funnel all
-    * 100 TB through one task. */
+    * Scale path: [[ScaleOps.withGlobalIndex]] — a range-partitioned
+    * sort plus the two-pass per-partition offset pattern; a window
+    * `row_number()` without PARTITION BY would funnel all 100 TB
+    * through one task. */
   def shuffled(df: DataFrame, key: Column, salt: String): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df
+    val hashed = df
       .withColumn("__h", graft.functions.Sketches.hash52(key, salt))
       .where(col("__h").isNotNull)
-      .orderBy(col("__h"), key)
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(indexed,
-        sorted.schema.add("shuffle_pos", org.apache.spark.sql.types.LongType,
-          nullable = false))
-      .drop("__h")
+    ScaleOps.withGlobalIndex(hashed, Seq(col("__h"), key), "shuffle_pos")
+      ._1.drop("__h")
   }
 }

@@ -16,6 +16,40 @@ object ScaleOps {
     * key's rows across saltFactor reducers. Semantics are exactly the
     * plain inner join on `key`; cost trades saltFactor× replication of
     * the small side for even reducer load. */
+  /** Contiguous global row index 0..n-1 over a total order, WITHOUT a
+    * single-partition window (`row_number().over(Window.orderBy(...))`
+    * funnels the full dataset through one task). Two passes over the
+    * range-partitioned sort: a lightweight per-partition count job, then
+    * per-partition offsets added map-side — the standard distributed
+    * global-index pattern (what RDD.zipWithIndex does, surfaced here
+    * with the row total, which callers otherwise pay another job for).
+    *
+    * `order` must be a TOTAL order (tie-free) or rows tying on it may
+    * swap indexes between runs. Returns (indexed df, row count). */
+  def withGlobalIndex(df: DataFrame, order: Seq[Column],
+      out: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val bc = spark.sparkContext.broadcast(offsets)
+    val indexed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var pos = bc.value(i)
+      it.map { r =>
+        val row = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pos)
+        pos += 1
+        row
+      }
+    }
+    val schema = sorted.schema
+      .add(out, org.apache.spark.sql.types.LongType, nullable = false)
+    (spark.createDataFrame(indexed, schema), total)
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
     val salted = big.withColumn("__salt",

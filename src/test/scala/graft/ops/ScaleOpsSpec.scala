@@ -125,6 +125,21 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("withGlobalIndex assigns contiguous order-respecting positions") {
+    val df = Seq(30, 10, 20, 50, 40).toDF("v")
+    val (indexed, total) = ScaleOps.withGlobalIndex(df, Seq($"v"), "pos")
+    assert(total == 5)
+    val r = indexed.as[(Int, Long)].collect().sortBy(_._2)
+    assert(r.map(_._1).toSeq == Seq(10, 20, 30, 40, 50))
+    assert(r.map(_._2).toSeq == (0L until 5L))
+    // Layout must not change any position.
+    val (again, _) = ScaleOps.withGlobalIndex(df.repartition(7), Seq($"v"), "pos")
+    assert(again.as[(Int, Long)].collect().toSet == r.toSet)
+    // No single-partition window stage in the plan.
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("coPartition aligns both sides on the key partitioning") {
     val (a, b) = ScaleOps.coPartition(
       Seq((1, "a")).toDF("k", "v"), Seq((1, "b")).toDF("k", "w"), "k", 4)
