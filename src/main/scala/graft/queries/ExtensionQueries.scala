@@ -327,6 +327,51 @@ object ExtensionQueries extends graft.QueryModule {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
     },
 
+    // Entity resolution: edit-distance ≤ 1 join of typo'd names (3rd
+    // char dropped) against the clean vocabulary — q-gram blocked, never
+    // a cartesian; the verify is exact levenshtein in both engines.
+    "fuzzy_name_match" -> { (s, dir) =>
+      import s.implicits._
+      val clean = Tables.nation(s, dir).select($"n_name")
+      val dirty = Tables.nation(s, dir).select(
+        concat(substring($"n_name", 1, 2), substring($"n_name", 4, 1000))
+          .as("dirty_name"))
+      graft.ops.FuzzyJoin.editDistancePairs(
+        dirty, "dirty_name", clean, "n_name", maxDist = 1)
+        .orderBy($"left_value", $"right_value")
+    },
+
+    // Incremental rollup maintenance: two disjoint batches aggregated
+    // independently, merged with one grouped sum — must equal the
+    // full-history aggregate (the oracle computes exactly that). The
+    // O(batch) daily-fold form of a warehouse rollup.
+    "inc_rollup_merge" -> { (s, dir) =>
+      import s.implicits._
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .as("total"))
+      val orders = Tables.orders(s, dir)
+      graft.ops.IncrementalAgg.mergeSums(
+        rollup(orders.filter($"o_orderkey" % 3 =!= 0)),
+        rollup(orders.filter($"o_orderkey" % 3 === 0)),
+        Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    },
+
+    // Top principal direction of the embedding corpus by 3 power
+    // iterations (v0 = 1, unit max-norm, decimal matvec sums rounded at
+    // 10 decimals per iteration — engine/partitioning-invariant, so the
+    // oracle replays every iteration bit-for-bit). The anisotropy/drift
+    // statistic of a vector corpus.
+    "emb_principal_direction" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.Embeddings.dominantDirection(
+        Tables.embeddings(s, dir), "embedding", dims = 64)
+        .orderBy($"dim_idx")
+    },
+
     // Deterministic global shuffle (training order): contiguous
     // positions assigned by the range-partitioned (hash, key) sort —
     // replayable as a row_number over the same order in any engine.
@@ -820,6 +865,62 @@ object ExtensionQueries extends graft.QueryModule {
       s"""SELECT doc_id, source,
          |  CASE WHEN doc_id IS NULL THEN NULL ELSE $cases END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // Ground truth is the brute-force product — tiny here; the engine
+    // must return exactly the same pairs from its blocked plan.
+    "fuzzy_name_match" ->
+      """WITH dirty AS (
+        |  SELECT DISTINCT substr(n_name, 1, 2) || substr(n_name, 4) AS a
+        |  FROM nation WHERE n_name IS NOT NULL),
+        |clean AS (SELECT DISTINCT n_name AS b FROM nation
+        |  WHERE n_name IS NOT NULL)
+        |SELECT a AS left_value, b AS right_value,
+        |  levenshtein(a, b) AS dist
+        |FROM dirty CROSS JOIN clean
+        |WHERE levenshtein(a, b) <= 1
+        |ORDER BY left_value, right_value""".stripMargin,
+
+    // The merge law makes the oracle trivial: the full-history rollup.
+    "inc_rollup_merge" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    // Replays Embeddings.dominantDirection iteration-for-iteration: the
+    // per-row dot is an exact DECIMAL(25,12) term sum (matching the
+    // engine's exact-by-construction (37,12) fold) and the contraction
+    // an exact DECIMAL(38,18) sum; each iterate rounds once at 10
+    // decimals after max-abs normalization.
+    "emb_principal_direction" -> {
+      def iter(prev: String, k: Int): String =
+        s"""s$k AS (
+           |  SELECT x.vec_id,
+           |    CAST(SUM(CAST(x.xv * v.c AS DECIMAL(25,12))) AS DOUBLE) AS s
+           |  FROM x JOIN $prev v ON v.dim_idx = x.dim_idx
+           |  GROUP BY x.vec_id),
+           |w$k AS (
+           |  SELECT x.dim_idx,
+           |    CAST(SUM(CAST(x.xv * sv.s AS DECIMAL(38,18))) AS DOUBLE) AS w
+           |  FROM x JOIN s$k sv ON sv.vec_id = x.vec_id
+           |  GROUP BY x.dim_idx),
+           |p$k AS (
+           |  SELECT dim_idx,
+           |    round(w / (SELECT MAX(abs(w)) FROM w$k), 10) AS c
+           |  FROM w$k)""".stripMargin
+      s"""WITH dims AS (SELECT unnest(range(0, 64)) AS dim_idx),
+         |x AS (
+         |  SELECT vec_id, i - 1 AS dim_idx, CAST(embedding[i] AS DOUBLE) AS xv
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+         |  WHERE embedding IS NOT NULL AND embedding[i] IS NOT NULL),
+         |p0 AS (SELECT dim_idx, CAST(1.0 AS DOUBLE) AS c FROM dims),
+         |${iter("p0", 1)},
+         |${iter("p1", 2)},
+         |${iter("p2", 3)}
+         |SELECT d.dim_idx, COALESCE(p.c, 0.0) AS component
+         |FROM dims d LEFT JOIN p3 p ON p.dim_idx = d.dim_idx
+         |ORDER BY d.dim_idx""".stripMargin
     },
 
     // Positions replay as row_number over the identical (hash52, key)
