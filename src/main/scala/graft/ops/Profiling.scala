@@ -38,6 +38,24 @@ object Profiling {
       relativeSD: Double = 0.05): DataFrame =
     statsWith(df, cols, c => approx_count_distinct(col(c), relativeSD))
 
+  /** Equi-DEPTH histogram of a column: `buckets` ranges holding equal
+    * row counts (±1), with each bucket's count and [lo, hi] bounds —
+    * the boundary stats a cost-based optimizer prefers over equi-width
+    * when data is skewed. Runs on [[RefOps.splitEven]]'s scalable ntile
+    * (range-sort + offset arithmetic, no single-partition window).
+    * Ties straddling a boundary land deterministically by count; the
+    * published (n, lo, hi) per bucket is unique either way. Nulls are
+    * excluded (they have no place in a value ordering). */
+  def equiDepthHistogram(df: DataFrame, value: org.apache.spark.sql.Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "at least one bucket")
+    RefOps.splitEven(buckets, Seq(col("__v")))(
+        df.select(value.as("__v")).where(col("__v").isNotNull))
+      .groupBy(col("part_id").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+  }
+
   private def statsWith(df: DataFrame, cols: Seq[String],
       distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
     require(cols.nonEmpty, "at least one column")

@@ -421,6 +421,29 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"band_id")
     },
 
+    // Equi-depth price histogram: 8 buckets of equal row count with
+    // exact bounds — the skew-robust optimizer statistic, on the
+    // scalable ntile (no single-partition window).
+    "q_histogram_equidepth" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Profiling.equiDepthHistogram(
+        Tables.lineitem(s, dir), $"l_extendedprice", 8)
+        .orderBy($"bucket")
+    },
+
+    // Z-order (Morton) clustering key over two bucketed dimensions —
+    // the multi-column file-skipping layout; the code is pure integer
+    // bit arithmetic, so the oracle replays it exactly.
+    "q_zorder_cluster" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_partkey" % 256).cast("int").as("px"),
+          ($"l_suppkey" % 256).cast("int").as("sy"))
+        .withColumn("zval", graft.ops.ZOrder.zValue(Seq($"px", $"sy"), 8))
+        .orderBy($"zval", $"l_orderkey", $"l_linenumber")
+    },
+
     // Multimodal: opaque binary payload + typed metadata.
     "multimodal_bytes" -> { (s, dir) =>
       import s.implicits._
@@ -865,6 +888,29 @@ object ExtensionQueries extends graft.QueryModule {
       s"""SELECT doc_id, source,
          |  CASE WHEN doc_id IS NULL THEN NULL ELSE $cases END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // ntile over the value order is the textbook equi-depth spec; the
+    // engine's arithmetic form is bit-identical (ref_u5 pins the law).
+    "q_histogram_equidepth" ->
+      """WITH t AS (
+        |  SELECT l_extendedprice AS v,
+        |    ntile(8) OVER (ORDER BY l_extendedprice) AS b
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT b AS bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+        |FROM t GROUP BY b ORDER BY bucket""".stripMargin,
+
+    // Bit-exact Morton replay: column i of the pair occupies bit
+    // positions b*2+i, generated by the same Scala loop as the engine.
+    "q_zorder_cluster" -> {
+      val terms = (for (b <- 0 until 8; (c, i) <- Seq("px", "sy").zipWithIndex)
+        yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+      s"""WITH t AS (SELECT l_orderkey, l_linenumber,
+         |  CAST(l_partkey % 256 AS INTEGER) AS px,
+         |  CAST(l_suppkey % 256 AS INTEGER) AS sy FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, px, sy,
+         |  CAST($terms AS BIGINT) AS zval
+         |FROM t ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
     },
 
     // Ground truth is the brute-force product — tiny here; the engine

@@ -44,6 +44,24 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
     assert(approx == exact)
   }
 
+  test("equiDepthHistogram balances counts and orders bounds") {
+    // 100 skewed values: equi-depth must still give 25 per bucket.
+    val df = (1 to 100).map(i => i * i).toDF("v")
+    val h = Profiling.equiDepthHistogram(df, $"v", 4)
+      .as[(Int, Long, Int, Int)].collect().sortBy(_._1)
+    assert(h.map(_._2).toSeq == Seq(25L, 25L, 25L, 25L))
+    assert(h.head._3 == 1 && h.last._4 == 10000)
+    // Buckets tile the value range without overlap.
+    h.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3) }
+  }
+
+  test("equiDepthHistogram drops nulls and handles fewer rows than buckets") {
+    val df = Seq(Some(3), None, Some(1)).toDF("v")
+    val h = Profiling.equiDepthHistogram(df, $"v", 5)
+      .as[(Int, Long, Int, Int)].collect().sortBy(_._1)
+    assert(h.map(_._2).sum == 2 && h.length == 2)
+  }
+
   test("columnStats renders min/max under native ordering, not string") {
     // 9 < 10 numerically but "10" < "9" lexicographically.
     val df = Seq(9, 10, 2).toDF("n")
