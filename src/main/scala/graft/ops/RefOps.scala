@@ -91,10 +91,14 @@ object RefOps {
     val r = total % n
     val pos = col("__pos")
     val bigSpan = lit(r * (q + 1)) // rows covered by the (q+1)-sized tiles
+    // Spark's `/` is double division; cast each quotient back to long
+    // immediately so the tile index is explicit integer floor (exact:
+    // the double quotient of longs this size errs by far less than the
+    // 1/(q+1) gap to the next integer).
     val part =
       if (q == 0) pos + 1L // more tiles than rows: one row per tile
-      else when(pos < bigSpan, pos / (q + 1))
-        .otherwise(lit(r) + (pos - bigSpan) / q) + 1L
+      else when(pos < bigSpan, (pos / (q + 1)).cast("long"))
+        .otherwise(lit(r) + ((pos - bigSpan) / q).cast("long")) + 1L
     indexed.withColumn("part_id", part.cast("int")).drop("__pos")
   }
 }

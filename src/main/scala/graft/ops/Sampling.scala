@@ -92,6 +92,39 @@ object Sampling {
       .drop("__stratum", "__h")
   }
 
+  /** Temperature-rebalanced mixture (the T5/mC4 multi-source recipe):
+    * expected kept rows per group ∝ n_g^alpha, normalized so the
+    * SMALLEST group is kept whole — i.e. keep fraction
+    * `(n_min / n_g)^(1-alpha)`, downsampling large sources toward the
+    * small ones. `alpha = 1` keeps everything (proportional);
+    * `alpha → 0` flattens toward uniform group sizes.
+    *
+    * Group sizes come from one count aggregate collected to the driver
+    * (source/domain cardinality is small by nature — this is a per-
+    * GROUP decision table, not per-row state). Each fraction is
+    * computed with one libm pow and rounded at 6 decimals before the
+    * hash comparison, so any engine replays the same keep set (the
+    * precedent of the unigram-logprob oracle: round once, immediately
+    * after the only transcendental). Row membership then inherits
+    * [[mixture]]'s determinism. */
+  def temperatureMixture(df: DataFrame, groupCol: Column, key: Column,
+      alpha: Double, salt: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    val counts = df.groupBy(groupCol.as("__g")).count()
+      .collect().map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1))
+    val known = counts.collect { case (Some(g), n) => g -> n }
+    if (known.isEmpty) return df // only null-group rows: kept whole
+    val nMin = known.map(_._2).min.toDouble
+    val weights = known.map { case (g, n) =>
+      g -> BigDecimal(math.pow(nMin / n, 1 - alpha))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    // Null-group rows take defaultWeight 1.0 (kept whole): they have no
+    // size to rebalance against, mirroring splitColumn's null policy of
+    // never silently bucketing.
+    mixture(df, groupCol, key, weights, defaultWeight = 1.0, salt)
+  }
+
   /** Deterministic global shuffle for training order: every row gets a
     * contiguous position 0..n-1 in `shuffle_pos`, ordered by
     * (hash52(key, salt), key) — a reproducible permutation that is a

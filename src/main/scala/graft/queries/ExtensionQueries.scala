@@ -392,6 +392,17 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"col_name")
     },
 
+    // Temperature rebalance at alpha=0.5: every source downsampled to
+    // sqrt(n_min·n_g) expected rows — the multi-source mixing step of
+    // corpus assembly, deterministic by key hash.
+    "docs_temperature_mix" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Sampling.temperatureMixture(Tables.documents(s, dir),
+        $"source", $"doc_id", alpha = 0.5, salt = "temp-v1")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
     // Mixture reweighting: per-source keep fractions (downsample two
     // crawl sources, keep the rest whole) — deterministic by key hash.
     "docs_mixture_sample" -> { (s, dir) =>
@@ -989,6 +1000,18 @@ object ExtensionQueries extends graft.QueryModule {
       Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+
+    // pow is the only transcendental; both engines round it at 6
+    // decimals immediately (unigram-logprob precedent), then the keep
+    // decision is exact hash arithmetic.
+    "docs_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |m AS (SELECT CAST(MIN(n) AS DOUBLE) AS nmin FROM c),
+        |f AS (SELECT source, round(pow(nmin / n, 0.5), 6) AS keep FROM c, m)
+        |SELECT d.doc_id, d.source FROM documents d JOIN f USING (source)
+        |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || ':temp-v1'), 1, 13))::BIGINT
+        |       / 4503599627370496.0) < f.keep
+        |ORDER BY d.doc_id""".stripMargin,
 
     "docs_mixture_sample" ->
       """SELECT doc_id, source FROM documents

@@ -84,6 +84,33 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("temperatureMixture keeps the smallest source whole, shrinks big ones") {
+    val df = ((0 until 40).map(i => (i.toLong, "big")) ++
+      (100 until 110).map(i => (i.toLong, "small")))
+      .toDF("id", "src")
+    val kept = Sampling.temperatureMixture(df, $"src", $"id", 0.5, "t0")
+      .groupBy($"src").count().as[(String, Long)].collect().toMap
+    // keep("small") = 1.0 exactly; keep("big") = sqrt(10/40) = 0.5.
+    assert(kept("small") == 10L)
+    assert(kept("big") > 10L && kept("big") < 30L)
+    // alpha = 1 is proportional: everything kept.
+    val all = Sampling.temperatureMixture(df, $"src", $"id", 1.0, "t0")
+    assert(all.count() == 50L)
+  }
+
+  test("temperatureMixture is layout-invariant and keeps null groups whole") {
+    val df = ((0 until 30).map(i => (i.toLong, Some("a"))) ++
+      (50 until 60).map(i => (i.toLong, Some("b"))) ++
+      Seq((98L, None), (99L, None)))
+      .toDF("id", "src")
+    def keptIds(d: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureMixture(d, $"src", $"id", 0.3, "t1")
+        .select($"id").as[Long].collect().toSet
+    val base = keptIds(df)
+    assert(keptIds(df.repartition(7)) == base)
+    assert(base.contains(98L) && base.contains(99L))
+  }
+
   test("shuffled assigns a contiguous partition-invariant permutation") {
     def perm(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       Sampling.shuffled(df.select($"doc_id"), $"doc_id", "e0")
