@@ -365,6 +365,43 @@ object Dedup {
         count(lit(1)).as("n_units_kept"))
   }
 
+  /** Substring-level duplication profile (the token-granular form of
+    * exact-substring training-data dedup, cf. Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): slide a `windowTokens`-token
+    * window over each document and count, per document, how many of its
+    * spans occur more than once ANYWHERE in the corpus (including within
+    * the same document). Returns (id, n_spans, n_dup_spans); docs shorter
+    * than the window carry no spans and emit no row — there is no
+    * substring of the target length to test. The dup fraction
+    * n_dup_spans/n_spans is the per-doc filter/repair signal; both terms
+    * stay exact integers here so any engine replays them bit-for-bit.
+    *
+    * Scale: rows explode to ~tokens-per-doc spans (window overlap is
+    * rebuilt per span — string bytes × window factor in the exchange, the
+    * standard trade of this operator); ONE shuffle on the span
+    * fingerprint for the occurrence counts, one aggregate back on the doc
+    * id. Never a corpus self-join. Hot spans (boilerplate repeated
+    * millions of times) are genuinely hot keys; the count-over-window is
+    * a single streaming pass per fingerprint partition. */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val toks = split(col(textCol), " ")
+    val spans = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(when(size(toks) >= windowTokens,
+          transform(sequence(lit(0), size(toks) - windowTokens),
+            i => array_join(slice(toks, i + 1, lit(windowTokens)), " ")))
+          .otherwise(array().cast("array<string>"))).as("span"))
+    val occ = count(lit(1))
+      .over(Window.partitionBy(TextFunctions.fingerprint(col("span"))))
+    spans.withColumn("__occ", occ)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+  }
+
   /** Benchmark-contamination ratio: for every corpus document, the
     * fraction of its distinct n-gram shingles that also occur anywhere
     * in `bench` (the eval/benchmark set) — the standard n-gram-overlap

@@ -81,4 +81,44 @@ object Packing {
           .as("tok_to"))
       .withColumn("n_toks", col("tok_to") - col("tok_from"))
   }
+
+  /** Overlapping fixed-size chunking (the RAG/embedding-index serving
+    * shape, stride < chunk ⇒ consecutive chunks share chunk−stride
+    * tokens): chunk i covers tokens [i·stride, i·stride+chunkTokens) and
+    * the last chunk is the first one whose window reaches the end of the
+    * doc — so every token is covered and no start position beyond the
+    * text is emitted. Returns one row per (doc, chunk):
+    * (idCol, chunk_idx, chunk_text, n_toks), the ragged tail shorter
+    * than chunkTokens. Null-text docs emit nothing; an empty-string doc
+    * is one single-token chunk of "" (Spark and DuckDB agree a
+    * whitespace split of "" is [""]).
+    *
+    * Unlike [[packChunks]] (which cuts a GLOBAL token stream and needs
+    * the distributed prefix sum), chunk placement here is doc-local
+    * arithmetic: a pure projection + explode, no shuffle at any corpus
+    * size. The start count uses exact integer ceil-div — no doubles in
+    * the row-count decision. */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"stride must be in [1, chunkTokens]: $strideTokens")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // Index of the last chunk start: ceil((n - chunk) / stride) when the
+    // doc overflows one chunk, else 0. (a + s - 1) div s on ints; the
+    // double `/` is exact here (token counts ≪ 2^53) and floor makes the
+    // integer intent explicit.
+    val nChunks = when(n > chunkTokens,
+      floor((n - lit(chunkTokens) + lit(strideTokens - 1)) /
+        lit(strideTokens.toDouble)).cast("long"))
+      .otherwise(lit(0L))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nChunks),
+          i => array_join(slice(toks, (i * strideTokens + 1).cast("int"),
+            lit(chunkTokens)), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_toks", size(split(col("chunk_text"), " ")))
+  }
 }

@@ -73,6 +73,21 @@ object Sampling {
     df.filter(hashUnit(key, salt) < w)
   }
 
+  /** Per-ROW weighted (importance) sampling: keep a row iff
+    * hashUnit(key, salt) < `weight`, so a row's keep probability is its
+    * own weight — e.g. length-proportional corpus sampling
+    * (`least(1.0, n_tokens / budget)`) or quality-score-proportional
+    * retention. The per-GROUP form is [[mixture]]; this is its
+    * continuous, per-row generalization. Weights ≥ 1 always keep,
+    * ≤ 0 never keep; a NULL weight drops the row (null comparison —
+    * an undefined probability is not silently treated as 1), and the
+    * caller decides what to do with such rows, mirroring the module's
+    * null-key policy. Deterministic and layout-invariant like everything
+    * here, provided `weight` is itself a deterministic column. */
+  def weightedSample(df: DataFrame, weight: Column, key: Column,
+      salt: String): DataFrame =
+    df.filter(hashUnit(key, salt) < weight)
+
   /** Exactly-k per-stratum sample: the k rows with the smallest key
     * hashes in each stratum — the fixed-SIZE complement of the
     * fixed-RATE [[sampleByHash]]. Deterministic and partition-invariant

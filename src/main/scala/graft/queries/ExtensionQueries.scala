@@ -253,6 +253,36 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // Substring-level duplication profile (token-granular exact-substring
+    // dedup signal): per doc, total 10-token spans and spans occurring
+    // more than once corpus-wide. One fingerprint shuffle + one doc
+    // aggregate; exact integers end to end.
+    "dedup_span_stats" -> { (s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), "text", "doc_id",
+        windowTokens = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // Overlapping RAG-style chunking: 64-token chunks every 48 tokens
+    // (16-token overlap); pure projection + explode, no shuffle.
+    "docs_overlap_chunks" -> { (s, dir) =>
+      graft.ops.Packing.slidingChunks(Tables.documents(s, dir), "doc_id",
+        "text", chunkTokens = 64, strideTokens = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Length-proportional importance sampling: keep probability
+    // min(1, n_chars/2000) per row — the continuous per-row form of the
+    // per-group mixture. Membership is pure (key, salt) hash arithmetic.
+    "docs_length_weighted" -> { (s, dir) =>
+      graft.ops.Sampling.weightedSample(Tables.documents(s, dir),
+        least(lit(1.0), col("n_chars") / lit(2000.0)), col("doc_id"),
+        salt = "lenw-v1")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // IVF approximate top-10 (deterministic smallest-id centroids, so the
     // full assign→probe→search pipeline is oracle-checked; recall vs
     // brute force asserted in KnnSpec).
@@ -1292,6 +1322,50 @@ object ExtensionQueries extends graft.QueryModule {
         |  least((chunk_id + 1) * 512 - s, n)
         |    - greatest(chunk_id * 512 - s, 0) AS n_toks
         |FROM spans ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Span fingerprints replay the engine's normalize-then-md5; the
+    // occurrence count is a window over that digest, and both output
+    // columns are exact integers (sum cast back to BIGINT — DuckDB
+    // widens integer sums to HUGEINT).
+    "dedup_span_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |spans AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(tk[i+1 : i+10], ' ')
+        |            FOR i IN range(0, len(tk) - 9)]) AS span
+        |  FROM toks),
+        |occ AS (
+        |  SELECT doc_id, count(*) OVER (
+        |    PARTITION BY md5(regexp_replace(trim(lower(span)), '\s+', ' ', 'g'))) AS c
+        |  FROM spans)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Chunk count is exact integer ceil-div; chunk text is 1-based
+    // inclusive list slicing, ragged tail included.
+    "docs_overlap_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    unnest([{'chunk_idx': i,
+        |             'chunk_text': array_to_string(tk[i*48+1 : i*48+64], ' ')}
+        |      FOR i IN range(0, 1 + CASE WHEN len(tk) > 64
+        |        THEN (len(tk) - 64 + 47) // 48 ELSE 0 END)], recursive := true)
+        |  FROM toks)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_text,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS n_toks
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "docs_length_weighted" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE (('0x' || substr(md5(doc_id::VARCHAR || ':lenw-v1'), 1, 13))::BIGINT
+        |       / 4503599627370496.0) < least(1.0, n_chars / 2000.0)
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -305,4 +305,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(buckets.keySet == Set(1L, 2L, 3L, 4L))
     assert(buckets(3L) == 1L && buckets(4L) == 2L)
   }
+
+  test("duplicatedSpans counts cross-doc and in-doc repeated windows") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // spans: "a b c", "b c d", "c d e"
+      (2L, "x a b c d y"),    // shares "a b c" and "b c d" with doc 1
+      (3L, "p q r"),          // unique single span
+      (4L, "u v u v u v"),    // in-doc repeat: "u v u" x2, "v u v" x2
+      (5L, "s t"),            // shorter than the window: no spans
+      (6L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "text", "doc_id", windowTokens = 3)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == ((3L, 2L)))   // "a b c", "b c d" duplicated in doc 2
+    assert(got(2L) == ((4L, 2L)))
+    assert(got(3L) == ((1L, 0L)))
+    assert(got(4L) == ((4L, 4L)))   // all four spans are in-doc repeats
+    assert(!got.contains(5L) && !got.contains(6L))
+  }
+
+  test("duplicatedSpans window equal to doc length yields one span") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "text", "doc_id", 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 1L, 1L)))
+  }
 }

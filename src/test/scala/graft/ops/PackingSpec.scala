@@ -94,4 +94,39 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.optimizedPlan.toString
     assert(plan.toLowerCase.contains("spark_partition_id"), plan.take(500))
   }
+
+  private def slide(rows: Seq[(Long, String)], c: Int, s: Int) =
+    Packing.slidingChunks(rows.toDF("doc_id", "text"), "doc_id", "text", c, s)
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Int, String, Int)].collect().toSeq
+
+  test("slidingChunks overlaps by chunk - stride and covers every token") {
+    // 7 tokens, chunk 4, stride 2 → starts 0, 2 (covers to 6), but 7 > 6
+    // so one more start at index ceil((7-4)/2)=2... starts 0,1,2 by the
+    // ceil-div: (7-4+1)/2 = 2 → starts 0..2 → windows [a..d],[c..f],[e..g]
+    val got = slide(Seq(1L -> "a b c d e f g"), 4, 2)
+    assert(got === Seq(
+      (1L, 0, "a b c d", 4), (1L, 1, "c d e f", 4), (1L, 2, "e f g", 3)))
+    // every token appears in at least one chunk
+    val covered = got.flatMap(_._3.split(" ")).toSet
+    assert(covered === "a b c d e f g".split(" ").toSet)
+  }
+
+  test("slidingChunks: short docs emit one chunk; stride == chunk tiles") {
+    assert(slide(Seq(1L -> "a b"), 5, 3) === Seq((1L, 0, "a b", 2)))
+    // exact multiple, no overlap: plain tiling with no phantom tail
+    assert(slide(Seq(2L -> "a b c d"), 2, 2) ===
+      Seq((2L, 0, "a b", 2), (2L, 1, "c d", 2)))
+    // doc length == chunk: exactly one chunk, no second start
+    assert(slide(Seq(3L -> "a b c"), 3, 1) === Seq((3L, 0, "a b c", 3)))
+  }
+
+  test("slidingChunks rejects bad strides and skips null text") {
+    intercept[IllegalArgumentException](slide(Seq(1L -> "a"), 4, 5))
+    intercept[IllegalArgumentException](slide(Seq(1L -> "a"), 4, 0))
+    val withNull = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
+    val got = Packing.slidingChunks(withNull.toDF("doc_id", "text"),
+      "doc_id", "text", 4, 2).select($"doc_id").as[Long].collect().toSet
+    assert(got === Set(1L))
+  }
 }

@@ -111,6 +111,24 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(base.contains(98L) && base.contains(99L))
   }
 
+  test("weightedSample: weight 1 always keeps, 0 never, null drops") {
+    val df = (0L until 100L).map(i =>
+      (i, if (i < 20) 1.0 else if (i < 40) 0.0
+          else if (i < 60) Double.NaN else 0.5))
+      .toDF("id", "w")
+      .withColumn("w", when(isnan($"w"), lit(null)).otherwise($"w"))
+    val kept = Sampling.weightedSample(df, $"w", $"id", "ws0")
+      .select($"id").as[Long].collect().toSet
+    assert((0L until 20L).forall(kept.contains))    // weight 1: all kept
+    assert((20L until 60L).forall(i => !kept.contains(i))) // 0 and null
+    val half = kept.count(_ >= 60)
+    assert(half > 5 && half < 35, s"~half of 40 expected, got $half")
+    // determinism: same call, same set
+    val again = Sampling.weightedSample(df.repartition(7), $"w", $"id", "ws0")
+      .select($"id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("shuffled assigns a contiguous partition-invariant permutation") {
     def perm(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       Sampling.shuffled(df.select($"doc_id"), $"doc_id", "e0")
