@@ -102,6 +102,43 @@ object Sketches {
           .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div kth_hash"))
           .as("est_distinct"))
 
+  /** Pairwise distinct-set overlap from KMV sketches (the set-operation
+    * face of KMV, cf. Beyer et al. 2007): for every unordered group
+    * pair, estimate |A ∪ B| from the k smallest hashes of the combined
+    * sketch, the Jaccard similarity as the fraction of that combined
+    * sketch present in BOTH sides, and |A ∩ B| as their product — "how
+    * many distinct documents do these two sources share" without ever
+    * joining the raw data. When the union fits under k the sketch IS the
+    * distinct set and every output is exact.
+    *
+    * Input is a [[kmvSketch]] table (group, hashes): one row per group,
+    * arrays of ≤ k. The pair join is over |groups| ROWS, not corpus rows
+    * — at 100 TB the corpus was already reduced to its sketches by the
+    * one aggregate in kmvSketch, and this is driver-scale array
+    * arithmetic kept distributed only for composability. The only
+    * doubles are the final ratio·union products (IEEE-identical in any
+    * engine); everything upstream is exact integer hashes. */
+  def kmvPairOverlap(sketches: DataFrame, k: Int = 256): DataFrame = {
+    require(k > 1 && k <= 2048, "k must be in (1, 2048]")
+    val a = sketches.select(col("group").as("group_a"), col("hashes").as("__ha"))
+    val b = sketches.select(col("group").as("group_b"), col("hashes").as("__hb"))
+    val both = a.join(b, col("group_a") < col("group_b"))
+      .withColumn("__hu",
+        slice(array_sort(array_union(col("__ha"), col("__hb"))), 1, k))
+      .withColumn("__nu", size(col("__hu")).cast("long"))
+      .withColumn("__shared",
+        size(array_intersect(col("__hu"),
+          array_intersect(col("__ha"), col("__hb")))).cast("long"))
+    both.select(col("group_a"), col("group_b"),
+        col("__nu").as("n_kept"), col("__shared").as("n_shared"),
+        when(col("__nu") < k, col("__nu"))
+          .otherwise(expr(s"(${k - 1}L * ${HashSpace}L) div element_at(__hu, -1)"))
+          .as("est_union"))
+      .withColumn("est_intersection",
+        round(col("n_shared").cast("double") / col("n_kept")
+          * col("est_union")).cast("long"))
+  }
+
   /** 28-bit md5 base digest of (key:salt), digested ONCE per input row;
     * the d per-hash-function values derive from it with the affine
     * universal family [[affineSlot]] — the same prepare/slot split as

@@ -88,6 +88,32 @@ object Sampling {
       salt: String): DataFrame =
     df.filter(hashUnit(key, salt) < weight)
 
+  /** Exactly-k WEIGHTED sample per stratum (Efraimidis–Spirakis A-Res,
+    * 2006): each row draws rank u^(1/w) from its deterministic uniform
+    * u = hashUnit(key, salt) and the k LARGEST ranks win — inclusion
+    * probability proportional to weight, without replacement, in one
+    * pass. The fixed-size complement of [[weightedSample]] (per-row
+    * rate) the way [[stratifiedK]] is of [[sampleByHash]].
+    *
+    * The rank is the module's ONE transcendental here, so it is rounded
+    * at 6 decimals immediately (the temperatureMixture/unigram-logprob
+    * precedent) and ties break on the key — a total, engine-replayable
+    * order. Rows with null, zero, or negative weights (and null keys)
+    * never win: they have no defined rank. Runs on the native TopKPerKey
+    * bounded heaps: no per-stratum sort, partial heaps cap what shuffles
+    * at k·partitions rows regardless of corpus size. */
+  def weightedK(df: DataFrame, stratum: Column, weight: Column, key: Column,
+      k: Int, salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rank = round(pow(hashUnit(key, salt), lit(1.0) / weight), 6)
+    val ranked = df.withColumn("__stratum", stratum)
+      .withColumn("__r", when(weight > 0, rank))
+      .where(col("__r").isNotNull)
+    graft.plans.TopK.perKey(ranked, Seq(col("__stratum")),
+        Seq(col("__r").desc, key.asc), k)
+      .drop("__stratum", "__r")
+  }
+
   /** Exactly-k per-stratum sample: the k rows with the smallest key
     * hashes in each stratum — the fixed-SIZE complement of the
     * fixed-RATE [[sampleByHash]]. Deterministic and partition-invariant

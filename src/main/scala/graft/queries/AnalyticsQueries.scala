@@ -42,6 +42,21 @@ object AnalyticsQueries extends graft.QueryModule {
         .orderBy($"l_returnflag")
     },
 
+    // KMV set operations: pairwise distinct-content overlap between
+    // sources from per-source sketches (k=16 so large sources actually
+    // exercise the estimator while small ones stay exact). The corpus is
+    // reduced once to |sources| sketch rows; pairs never touch raw data.
+    "sketch_kmv_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val sk = Sketches.kmvSketch(Tables.documents(s, dir), $"source",
+        graft.functions.TextFunctions.fingerprint($"text"), k = 16,
+        salt = "kmvo")
+      Sketches.kmvPairOverlap(sk, k = 16)
+        .withColumnRenamed("group_a", "source_a")
+        .withColumnRenamed("group_b", "source_b")
+        .orderBy($"source_a", $"source_b")
+    },
+
     // HLL sketch build: 64-bucket max-leading-zero table per group — ONE
     // partial-aggregable groupBy; buckets merge by max across shards.
     // (The float estimate fold is hllEstimate, pinned by tolerance spec.)
@@ -406,6 +421,30 @@ object AnalyticsQueries extends graft.QueryModule {
         |  CASE WHEN COUNT(*) < 256 THEN COUNT(*)
         |       ELSE (255 * 4503599627370496) // MAX(hv) END AS est_distinct
         |FROM k WHERE rn <= 256 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Replays sketch → pair → union-slice → shared-count → estimate; the
+    // only doubles are the final ratio·union product, IEEE-identical.
+    "sketch_kmv_overlap" ->
+      """WITH h AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |       || ':kmvo'), 1, 13))::BIGINT AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |sk AS (SELECT source, (list_sort(list(hv)))[1:16] AS hs
+        |  FROM h GROUP BY source),
+        |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    a.hs AS ha, b.hs AS hb,
+        |    (list_sort(list_distinct(a.hs || b.hs)))[1:16] AS hu
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |m AS (SELECT source_a, source_b,
+        |    CAST(len(hu) AS BIGINT) AS n_kept,
+        |    CAST(len(list_intersect(hu, list_intersect(ha, hb))) AS BIGINT) AS n_shared,
+        |    CASE WHEN len(hu) < 16 THEN CAST(len(hu) AS BIGINT)
+        |         ELSE (15 * 4503599627370496) // hu[len(hu)] END AS est_union
+        |  FROM pairs)
+        |SELECT source_a, source_b, n_kept, n_shared, est_union,
+        |  CAST(round(CAST(n_shared AS DOUBLE) / n_kept * est_union) AS BIGINT)
+        |    AS est_intersection
+        |FROM m ORDER BY source_a, source_b""".stripMargin,
 
     "sketch_hll_buckets" ->
       """WITH h AS (SELECT l_returnflag,

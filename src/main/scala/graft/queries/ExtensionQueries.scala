@@ -272,6 +272,17 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // Exactly-3-per-source weighted sample (Efraimidis–Spirakis A-Res):
+    // rank u^(1/n_chars) rounded at 6 decimals, k largest win, key
+    // tiebreak — inclusion ∝ length, without replacement, one pass on
+    // the native TopK heaps.
+    "docs_weighted_k" -> { (s, dir) =>
+      graft.ops.Sampling.weightedK(Tables.documents(s, dir), col("source"),
+        col("n_chars").cast("double"), col("doc_id"), k = 3, salt = "wk-v1")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Length-proportional importance sampling: keep probability
     // min(1, n_chars/2000) per row — the continuous per-row form of the
     // per-group mixture. Membership is pure (key, salt) hash arithmetic.
@@ -1360,6 +1371,21 @@ object ExtensionQueries extends graft.QueryModule {
         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_text,
         |  CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS n_toks
         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // pow is the only transcendental: both engines round the rank at 6
+    // decimals immediately, then the top-3 order is exact (rank DESC,
+    // doc_id) — the temperatureMixture precedent.
+    "docs_weighted_k" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(pow((('0x' || substr(md5(doc_id::VARCHAR || ':wk-v1'), 1, 13))::BIGINT
+        |      / 4503599627370496.0), 1.0 / n_chars), 6) AS rk
+        |  FROM documents WHERE n_chars > 0),
+        |q AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY rk DESC, doc_id) AS rn
+        |  FROM r)
+        |SELECT doc_id, source, n_chars FROM q WHERE rn <= 3
+        |ORDER BY doc_id""".stripMargin,
 
     "docs_length_weighted" ->
       """SELECT doc_id, source, n_chars FROM documents

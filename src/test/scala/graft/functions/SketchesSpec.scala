@@ -218,4 +218,32 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got(2) - 2.0) < 1e-12)
     assert(math.abs(got(3) - 1.0) < 1e-12)
   }
+
+  test("kmvPairOverlap is exact below k: union, shared, intersection") {
+    // A: keys 0..29; B: keys 20..49 (overlap 10); C: keys 100..104 (none)
+    val df = ((0 until 30).map(i => ("A", i.toLong)) ++
+      (20 until 50).map(i => ("B", i.toLong)) ++
+      (100 until 105).map(i => ("C", i.toLong))).toDF("g", "k")
+    val sk = Sketches.kmvSketch(df, $"g", $"k", k = 256, salt = "ov")
+    val got = Sketches.kmvPairOverlap(sk, k = 256)
+      .select($"group_a", $"group_b", $"n_kept", $"n_shared",
+        $"est_union", $"est_intersection")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(got(("A", "B")) == ((50L, 10L, 50L, 10L)))
+    assert(got(("A", "C")) == ((35L, 0L, 35L, 0L)))
+    assert(got(("B", "C")) == ((35L, 0L, 35L, 0L)))
+  }
+
+  test("kmvPairOverlap estimates track true overlap above k") {
+    // A: 0..999; B: 500..1499 — true union 1500, intersection 500.
+    val df = ((0 until 1000).map(i => ("A", i.toLong)) ++
+      (500 until 1500).map(i => ("B", i.toLong))).toDF("g", "k")
+    val sk = Sketches.kmvSketch(df, $"g", $"k", k = 128, salt = "ov2")
+    val row = Sketches.kmvPairOverlap(sk, k = 128)
+      .select($"est_union", $"est_intersection")
+      .as[(Long, Long)].collect().head
+    assert(math.abs(row._1 - 1500) < 1500 * 0.30, s"est_union=${row._1}")
+    assert(math.abs(row._2 - 500) < 500 * 0.50, s"est_intersection=${row._2}")
+  }
 }

@@ -129,6 +129,33 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(again == kept)
   }
 
+  test("weightedK takes exactly k per stratum, biased toward weight") {
+    // one stratum; ids 0..199 with weight 1, ids 1000..1019 with weight
+    // 100 — the heavy rows should dominate a k=10 sample.
+    val df = ((0L until 200L).map(i => (i, 1.0)) ++
+      (1000L until 1020L).map(i => (i, 100.0))).toDF("id", "w")
+      .withColumn("g", lit("s"))
+    val kept = Sampling.weightedK(df, $"g", $"w", $"id", 10, "wk0")
+      .select($"id").as[Long].collect().toSet
+    assert(kept.size == 10)
+    assert(kept.count(_ >= 1000L) >= 6,
+      s"heavy rows underrepresented: $kept")
+    // partition-invariance: same winners any layout
+    val again = Sampling.weightedK(df.repartition(13), $"g", $"w", $"id",
+      10, "wk0").select($"id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
+  test("weightedK drops null/zero/negative weights; small strata whole") {
+    val df = Seq(
+      (1L, Some(2.0), "a"), (2L, Some(0.0), "a"), (3L, None, "a"),
+      (4L, Some(-1.0), "a"), (5L, Some(1.0), "b"))
+      .toDF("id", "w", "g")
+    val kept = Sampling.weightedK(df, $"g", $"w", $"id", 5, "wk1")
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L)) // only positive-weight rows have ranks
+  }
+
   test("shuffled assigns a contiguous partition-invariant permutation") {
     def perm(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       Sampling.shuffled(df.select($"doc_id"), $"doc_id", "e0")
