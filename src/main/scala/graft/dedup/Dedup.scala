@@ -376,13 +376,18 @@ object Dedup {
     * n_dup_spans/n_spans is the per-doc filter/repair signal; both terms
     * stay exact integers here so any engine replays them bit-for-bit.
     *
-    * Scale: rows explode to ~tokens-per-doc spans (window overlap is
-    * rebuilt per span — string bytes × window factor in the exchange, the
-    * standard trade of this operator); ONE shuffle on the span
-    * fingerprint for the occurrence counts, one aggregate back on the doc
-    * id. Never a corpus self-join. Hot spans (boilerplate repeated
+    * Scale: rows explode to ~tokens-per-doc spans; ONE shuffle on the span
+    * digest for the occurrence counts, one aggregate back on the doc id.
+    * Never a corpus self-join. The exchange carries (doc id, 12-byte
+    * digest pair), NOT the span string: the span identity is its
+    * whitespace-normalized lowercase form, hashed to xxhash64 ∥ murmur3
+    * below the exchange — 96 combined bits, so a cross-span collision
+    * (the only way a count can drift from the string-keyed oracle, which
+    * partitions by the normalized string itself) needs ~2⁴⁸ distinct
+    * spans to reach even coin-flip odds. Hot spans (boilerplate repeated
     * millions of times) are genuinely hot keys; the count-over-window is
-    * a single streaming pass per fingerprint partition. */
+    * a single streaming pass per digest partition, sorting 12-byte keys
+    * instead of 40+-byte md5 hex strings. */
   def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
       windowTokens: Int): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
@@ -394,8 +399,12 @@ object Dedup {
           transform(sequence(lit(0), size(toks) - windowTokens),
             i => array_join(slice(toks, i + 1, lit(windowTokens)), " ")))
           .otherwise(array().cast("array<string>"))).as("span"))
-    val occ = count(lit(1))
-      .over(Window.partitionBy(TextFunctions.fingerprint(col("span"))))
+    // Same normalization as TextFunctions.fingerprint (split-on-space
+    // tokens re-join around empty tokens, so the \s+ collapse is
+    // load-bearing), but digested with two cheap non-crypto hashes in
+    // place of md5: less CPU per span and a fixed-width shuffle key.
+    val norm = regexp_replace(trim(lower(col("span"))), "\\s+", " ")
+    val occ = count(lit(1)).over(Window.partitionBy(xxhash64(norm), hash(norm)))
     spans.withColumn("__occ", occ)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),

@@ -19,12 +19,23 @@ object Tables {
 
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as
-    // a timestamp; sessions set spark.sql.legacy.parquet.nanosAsLong=true
-    // (see Sessions.configure) so it lands as a nanos-since-epoch long,
-    // converted here to a microsecond TimestampType — the same ns→µs
-    // truncation DuckDB applies, keeping the oracle comparable.
-    if (table == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // events.ts has shipped in three parquet physical types across fixture
+    // generations; normalize all of them to one microsecond TimestampType so
+    // every downstream operator (unix_micros, windows, as-of) sees a single
+    // schema:
+    //  - TIMESTAMP(NANOS): Spark 4 reads it as a nanos-since-epoch long under
+    //    spark.sql.legacy.parquet.nanosAsLong=true (Sessions.configure);
+    //    convert with the same ns→µs truncation DuckDB applies.
+    //  - timestamp[us] without a timezone: read as TIMESTAMP_NTZ; the session
+    //    timezone is pinned to UTC, so the cast is a pure reinterpretation.
+    //  - timestamp[us] with UTC: already TimestampType; pass through.
+    if (table == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
     else df
   }
 

@@ -394,10 +394,15 @@ object ExtensionQueries extends graft.QueryModule {
           sum($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 4)))
             .as("total"))
       val orders = Tables.orders(s, dir)
+      // The partial sums and the merge are exact decimal arithmetic; the
+      // OUTPUT is cast to double (repo-wide oracle convention) so the
+      // driver's comparator sees one numeric rendering on both sides —
+      // parquet decimal(38,4) vs DuckDB decimal stringify differently.
       graft.ops.IncrementalAgg.mergeSums(
         rollup(orders.filter($"o_orderkey" % 3 =!= 0)),
         rollup(orders.filter($"o_orderkey" % 3 === 0)),
         Seq("o_orderstatus", "o_orderpriority"))
+        .withColumn("total", $"total".cast(org.apache.spark.sql.types.DoubleType))
         .orderBy($"o_orderstatus", $"o_orderpriority")
     },
 
@@ -980,9 +985,11 @@ object ExtensionQueries extends graft.QueryModule {
         |ORDER BY left_value, right_value""".stripMargin,
 
     // The merge law makes the oracle trivial: the full-history rollup.
+    // Exact decimal sum, double output (same single conversion the engine
+    // applies) — the comparator then hashes identical float64s.
     "inc_rollup_merge" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
@@ -1334,10 +1341,12 @@ object ExtensionQueries extends graft.QueryModule {
         |    - greatest(chunk_id * 512 - s, 0) AS n_toks
         |FROM spans ORDER BY doc_id, chunk_id""".stripMargin,
 
-    // Span fingerprints replay the engine's normalize-then-md5; the
-    // occurrence count is a window over that digest, and both output
-    // columns are exact integers (sum cast back to BIGINT — DuckDB
-    // widens integer sums to HUGEINT).
+    // The span identity is its whitespace-normalized lowercase form; the
+    // oracle partitions by that STRING directly, so it is agnostic to the
+    // engine's choice of digest (xxhash64∥murmur3 below the exchange) —
+    // the partitions coincide unless the engine suffers a 96-bit
+    // collision. Both output columns are exact integers (sum cast back
+    // to BIGINT — DuckDB widens integer sums to HUGEINT).
     "dedup_span_stats" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk
@@ -1349,7 +1358,7 @@ object ExtensionQueries extends graft.QueryModule {
         |  FROM toks),
         |occ AS (
         |  SELECT doc_id, count(*) OVER (
-        |    PARTITION BY md5(regexp_replace(trim(lower(span)), '\s+', ' ', 'g'))) AS c
+        |    PARTITION BY regexp_replace(trim(lower(span)), '\s+', ' ', 'g')) AS c
         |  FROM spans)
         |SELECT doc_id, count(*) AS n_spans,
         |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
