@@ -467,12 +467,38 @@ object Dedup {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Int, threshold: Double,
       pairScoreFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.cosine): DataFrame =
+    semanticDedupAssigned(
+      graft.functions.Knn.ivfAssign(corpus, idCol, vecCol, centroids),
+      threshold, pairScoreFn)
+
+  /** [[semanticDedup]] with k-means-TRAINED centroids (the 100 TB
+    * setting): trained centroids give balanced buckets, which is what
+    * bounds the within-bucket quadratic term when deterministic
+    * first-C-ids centroids would let one fat bucket dominate. Size
+    * `centroids` with the corpus (√N keeps expected bucket population
+    * ~√N, so pair work ~N^1.5 total instead of N²/C). Not oracle-SQL
+    * replayable — k-means means are float avgs whose value depends on
+    * reduction order — so correctness is spec-pinned structurally
+    * (DedupSpec) rather than hash-compared. */
+  def semanticDedupTrained(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Int, iterations: Int, threshold: Double,
+      pairScoreFn: (Column, Column) => Column =
         graft.functions.VectorFunctions.cosine): DataFrame = {
+    val cents = graft.functions.Knn
+      .kmeans(corpus, idCol, vecCol, centroids, iterations)
+    semanticDedupAssigned(
+      graft.functions.Knn.assignWith(corpus, idCol, vecCol, cents),
+      threshold, pairScoreFn)
+  }
+
+  /** Shared pair→drop→survivor tail over a (vid, v, bucket) assignment. */
+  private def semanticDedupAssigned(assignment: DataFrame, threshold: Double,
+      pairScoreFn: (Column, Column) => Column): DataFrame = {
     // Three plan branches read the assignment (both pair-join sides and
     // the survivor anti join); pin it so the centroid argmin runs over
     // the corpus once, not three times (same diamond as jaccardPairs).
-    val assigned = graft.functions.Knn
-      .ivfAssign(corpus, idCol, vecCol, centroids).localCheckpoint()
+    val assigned = assignment.localCheckpoint()
     val a = assigned.select(col("bucket"), col("vid").as("id_a"),
       col("v").as("va"))
     val b = assigned.select(col("bucket"), col("vid").as("id_b"),

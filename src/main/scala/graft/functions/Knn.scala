@@ -60,9 +60,17 @@ object Knn {
       centroids: Int): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(centroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-    assignBuckets(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")),
-      cents, VectorFunctions.cosine)
+    assignWith(corpus, idCol, vecCol, cents)
   }
+
+  /** Bucket assignment against a caller-provided (centroid_id, centv)
+    * table — e.g. [[kmeans]]-trained centroids. Same shuffle-free
+    * broadcast-argmin projection as [[ivfAssign]]. */
+  def assignWith(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame,
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame =
+    assignBuckets(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")),
+      cents, cosineFn)
 
   /** Shuffle-free nearest-centroid assignment: the centroid table folds
     * into ONE array row, rides a broadcast, and each vector picks its

@@ -243,6 +243,21 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("vid"))
     },
 
+    // SemDeDup on the TRAINED path (the production/bench setting):
+    // √N k-means centroids keep buckets balanced so the within-bucket
+    // quadratic stays ~N^1.5 total. No oracle SQL — float k-means means
+    // are reduction-order-dependent — so the driver records the weaker
+    // rows-only check; structural correctness is pinned in DedupSpec.
+    "dedup_semantic_trained" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val k = math.max(16,
+        math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      Dedup.semanticDedupTrained(emb, "vec_id", "embedding",
+        centroids = k, iterations = 3, threshold = 0.4,
+        graft.GraftFunctions.cosineSim)
+        .orderBy(col("vid"))
+    },
+
     // Training-sequence packing: docs laid end-to-end in doc_id order,
     // cut every 512 tokens; one row per (doc, chunk) span. One window
     // shuffle, no join (the distributable prefix-sum formulation of

@@ -12,11 +12,15 @@ import org.apache.spark.sql.{DataFrame, Row}
   * chunked inserts, which is the distributed form of the reference's
   * single-process load).
   *
-  * Two merge dialects:
+  * Three merge dialects:
   *  - mysql:    INSERT ... SELECT ... ON DUPLICATE KEY UPDATE col=VALUES(col)
   *  - postgres: INSERT ... SELECT ... ON CONFLICT (pk) DO UPDATE SET
   *              col = EXCLUDED.col
-  * Both implement the same semantics as [[Upsert.upsert]]: insert absent
+  *  - ansi:     SQL-standard MERGE INTO ... WHEN MATCHED THEN UPDATE /
+  *              WHEN NOT MATCHED THEN INSERT (Derby, DB2, Oracle, SQL
+  *              Server, H2) — this is the dialect DerbyRoundTripSpec
+  *              executes end-to-end over a real embedded-JDBC connection.
+  * All implement the same semantics as [[Upsert.upsert]]: insert absent
   * PKs, overwrite every non-PK column for present ones, never delete.
   */
 object MergeSql {
@@ -44,8 +48,12 @@ object MergeSql {
       dialect: String = "mysql"): String = dialect match {
     case "mysql" => s"CREATE TABLE ${q(staging)} LIKE ${q(target)}"
     case "postgres" => s"CREATE TABLE ${q(staging)} (LIKE ${q(target)})"
+    // Standard CTAS-with-no-data (Derby/DB2 syntax); constraints are not
+    // copied, which is exactly right for a staging table.
+    case "ansi" =>
+      s"CREATE TABLE ${q(staging)} AS SELECT * FROM ${q(target)} WITH NO DATA"
     case other => throw new IllegalArgumentException(
-      s"unknown dialect '$other' (mysql|postgres)")
+      s"unknown dialect '$other' (mysql|postgres|ansi)")
   }
 
   /** One chunked multi-row INSERT into staging (the reference's
@@ -80,8 +88,17 @@ object MergeSql {
         s"""INSERT INTO ${q(target)} ($cols)
            |SELECT $cols FROM ${q(staging)}
            |ON CONFLICT ($keys) DO UPDATE SET $updates""".stripMargin
+      case "ansi" =>
+        val on = pk.map(c => s"t.${q(c)} = s.${q(c)}").mkString(" AND ")
+        val updates = nonPk.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+        val insertVals = columns.map(c => s"s.${q(c)}").mkString(", ")
+        s"""MERGE INTO ${q(target)} t
+           |USING ${q(staging)} s
+           |ON $on
+           |WHEN MATCHED THEN UPDATE SET $updates
+           |WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($insertVals)""".stripMargin
       case other => throw new IllegalArgumentException(
-        s"unknown dialect '$other' (mysql|postgres)")
+        s"unknown dialect '$other' (mysql|postgres|ansi)")
     }
   }
 

@@ -306,6 +306,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(buckets(3L) == 1L && buckets(4L) == 2L)
   }
 
+  test("semanticDedupTrained drops exact same-bucket dups and keeps the rest") {
+    // Two tight clusters plus within-cluster near-dups. Wherever k-means
+    // places its 2 centroids, each near-dup pair is so tight both members
+    // land in the same bucket, so the larger id of each pair drops; the
+    // survivors are the smaller ids. (Structural pin — the trained path
+    // has no SQL oracle because float means depend on reduction order.)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9995f, 0.02f)),  // near-dup of 1
+      (4L, Array(0.02f, 0.9995f)),  // near-dup of 2
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedupTrained(vecs, "vec_id", "embedding",
+      centroids = 2, iterations = 2, threshold = 0.95)
+      .select($"vid").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("duplicatedSpans counts cross-doc and in-doc repeated windows") {
     val docs = Seq(
       (1L, "a b c d e"),      // spans: "a b c", "b c d", "c d e"
