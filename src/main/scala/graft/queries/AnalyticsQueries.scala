@@ -78,6 +78,24 @@ object AnalyticsQueries extends graft.QueryModule {
         .orderBy($"doc_id", $"score".desc, $"token")
     },
 
+    // BM25 ranked retrieval (RAG retrieval leg): 5 corpus-derived queries
+    // (first 6 tokens of docs 0-4) against the whole corpus, top-10 each
+    // on the native bounded-heap TopK. One corpus exchange builds
+    // (doc, token, tf, dl); query terms + df + constants ride one
+    // broadcast; per-term scores decimal-summed (order-independent).
+    "text_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val toks = filter(
+        graft.functions.TextFunctions.tokens($"text"), t => t =!= "")
+      val q = docs.filter($"doc_id" < 5)
+        .select($"doc_id".as("query_id"),
+          array_join(slice(toks, 1, 6), " ").as("qtext"))
+      graft.functions.Bm25.topK(docs, "text", "doc_id",
+        q, "qtext", "query_id", k = 10)
+        .orderBy($"query_id", $"score".desc, $"doc_id")
+    },
+
     // Count-min frequency sketch: 4x1024 exact-integer cell matrix over
     // lineitem supplier keys (one partial-aggregable groupBy, bounded
     // state), probed for 20 supplier counts — est = min over rows,
@@ -470,6 +488,41 @@ object AnalyticsQueries extends graft.QueryModule {
         |  FROM s)
         |SELECT doc_id, token, tf, score FROM r WHERE rn <= 3
         |ORDER BY doc_id, score DESC, token""".stripMargin,
+
+    // Replays Bm25.topK term for term: idf is the one libm step rounded
+    // at 4; per-term scores round at 8, sum as DECIMAL(28,10) (exact,
+    // order-free), final round 4. All float literals CAST to DOUBLE so
+    // DuckDB stays in IEEE arithmetic (its bare decimals are DECIMAL) and
+    // the tf-normalization chain is written in the engine's exact textual
+    // shape, so both sides run the identical float sequence.
+    "text_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM toks),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf, MAX(dl) AS dl
+        |  FROM base GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(tk)) AS avgdl FROM toks),
+        |q AS (SELECT doc_id AS query_id, unnest(list_distinct(tk[1:6])) AS token
+        |  FROM toks WHERE doc_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(round(
+        |      round(ln((stats.n_docs - df.df + CAST(0.5 AS DOUBLE))
+        |          / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 4)
+        |      * (tf.tf * CAST(2.2 AS DOUBLE) / (tf.tf + CAST(1.2 AS DOUBLE)
+        |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |             + CAST(0.75 AS DOUBLE) * tf.dl / stats.avgdl))),
+        |      8) AS DECIMAL(28,10)) AS term_score
+        |  FROM tf JOIN q USING (token) JOIN df USING (token) CROSS JOIN stats),
+        |agg AS (SELECT query_id, doc_id,
+        |    round(CAST(SUM(term_score) AS DOUBLE), 4) AS score
+        |  FROM scored GROUP BY query_id, doc_id),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM agg)
+        |SELECT query_id, doc_id, score FROM r WHERE rn <= 10
+        |ORDER BY query_id, score DESC, doc_id""".stripMargin,
 
     // Replays the md5-affine prepare/slot family: ONE 28-bit md5 base per
     // key, then h_j = (a_j * base + j) mod 2^31-1 with a_j =
