@@ -270,6 +270,35 @@ object AnalyticsQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Bigram conditional LM quality score: per doc, the mean
+    // log2 P(w_i | w_{i-1}) under the corpus MLE bigram model (c12/c1 —
+    // unsmoothed is total because every doc bigram is in the corpus by
+    // construction). Unlike the unigram scorer, the bigram vocabulary is
+    // NOT broadcastable at scale, so this is the keyed-join shape: one
+    // exchange for per-doc bigram counts (reused by both corpus tables),
+    // joins keyed on bigram and on prefix; decimal-cast per-term values,
+    // one final round.
+    "docs_bigram_logprob" -> { (s, dir) =>
+      import s.implicits._
+      val bg = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextFunctions.bigramsFromTokens(
+          TextFunctions.tokens($"text"))).as("bg"))
+      val tf = bg.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("tf"))
+      val c2 = tf.groupBy($"bg").agg(sum($"tf").as("c2"))
+      val c1 = c2.groupBy(substring_index($"bg", " ", 1).as("w1"))
+        .agg(sum($"c2").as("c1"))
+      tf.join(c2, Seq("bg"))
+        .join(c1, substring_index($"bg", " ", 1) === $"w1")
+        .select($"doc_id", $"tf",
+          (log2($"c2".cast("double")) - log2($"c1".cast("double")))
+            .cast(DecimalType(28, 10)).as("lp"))
+        .groupBy($"doc_id")
+        .agg(sum($"tf").as("n_bigrams"),
+          round(sum($"lp" * $"tf").cast("double") /
+            sum($"tf").cast("double"), 4).as("avg_logprob"))
+        .orderBy($"doc_id")
+    },
+
     // Gopher/MassiveText-style quality-rule battery: word count, mean
     // word length, symbol-to-word ratio, alpha-word ratio, and distinct-
     // stopword presence, each thresholded into a boolean rule plus a
@@ -644,6 +673,31 @@ object AnalyticsQueries extends graft.QueryModule {
         |  FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Replays docs_bigram_logprob: adjacent-token pairs (1-based list
+    // slicing), corpus bigram and prefix counts, log2 MLE conditional per
+    // instance decimal-cast before the tf-weighted mean.
+    "docs_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+        |    FOR i IN range(1, len(tk))]) AS bg
+        |  FROM toks),
+        |tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bg GROUP BY doc_id, bg),
+        |c2 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |  FROM c2 GROUP BY w1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(log2(CAST(c2 AS DOUBLE)) - log2(CAST(c1 AS DOUBLE))
+        |      AS DECIMAL(28,10)) AS lp
+        |  FROM tf JOIN c2 USING (bg)
+        |  JOIN c1 ON split_part(tf.bg, ' ', 1) = c1.w1)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(lp * tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 4)
+        |    AS avg_logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_char_entropy" ->

@@ -32,6 +32,32 @@ class FileSourcesSpec extends AnyFunSuite with SparkTestBase {
   private def shape(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
     df.schema.fields.map(f => f.name -> f.dataType.typeName).toSeq
 
+  test("parquet schema evolution: old and new files read under the merged schema") {
+    // The 100 TB reality: a long-lived table's early files lack columns
+    // added later. mergeSchema must union the footers — old rows read
+    // with nulls in the added column, new rows intact, no rewrite of old
+    // files.
+    import org.apache.spark.sql.functions.col
+    val dir = tmp("evolve")
+    val old = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val neu = Seq((3L, "c", 1.5), (4L, "d", 2.5)).toDF("id", "s", "score")
+    old.write.mode("overwrite").parquet(s"$dir/part=old")
+    neu.write.mode("overwrite").parquet(s"$dir/part=new")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select("id", "s", "score")
+    assert(shape(merged) ==
+      Seq("id" -> "long", "s" -> "string", "score" -> "double"))
+    val rows = merged.collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set(
+      (1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(1.5)), (4L, "d", Some(2.5))))
+    // Filters on the evolved column prune old-file rows (null never
+    // matches) without error — the query surface works across vintages.
+    assert(merged.filter(col("score") > 2.0).count() == 1)
+  }
+
   test("csv round trip preserves every value exactly") {
     val back = FileSources.csvRoundTrip(tricky, tmp("csv"))
     assert(shape(back) == shape(tricky))
