@@ -401,6 +401,80 @@ object Knn {
         col("rk"))
   }
 
+  /** IVF+PQ top-k — the standard billion-vector ANN architecture (FAISS
+    * IVFPQ): IVF buckets prune WHICH vectors are scored (only `nprobe`
+    * buckets per query), PQ codes prune WHAT is read to score them
+    * (m rank-addressed codes, 16x smaller than the float vector at
+    * m=16/dims=64). Composition of [[ivfAssign]]'s shuffle-free
+    * broadcast bucketing with [[pqTopK]]'s asymmetric-distance scoring:
+    * ONE corpus pass computes (bucket, codes) against a broadcast of
+    * centroids + codebooks and DROPS the raw vector; candidates are the
+    * probed buckets' codes only. At 100 TB this is the plan you want —
+    * the corpus is scanned once, stored small, shuffled never (the
+    * probe join broadcasts the query side; the only shuffle is the
+    * per-query top-k).
+    *
+    * Same deterministic stand-ins as the parents (centroids and
+    * codebooks from the smallest-id vectors) so every engine replays
+    * bucket and code choices exactly; scoring is the ADC
+    * sequential-dot form of [[pqTopK]], bit-replayable. */
+  def ivfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Int, nprobe: Int,
+      m: Int = 16, codebook: Int = 16, dims: Int = 64,
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosine,
+      dotFn: (Column, Column) => Column = VectorFunctions.dot): DataFrame = {
+    val sub = dims / m
+    require(m * sub == dims, s"m=$m must divide dims=$dims")
+    val cents = corpus.orderBy(col(idCol)).limit(centroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+      .localCheckpoint()
+    val books = pqCodebooks(corpus, idCol, vecCol, m, codebook, dims)
+      .localCheckpoint()
+    def score2(a: Column, b: Column): Column =
+      dotFn(b, b) - lit(2.0) * dotFn(a, b)
+    // One corpus pass: bucket assignment + PQ encoding, raw vector
+    // dropped at the end of the projection — the at-rest representation
+    // is (vid, bucket, m codes).
+    val coded = assignWith(corpus, idCol, vecCol, cents, cosineFn)
+      .crossJoin(broadcast(books))
+      .select(col("vid"), col("bucket"),
+        transform(
+          transform(sequence(lit(0), lit(m - 1)), j =>
+            slice(VectorFunctions.toDouble(col("v")), j * sub + 1,
+              lit(sub))),
+          (sv, j) => array_min(transform(sequence(lit(1), lit(codebook)),
+            p => struct(
+              score2(sv, element_at(col("books"), j * codebook + p))
+                .as("d2"),
+              p.as("p")))).getField("p")).as("codes"))
+    // nprobe nearest buckets per query, exactly as in [[ivfWith]].
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qraw"),
+      VectorFunctions.toDouble(col(vecCol)).as("qv"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("sim", cosineFn(col("qraw"), col("centv")))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    val probed = probes.withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+    val ones = array((0 until m).map(_ => lit(1.0)): _*)
+    val scored = coded.join(broadcast(probed), Seq("bucket"))
+      .filter(col("query_id") =!= col("vid"))
+      .crossJoin(broadcast(books))
+      .withColumn("score", dotFn(
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          dotFn(slice(col("qv"), j * sub + 1, lit(sub)),
+            element_at(col("books"),
+              j * codebook + element_at(col("codes"), j + 1)))),
+        ones))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        col("score"), col("rk"))
+  }
+
   /** IVF top-k with naive deterministic centroids. */
   def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int, nprobe: Int,

@@ -347,6 +347,20 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // IVF+PQ composed (the FAISS-IVFPQ billion-vector architecture):
+    // IVF buckets prune WHICH vectors score, PQ codes prune WHAT is
+    // read — one corpus pass emits (bucket, codes) and drops the raw
+    // vector. Oracle replays bucket choice, code choice, and ADC
+    // scoring end to end.
+    "knn_ivfpq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.ivfPq(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, centroids = 16, nprobe = 4, m = 16, codebook = 16,
+        dims = 64, cosineFn = graft.GraftFunctions.cosineSim,
+        dotFn = graft.GraftFunctions.dotProduct)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Benchmark decontamination signal: fraction of each corpus doc's
     // 3-gram shingles that appear anywhere in the eval set (source
     // 'src0' stands in as the benchmark). Only contaminated docs listed.
@@ -1238,6 +1252,67 @@ object ExtensionQueries extends graft.QueryModule {
         |  FROM (SELECT * FROM corpus WHERE vid < 5) q
         |  JOIN codes c ON c.vid <> q.vid
         |  CROSS JOIN books)
+        |SELECT query_id, neighbor_id, score, rk FROM (
+        |  SELECT query_id, vid AS neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vid) AS rk
+        |  FROM scored)
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    // IVF+PQ composed: the ivf oracle's assigned/probed CTEs feed the pq
+    // oracle's books/codes/ADC CTEs — bucket choice, code choice, and
+    // scoring all replayed with the same IEEE sequences as the parents.
+    "knn_ivfpq_topk" ->
+      """WITH corpus AS (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vid AS centroid_id, v AS centv, nv AS nc
+        |  FROM corpus ORDER BY vid LIMIT 16),
+        |assigned AS (
+        |  SELECT vid, bucket FROM (
+        |    SELECT vid, centroid_id AS bucket,
+        |      row_number() OVER (PARTITION BY vid ORDER BY
+        |        CASE WHEN nv * nc > 0 THEN list_dot_product(v, centv) / (nv * nc) END
+        |          DESC, centroid_id) AS rk
+        |    FROM corpus CROSS JOIN cents)
+        |  WHERE rk = 1),
+        |js AS (SELECT unnest(range(0, 16)) AS j),
+        |base AS (SELECT vid, v FROM corpus ORDER BY vid LIMIT 16),
+        |bk AS (
+        |  SELECT j, row_number() OVER (PARTITION BY j ORDER BY vid) AS p,
+        |    v[j*4+1 : j*4+4] AS centv
+        |  FROM base CROSS JOIN js),
+        |books AS (SELECT list(centv ORDER BY j, p) AS bks FROM bk),
+        |codes AS (
+        |  SELECT vid, list(code ORDER BY j) AS codes FROM (
+        |    SELECT vid, j, p AS code FROM (
+        |      SELECT c.vid, b.j, b.p, row_number() OVER (
+        |        PARTITION BY c.vid, b.j
+        |        ORDER BY list_dot_product(b.centv, b.centv)
+        |          - 2.0 * list_dot_product(c.v[b.j*4+1 : b.j*4+4], b.centv),
+        |          b.p) AS rk
+        |      FROM corpus c CROSS JOIN bk b)
+        |    WHERE rk = 1)
+        |  GROUP BY vid),
+        |probed AS (
+        |  SELECT query_id, qv, bucket FROM (
+        |    SELECT q.vid AS query_id, q.v AS qv, centroid_id AS bucket,
+        |      row_number() OVER (PARTITION BY q.vid ORDER BY
+        |        CASE WHEN q.nv * nc > 0 THEN list_dot_product(q.v, centv) / (q.nv * nc) END
+        |          DESC, centroid_id) AS rk
+        |    FROM (SELECT * FROM corpus WHERE vid < 5) q CROSS JOIN cents)
+        |  WHERE rk <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vid,
+        |    list_dot_product(
+        |      list_transform(range(0, 16), j ->
+        |        list_dot_product(p.qv[j*4+1 : j*4+4], bks[j*16 + codes[j+1]])),
+        |      list_transform(range(0, 16), j -> 1.0)) AS score
+        |  FROM assigned a JOIN probed p USING (bucket)
+        |  JOIN codes c ON c.vid = a.vid
+        |  CROSS JOIN books
+        |  WHERE p.query_id <> a.vid)
         |SELECT query_id, neighbor_id, score, rk FROM (
         |  SELECT query_id, vid AS neighbor_id, score,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vid) AS rk

@@ -173,4 +173,32 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     val recall = approx.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"ivf recall $recall")
   }
+
+  test("ivfPq with nprobe = centroids degenerates to exactly pqTopK") {
+    // Probing every bucket makes the IVF prune a no-op, so the composed
+    // operator must return pqTopK's rows bit for bit — the law that pins
+    // the composition against both parents.
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+    val full = Knn.ivfPq(emb, queries, "vec_id", "embedding",
+      k = 10, centroids = 16, nprobe = 16)
+      .select("query_id", "neighbor_id", "score", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val pq = Knn.pqTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "score", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == pq)
+  }
+
+  test("ivfPq recall@10 >= 0.4 vs brute force (double pruning trades recall)") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Knn.bruteForce(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Knn.ivfPq(emb, queries, "vec_id", "embedding",
+      k = 10, centroids = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivfPq recall $recall")
+  }
 }
