@@ -598,6 +598,17 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"cohort", $"day_offset")
     },
 
+    // Half-life-decayed per-user activity score (feature-store recency
+    // counter), 24h half-life, anchored at the corpus horizon so the
+    // score is a pure function of the data. One broadcast row + one
+    // partial-aggregable groupBy — plain-grouped-sum cost.
+    "events_decayed_sum" -> { (s, dir) =>
+      import s.implicits._
+      graft.ops.Decay.decayedSum(Tables.events(s, dir), "user_id", "ts",
+        "value", halfLifeHours = 24.0)
+        .orderBy($"user_id")
+    },
+
     // Markov transition counts over each user's event sequence — the
     // path-analysis shape of product analytics ("what follows a view?").
     // One lag window exchange on the high-cardinality user_id, then a
@@ -1531,6 +1542,20 @@ object ExtensionQueries extends graft.QueryModule {
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin,
+
+    // Replays Decay.decayedSum: exact micros delta, one double divide,
+    // one exp rounded at 8 after the value multiply, DECIMAL(28,10) sum,
+    // final round 4. ln2 is the shared literal, never a libm ln call.
+    "events_decayed_sum" ->
+      """WITH h AS (SELECT max(ts) AS t_max FROM events),
+        |t AS (SELECT user_id,
+        |    CAST(round(value * exp(-0.6931471805599453 *
+        |      (CAST(epoch_us(h.t_max) - epoch_us(ts) AS DOUBLE) / 3600000000.0)
+        |      / 24.0), 8) AS DECIMAL(28,10)) AS dv
+        |  FROM events CROSS JOIN h)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  round(CAST(SUM(dv) AS DOUBLE), 4) AS decayed_sum
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_transitions" ->
       """WITH seq AS (
