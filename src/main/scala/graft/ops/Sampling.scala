@@ -184,4 +184,41 @@ object Sampling {
     ScaleOps.withGlobalIndex(hashed, Seq(col("__h"), key), "shuffle_pos")
       ._1.drop("__h")
   }
+
+  /** Deterministic negative sampling for contrastive training: per row
+    * (anchor), k pseudo-random OTHER rows, uniform over the corpus,
+    * never self. Sampling is WITH replacement across an anchor's k draws
+    * (duplicates possible, the standard in-batch-negatives relaxation);
+    * each draw is a pure function of (anchor id, draw index, salt), so
+    * epochs re-salt and any engine replays the exact pairs.
+    *
+    * Mechanics: rows get a dense 0..n-1 index in id order
+    * ([[ScaleOps.withGlobalIndex]] — no single-partition window); draw j
+    * picks r = hash52(id:j, salt) mod (n−1) over the OTHER indexes, with
+    * r >= own-index shifted up by one — exactly uniform over the n−1
+    * others. One (n·k)-row join keyed on the drawn index fetches the
+    * negative ids; both sides shuffle on that dense long key.
+    *
+    * Output: (anchor_id, j, negative_id), j = 1..k. Null ids are
+    * excluded (they cannot be addressed as negatives); needs n >= 2. */
+  def negativesK(df: DataFrame, idCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val (indexed, n) = ScaleOps.withGlobalIndex(
+      df.select(col(idCol)).where(col(idCol).isNotNull),
+      Seq(col(idCol)), "__idx")
+    require(n >= 2, s"negativesK needs at least 2 rows, found $n")
+    val draws = indexed
+      .select(col(idCol).as("anchor_id"), col("__idx").as("__ai"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__r", graft.functions.Sketches.hash52(
+        concat(col("anchor_id").cast("string"), lit(":"),
+          col("j").cast("string")), salt) % lit(n - 1))
+      .withColumn("__ni",
+        when(col("__r") >= col("__ai"), col("__r") + 1).otherwise(col("__r")))
+    draws.join(
+        indexed.select(col("__idx").as("__ni"), col(idCol).as("negative_id")),
+        Seq("__ni"))
+      .select(col("anchor_id"), col("j"), col("negative_id"))
+  }
 }

@@ -298,6 +298,15 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic contrastive negatives: 2 uniform non-self draws per
+    // anchor, pure (id, draw, salt) hash arithmetic over a dense global
+    // index — epochs re-salt, engines replay the exact pairs.
+    "docs_negatives_k" -> { (s, dir) =>
+      graft.ops.Sampling.negativesK(Tables.documents(s, dir), "doc_id",
+        k = 2, salt = "neg-v1")
+        .orderBy(col("anchor_id"), col("j"))
+    },
+
     // Length-proportional importance sampling: keep probability
     // min(1, n_chars/2000) per row — the continuous per-row form of the
     // per-group mixture. Membership is pure (key, salt) hash arithmetic.
@@ -1502,6 +1511,30 @@ object ExtensionQueries extends graft.QueryModule {
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR || ':lenw-v1'), 1, 13))::BIGINT
         |       / 4503599627370496.0) < least(1.0, n_chars / 2000.0)
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays negativesK: dense index in id order, 52-bit md5 hash of
+    // id:j:salt mod (n-1), self-index skipped by the >=-shift, join back
+    // on the drawn index.
+    "docs_negatives_k" ->
+      """WITH ids AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS n FROM ids),
+        |draws AS (
+        |  SELECT doc_id AS anchor_id, idx AS ai, unnest([1, 2]) AS j
+        |  FROM ids),
+        |hx AS (
+        |  SELECT anchor_id, ai, j,
+        |    ('0x' || substr(md5(anchor_id::VARCHAR || ':' || j::VARCHAR
+        |       || ':neg-v1'), 1, 13))::BIGINT % (n.n - 1) AS r
+        |  FROM draws CROSS JOIN n),
+        |pick AS (
+        |  SELECT anchor_id, j,
+        |    CASE WHEN r >= ai THEN r + 1 ELSE r END AS ni
+        |  FROM hx)
+        |SELECT p.anchor_id, p.j, i.doc_id AS negative_id
+        |FROM pick p JOIN ids i ON i.idx = p.ni
+        |ORDER BY p.anchor_id, p.j""".stripMargin,
 
     "multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -179,4 +179,33 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(r.map(_._1).toSet == Set(1L, 2L))
     assert(r.map(_._2).sorted.toSeq == Seq(0L, 1L))
   }
+
+  test("negativesK: k non-self draws per anchor, deterministic, salt-sensitive") {
+    val df = (1L to 20L).toDF("doc_id")
+    val a = Sampling.negativesK(df, "doc_id", k = 3, salt = "e1")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a.size == 60)
+    assert(a.forall { case (anchor, _, neg) => anchor != neg },
+      "an anchor must never draw itself")
+    assert(a.map(_._1).distinct.size == 20)
+    // Pure function of (id, j, salt): identical on recompute...
+    val b = Sampling.negativesK(df, "doc_id", k = 3, salt = "e1")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a == b)
+    // ...and a different salt is an independent epoch.
+    val c = Sampling.negativesK(df, "doc_id", k = 3, salt = "e2")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a != c)
+  }
+
+  test("negativesK excludes null ids and rejects degenerate corpora") {
+    val df = Seq(Some(1L), None, Some(2L), Some(3L)).toDF("doc_id")
+    val r = Sampling.negativesK(df, "doc_id", k = 2, salt = "e1")
+      .as[(Long, Int, Long)].collect()
+    assert(r.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(r.forall(x => Set(1L, 2L, 3L).contains(x._3)))
+    intercept[IllegalArgumentException] {
+      Sampling.negativesK(Seq(1L).toDF("doc_id"), "doc_id", 2, "e1")
+    }
+  }
 }
