@@ -82,8 +82,9 @@ object Bench {
       "q8_market_share", "q21_waiting_supplier",
       "q_window_rank", "q_topk_perkey_native", "ref_l2_upsert",
       "dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
-      "knn_cosine_topk_native", "knn_ivf_topk", "events_session",
-      "events_asof_join", "text_langid", "docs_quality_filter")
+      "knn_cosine_topk_native", "knn_ivf_topk", "knn_ivfpq_topk",
+      "events_session", "events_asof_join", "text_langid",
+      "text_bm25_topk", "docs_quality_filter")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     // ONE template for both the sidecar and the contract line — a shape
