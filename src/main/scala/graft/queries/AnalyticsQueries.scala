@@ -285,13 +285,16 @@ object AnalyticsQueries extends graft.QueryModule {
           TextFunctions.tokens($"text"))).as("bg"))
       val tf = bg.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("tf"))
       val c2 = tf.groupBy($"bg").agg(sum($"tf").as("c2"))
-      val c1 = c2.groupBy(substring_index($"bg", " ", 1).as("w1"))
-        .agg(sum($"c2").as("c1"))
-      tf.join(c2, Seq("bg"))
-        .join(c1, substring_index($"bg", " ", 1) === $"w1")
-        .select($"doc_id", $"tf",
+        .withColumn("w1", substring_index($"bg", " ", 1))
+      val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+      // lp is a per-DISTINCT-bigram value: join the two corpus tables at
+      // vocabulary scale first, then hit the doc-bigram table once — the
+      // prefix join never touches instance-scale data.
+      val voc = c2.join(c1, Seq("w1"))
+        .select($"bg",
           (log2($"c2".cast("double")) - log2($"c1".cast("double")))
             .cast(DecimalType(28, 10)).as("lp"))
+      tf.join(voc, Seq("bg"))
         .groupBy($"doc_id")
         .agg(sum($"tf").as("n_bigrams"),
           round(sum($"lp" * $"tf").cast("double") /
