@@ -200,13 +200,21 @@ object Sampling {
     * negative ids; both sides shuffle on that dense long key.
     *
     * Output: (anchor_id, j, negative_id), j = 1..k. Null ids are
-    * excluded (they cannot be addressed as negatives); needs n >= 2. */
+    * excluded (they cannot be addressed as negatives); needs n >= 2.
+    * `idCol` must be UNIQUE (the [[shuffled]] tie-free-key convention):
+    * duplicate ids make the dense index order partition-dependent, so
+    * draws would stop being replayable. */
   def negativesK(df: DataFrame, idCol: String, k: Int,
       salt: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val (indexed, n) = ScaleOps.withGlobalIndex(
+    // Pinned: the indexed table feeds BOTH the draws branch and the
+    // negative-fetch side of the join — unpinned, the corpus-wide
+    // global-index sort would re-execute per branch (the same diamond
+    // semanticDedupAssigned and ivfWith pin).
+    val (unpinned, n) = ScaleOps.withGlobalIndex(
       df.select(col(idCol)).where(col(idCol).isNotNull),
       Seq(col(idCol)), "__idx")
+    val indexed = unpinned.localCheckpoint()
     require(n >= 2, s"negativesK needs at least 2 rows, found $n")
     val draws = indexed
       .select(col(idCol).as("anchor_id"), col("__idx").as("__ai"),

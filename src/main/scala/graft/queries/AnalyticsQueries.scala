@@ -280,9 +280,13 @@ object AnalyticsQueries extends graft.QueryModule {
     // one final round.
     "docs_bigram_logprob" -> { (s, dir) =>
       import s.implicits._
+      // Materialize the token array before bigramsFromTokens (its
+      // documented contract): inlining tokens(text) into the per-element
+      // lambdas would re-split the full text per token — O(tokens²)/doc.
       val bg = Tables.documents(s, dir)
-        .select($"doc_id", explode(TextFunctions.bigramsFromTokens(
-          TextFunctions.tokens($"text"))).as("bg"))
+        .select($"doc_id", TextFunctions.tokens($"text").as("__toks"))
+        .select($"doc_id",
+          explode(TextFunctions.bigramsFromTokens($"__toks")).as("bg"))
       val tf = bg.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("tf"))
       val c2 = tf.groupBy($"bg").agg(sum($"tf").as("c2"))
         .withColumn("w1", substring_index($"bg", " ", 1))
