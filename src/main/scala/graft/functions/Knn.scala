@@ -100,17 +100,29 @@ object Knn {
   /** Lloyd's k-means over the embedding column, expressed as DataFrame
     * iterations: assign (cross join C broadcast centroids + argmin
     * distance window) then recompute means (zip_with elementwise sums /
-    * counts). Deterministic init = the C smallest-id vectors. Returns
-    * (centroid_id, centroid) with double elements.
+    * counts). Deterministic init = the C smallest-id vectors of the
+    * training set. Returns (centroid_id, centroid) with double elements.
     *
-    * Scale: each iteration is one pass over the corpus (C small,
-    * broadcast) plus a C-group aggregate — the standard distributed
-    * k-means; iterations are driver-orchestrated like any iterative
-    * algorithm on Spark. */
+    * Scale: training runs on a BOUNDED sample, not the corpus — centroid
+    * quality needs only O(points-per-centroid) vectors (FAISS trains IVF
+    * on 256/centroid by default), so `trainPerCentroid * centroids` caps
+    * the iterative working set no matter how large the corpus is. The
+    * sample is layout-invariant (the cap smallest (xxhash64(vid), vid)
+    * keys, taken with per-partition top-k heaps, never a global sort)
+    * and pinned once, so iterations re-read a ≤cap-row local table
+    * instead of re-scanning the corpus per iteration. Each iteration is
+    * then one pass over that sample (C small, broadcast) plus a C-group
+    * aggregate — the standard distributed k-means. `trainPerCentroid <=
+    * 0` disables sampling (exact full-corpus Lloyd's). */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Int, iterations: Int): DataFrame = {
+      centroids: Int, iterations: Int,
+      trainPerCentroid: Int = 256): DataFrame = {
     val dims = VectorFunctions.toDouble(col(vecCol))
-    val vecs = corpus.select(col(idCol).as("vid"), dims.as("v"))
+    val all = corpus.select(col(idCol).as("vid"), dims.as("v"))
+    val cap = trainPerCentroid.toLong * centroids
+    val vecs = (if (trainPerCentroid > 0 && cap <= Int.MaxValue)
+        all.orderBy(xxhash64(col("vid")), col("vid")).limit(cap.toInt)
+      else all).localCheckpoint()
     var cents = vecs.orderBy(col("vid")).limit(centroids)
       .select(col("vid").as("centroid_id"), col("v").as("centv"))
     for (_ <- 0 until iterations) {
