@@ -59,11 +59,15 @@ object Bm25 {
     // Query vocabulary (distinct terms per query) + df restricted to it.
     // df rows for absent terms vanish (inner join): a term nobody has
     // scores no documents, identical to summing its zero postings.
+    // The cross-ROW distinct matters too: two query rows sharing an id
+    // (split phrasings of one query) must contribute each term once —
+    // array_distinct alone would double-count their shared terms.
     val qt = queries
       .select(col(qIdCol).as("query_id"),
         explode(array_distinct(TextFunctions.tokens(col(qTextCol))))
           .as("token"))
       .where(col("token") =!= "")
+      .distinct()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val qterms = qt.join(df, "token").crossJoin(broadcast(stats))
 

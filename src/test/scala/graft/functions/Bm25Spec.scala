@@ -59,6 +59,18 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
       (r.getLong(0), r.getLong(1))).toSet == Set((1L, 1L)))
   }
 
+  test("split query rows sharing an id contribute each shared term once") {
+    import spark.implicits._
+    val whole = Seq((1L, "bm25 query")).toDF("qid", "qtext")
+    val split = Seq((1L, "bm25 query"), (1L, "bm25")).toDF("qid", "qtext")
+    val score = (q: org.apache.spark.sql.DataFrame) =>
+      Bm25.topK(fixture, "text", "doc_id", q, "qtext", "qid", k = 10)
+        .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    // The duplicated phrasing adds no new terms, so scores must not move
+    // (an instance-level term join would double-count "bm25").
+    assert(score(split) == score(whole))
+  }
+
   test("the plan broadcasts the query side and runs the native TopK") {
     import spark.implicits._
     val q = Seq((1L, "bm25 query")).toDF("qid", "qtext")
