@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Time-decayed (half-life) aggregates — the feature-store recency
@@ -45,5 +46,58 @@ object Decay {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("__dv")).cast(DoubleType), 4).as("decayed_sum"))
+  }
+
+  case class DecayEvent(key: Long, tsMicros: Long, value: Double)
+  case class DecayScore(key: Long, n_events: Long, decayed_sum: Double,
+      at_micros: Long)
+
+  /** The INCREMENTAL form of [[decayedSum]]: a per-key decayed counter
+    * maintained across micro-batches with O(1) state per key —
+    * (sum-as-of-last-event, last event micros, n). The state never holds
+    * events, which is what makes the counter viable over an unbounded
+    * stream: each arrival folds in by the exp addition law
+    *   2^(−(H−t)/hl) = 2^(−(H−s)/hl) · 2^(−(s−t)/hl),
+    * so a NEW event ahead of the state's horizon decays the running sum
+    * forward, and a LATE event behind it decays the event's value back —
+    * arrival order changes only float rounding, never the math
+    * (spec-pinned against the batch form at a shared horizon). The typed
+    * surface takes primitive values; map null values to 0.0 upstream —
+    * that reproduces the batch null policy (contributes nothing, counts
+    * as an event) since a 0.0 term is absorbed by the fold.
+    *
+    * Update mode: each batch emits the refreshed (key, n, sum, at) for
+    * keys that received events; `decayed_sum` is as of that key's latest
+    * event — evaluate at any common horizon H by multiplying
+    * 2^(−(H−at)/hl). State is per-key in Spark's state store (scales
+    * with the cluster, not the driver); production variants bound idle
+    * keys with a timeout, kept out of scope here to keep the fold law
+    * the whole story. The same call runs on a batch Dataset unchanged
+    * (one pass per key — batch ≡ stream, like EventsOps.runningTotals).
+    */
+  def decayedSumStream(events: Dataset[DecayEvent],
+      halfLifeHours: Double): Dataset[DecayScore] = {
+    require(halfLifeHours > 0, s"halfLifeHours must be positive: $halfLifeHours")
+    import events.sparkSession.implicits._
+    val hlMicros = halfLifeHours * 3600000000.0
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[(Double, Long, Long), DecayScore](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[DecayEvent],
+            state: GroupState[(Double, Long, Long)]) =>
+          var (sum, last, n) = state.getOption.getOrElse((0.0, Long.MinValue, 0L))
+          it.foreach { e =>
+            val v = e.value
+            if (last == Long.MinValue) { sum = v; last = e.tsMicros }
+            else if (e.tsMicros >= last) {
+              sum = sum * math.pow(2.0, -(e.tsMicros - last) / hlMicros) + v
+              last = e.tsMicros
+            } else
+              sum += v * math.pow(2.0, -(last - e.tsMicros) / hlMicros)
+            n += 1
+          }
+          state.update((sum, last, n))
+          Iterator(DecayScore(key, n, sum, last))
+      }
   }
 }
