@@ -85,19 +85,29 @@ object Decay {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[DecayEvent],
             state: GroupState[(Double, Long, Long)]) =>
-          var (sum, last, n) = state.getOption.getOrElse((0.0, Long.MinValue, 0L))
-          it.foreach { e =>
-            val v = e.value
-            if (last == Long.MinValue) { sum = v; last = e.tsMicros }
-            else if (e.tsMicros >= last) {
-              sum = sum * math.pow(2.0, -(e.tsMicros - last) / hlMicros) + v
-              last = e.tsMicros
-            } else
-              sum += v * math.pow(2.0, -(last - e.tsMicros) / hlMicros)
-            n += 1
-          }
-          state.update((sum, last, n))
-          Iterator(DecayScore(key, n, sum, last))
+          val folded = it.foldLeft(
+            state.getOption.getOrElse(emptyState))(
+            (st, e) => fold(st, e.tsMicros, e.value, hlMicros))
+          state.update(folded)
+          Iterator(DecayScore(key, folded._2, folded._1, folded._3))
       }
+  }
+
+  /** Empty fold state: (decayed sum, n, last-event micros sentinel). */
+  private[graft] val emptyState: (Double, Long, Long) = (0.0, 0L, Long.MinValue)
+
+  /** One arrival folded into (sum, n, lastMicros) — the pure core of
+    * [[decayedSumStream]], factored out so the order-independence law is
+    * testable without a streaming harness (LawsProps). */
+  private[graft] def fold(state: (Double, Long, Long), tsMicros: Long,
+      value: Double, hlMicros: Double): (Double, Long, Long) = {
+    val (sum, n, last) = state
+    if (last == Long.MinValue) (value, n + 1, tsMicros)
+    else if (tsMicros >= last)
+      (sum * math.pow(2.0, -(tsMicros - last) / hlMicros) + value,
+        n + 1, tsMicros)
+    else
+      (sum + value * math.pow(2.0, -(last - tsMicros) / hlMicros),
+        n + 1, last)
   }
 }

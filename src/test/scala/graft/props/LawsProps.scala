@@ -139,4 +139,28 @@ object LawsProps extends Properties("graft.laws") with SparkTestBase {
         .select("est_distinct").as[Long].collect()
       keys.isEmpty || got.headOption.contains(keys.distinct.size.toLong)
     }
+
+  // Pure-JVM law (no Spark jobs): the decayed-counter fold is arrival-
+  // order independent up to float rounding — any permutation of the same
+  // events, folded one by one, yields the same horizon-decayed score.
+  // This is what makes late/out-of-order streaming delivery safe.
+  property("decay fold: any arrival order agrees at a shared horizon") =
+    forAll(
+      Gen.nonEmptyListOf(for {
+        h <- Gen.choose(0, 96)           // event hour offsets within 4 days
+        v <- Gen.choose(-100, 100)       // signed unit-scale values
+      } yield (h.toLong * 3600000000L, v / 10.0)),
+      Gen.long) { (events, seed) =>
+      import graft.ops.Decay
+      val hlMicros = 24.0 * 3600000000.0
+      val horizon = events.map(_._1).max
+      def scoreAtHorizon(order: List[(Long, Double)]): Double = {
+        val (sum, n, last) = order.foldLeft(Decay.emptyState)(
+          (st, e) => Decay.fold(st, e._1, e._2, hlMicros))
+        assert(n == events.length.toLong)
+        sum * math.pow(2.0, -(horizon - last) / hlMicros)
+      }
+      val shuffled = new scala.util.Random(seed).shuffle(events)
+      math.abs(scoreAtHorizon(events) - scoreAtHorizon(shuffled)) < 1e-9
+    }
 }
