@@ -81,7 +81,8 @@ object Bench {
       "q1_agg", "q3_join_agg", "q5_multiway_join", "q7_nation_flows",
       "q8_market_share", "q21_waiting_supplier",
       "q_window_rank", "q_topk_perkey_native", "ref_l2_upsert",
-      "dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
+      "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_fast",
+      "dedup_clusters",
       "knn_cosine_topk_native", "knn_ivf_topk", "knn_ivfpq_topk",
       "events_session", "events_asof_join", "text_langid",
       "text_bm25_topk", "docs_quality_filter")

@@ -180,6 +180,19 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // The PRODUCTION MinHash path: identical pipeline to
+    // dedup_minhash_pairs but on the xxhash64 default family — declared
+    // so the bench separates the operator's cost from the md5
+    // oracle-replay cost (the round-4 md5-family time was mistaken for
+    // an operator regression). Deliberately no SQL oracle — DuckDB has
+    // no xxhash64, so the driver records the weaker rows-only check;
+    // this exact path's pair recall vs exact Jaccard is asserted in
+    // DedupSpec.
+    "dedup_minhash_fast" -> { (s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // SimHash per document, on the md5-prefix hash family so the bit
     // votes are oracle-replayable (xxhash64 default = production path).
     "dedup_simhash" -> { (s, dir) =>
