@@ -13,6 +13,14 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("driver entry point returns rows (the t1 smoke contract)") {
+    // Exercises SparkEntry.entry LITERALLY — including its hardcoded
+    // sf0.001 path and the flagship-query map lookup, either of which
+    // could break with no other local signal (the per-query smoke tests
+    // below call the map directly).
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   /** Legitimately empty at smoke scale: every sf0.001 customer has an
     * order and every part ships, so the anti-join shapes return nothing. */
   private val mayBeEmpty = Set("q_except", "q_not_exists_anti")
