@@ -105,24 +105,41 @@ object Knn {
     *
     * Scale: training runs on a BOUNDED sample, not the corpus — centroid
     * quality needs only O(points-per-centroid) vectors (FAISS trains IVF
-    * on 256/centroid by default), so `trainPerCentroid * centroids` caps
-    * the iterative working set no matter how large the corpus is. The
-    * sample is layout-invariant (the cap smallest (xxhash64(vid), vid)
-    * keys, taken with per-partition top-k heaps, never a global sort)
-    * and pinned once, so iterations re-read a ≤cap-row local table
-    * instead of re-scanning the corpus per iteration. Each iteration is
-    * then one pass over that sample (C small, broadcast) plus a C-group
-    * aggregate — the standard distributed k-means. `trainPerCentroid <=
-    * 0` disables sampling (exact full-corpus Lloyd's). */
+    * on 256/centroid by default), so ~`trainPerCentroid * centroids`
+    * rows cap the iterative working set no matter how large the corpus
+    * is. The sample is a hash-threshold Bernoulli filter — keep vid iff
+    * xxhash64(vid) mod 2²⁰ falls under cap/N of the range — a pure
+    * projection-level prune: membership is a function of the id alone
+    * (layout- and run-invariant), and NO sort or shuffle touches the
+    * corpus. (An orderBy(hash).limit(cap) take-k looks equivalent but
+    * silently degrades to a GLOBAL corpus sort once cap exceeds
+    * spark.sql.execution.topKSortFallbackThreshold, 10k by default —
+    * the trap this formulation exists to avoid.) The expected-cap-size
+    * sample is pinned once, so iterations re-read a small local table
+    * instead of re-scanning the corpus per iteration; each iteration is
+    * then one pass over it (C small, broadcast) plus a C-group
+    * aggregate — the standard distributed k-means. Degenerate draws
+    * (sample smaller than `centroids`) fall back to full-corpus
+    * training. `trainPerCentroid <= 0` disables sampling (exact
+    * full-corpus Lloyd's). */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Int, iterations: Int,
       trainPerCentroid: Int = 256): DataFrame = {
     val dims = VectorFunctions.toDouble(col(vecCol))
     val all = corpus.select(col(idCol).as("vid"), dims.as("v"))
     val cap = trainPerCentroid.toLong * centroids
-    val vecs = (if (trainPerCentroid > 0 && cap <= Int.MaxValue)
-        all.orderBy(xxhash64(col("vid")), col("vid")).limit(cap.toInt)
-      else all).localCheckpoint()
+    val vecs = if (trainPerCentroid > 0) {
+      val n = all.count()
+      if (cap >= n) all.localCheckpoint()
+      else {
+        val range = 1L << 20
+        val keep = math.max(1L, cap * range / n) // ceil-ish; expected ≥ cap
+        val sampled = all.where(
+          pmod(xxhash64(col("vid")), lit(range)) < lit(keep))
+          .localCheckpoint()
+        if (sampled.count() < centroids) all.localCheckpoint() else sampled
+      }
+    } else all.localCheckpoint()
     var cents = vecs.orderBy(col("vid")).limit(centroids)
       .select(col("vid").as("centroid_id"), col("v").as("centv"))
     for (_ <- 0 until iterations) {
