@@ -132,16 +132,31 @@ object Knn {
       val n = all.count()
       if (cap >= n) all.localCheckpoint()
       else {
-        val range = 1L << 20
-        val keep = math.max(1L, cap * range / n) // ceil-ish; expected ≥ cap
-        val sampled = all.where(
-          pmod(xxhash64(col("vid")), lit(range)) < lit(keep))
-          .localCheckpoint()
+        val sampled = trainSample(all, cap, n).localCheckpoint()
         if (sampled.count() < centroids) all.localCheckpoint() else sampled
       }
     } else all.localCheckpoint()
-    var cents = vecs.orderBy(col("vid")).limit(centroids)
+    val init = vecs.orderBy(col("vid")).limit(centroids)
       .select(col("vid").as("centroid_id"), col("v").as("centv"))
+    trainLoop(vecs, init, iterations)
+  }
+
+  /** The lazy bounded Bernoulli training sample of [[kmeans]]: keep a
+    * row iff xxhash64(vid) lands under ~cap/n of a 2²⁰ hash range — a
+    * pure projection prune, no sort or shuffle on `all`. Exposed
+    * package-private so the no-exchange property is plan-asserted
+    * (KnnSpec) — the take-k formulation it replaced silently planned a
+    * GLOBAL sort past the topKSortFallbackThreshold. */
+  private[graft] def trainSample(all: DataFrame, cap: Long,
+      n: Long): DataFrame = {
+    val range = 1L << 20
+    val keep = math.max(1L, cap * range / n) // ceil-ish; expected ≥ cap
+    all.where(pmod(xxhash64(col("vid")), lit(range)) < lit(keep))
+  }
+
+  private def trainLoop(vecs: DataFrame, init: DataFrame,
+      iterations: Int): DataFrame = {
+    var cents = init
     for (_ <- 0 until iterations) {
       // Same shuffle-free argmin trick as assignBuckets: centroids fold
       // to one broadcast array row; each vector picks the nearest with

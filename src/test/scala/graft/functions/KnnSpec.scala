@@ -43,6 +43,23 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     assert(cents.forall(_._2 == 64))
   }
 
+  test("the kmeans training sample plans as a pure prune: no exchange, no sort") {
+    val vecs = spark.range(0, 500)
+      .select($"id".as("vid"), array(lit(1.0), lit(2.0)).as("v"))
+    val sample = Knn.trainSample(vecs, cap = 100, n = 500)
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Sort"),
+      s"sampling must never shuffle or sort the corpus:\n$plan")
+    // Bernoulli, so only expected-size bounds: ~100 of 500 with keep
+    // rounded up — wide tolerance, zero flake.
+    val got = sample.count()
+    assert(got > 20 && got < 300, s"sample size far off expectation: $got")
+    // Membership is a pure function of vid: repartitioned input, same set.
+    val again = Knn.trainSample(vecs.repartition(7), cap = 100, n = 500)
+      .select("vid").as[Long].collect().toSet
+    assert(again == sample.select("vid").as[Long].collect().toSet)
+  }
+
   // Note: on weakly-clustered fixture embeddings trained centroids are
   // not guaranteed to beat naive ones (measured 0.85 vs 0.92 once);
   // k-means pays off on genuinely clustered corpora, so this asserts a
