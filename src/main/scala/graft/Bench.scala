@@ -6,8 +6,8 @@ package graft
   * Queries are materialized through the `noop` sink — unlike `count()`,
   * which lets Spark skip column evaluation entirely for projection-only
   * plans, noop forces every output row and column to be produced, so the
-  * timings measure real work. One warmup query amortizes JVM/codegen
-  * startup out of the first measurement.
+  * timings measure real work. Each query is timed WARMED — run twice,
+  * second run reported — so JVM/codegen/JIT startup lands on no query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,31 +31,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: JVM + codegen + parquet footer caches, once per OPERATOR
-    // family — otherwise the alphabetically-first query of each family
-    // absorbs seconds of one-time JIT cost that belongs to no query
-    // (measured: dedup_clusters cold 7.1 s vs 2.9 s steady-state, the
-    // delta being first-use JIT of the shingle explode + object-hash
-    // aggregate + shuffle-join pipeline it shares with every dedup_*
-    // query). Families: relational scan/agg, text battery, shingle/
-    // dedup joins, embedding lambdas, sketch aggregates.
+    // Warmed timing: every query runs TWICE and the SECOND run is the
+    // reported number. Round-5 showed per-query single-shot times swinging
+    // >=2x round-over-round with zero code change (q8_market_share
+    // 1.29->6.52 s, and the family-warmup scheme inverted
+    // dedup_minhash_fast vs _pairs: the alphabetically-earlier oracle
+    // path got warmed numbers while the fast path absorbed cold JIT +
+    // codegen-compile cost of the MinHash aggregate + banding join it
+    // does NOT share with the warmup query). A query's first run is its
+    // own complete warmup — exactly the codegen classes, parquet footers
+    // and JIT profile it needs — so the second run measures steady-state
+    // operator cost, which is the number that tracks plan changes.
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration on a
     // hotspot subset); the driver never sets it, so contract runs are
     // always the full set.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // Restricted runs warm only the selected queries themselves — paying
-    // all five family warmups to iterate on one query defeats the env
-    // var's purpose.
-    only match {
-      case Some(sel) => sel.foreach(runOnce)
-      case None =>
-        Seq("q1_agg", "text_stats", "dedup_jaccard_pairs",
-          "knn_cosine_topk_native", "sketch_hll_buckets").foreach(runOnce)
-    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val all = names.map(n => n -> runOnce(n))
+    val all = names.map { n =>
+      val cold = runOnce(n)
+      // A failed first run is reported as failed without a retry; a
+      // second attempt would hide flaky queries behind a green number.
+      n -> (if (cold < 0) cold else runOnce(n))
+    }
     // Failures are partitioned OUT of the timing map and reported as an
     // explicit field: dropping a failed query only from `total` would
     // make a broken engine benchmark as faster than a working one, and

@@ -17,9 +17,23 @@ import graft.plans.TopK
   * Scale shape (the part that must survive 100 TB):
   *  - ONE corpus exchange builds (doc, token, tf, dl) — dl is projected
   *    per doc BEFORE the explode, so no second aggregate-join on doc_id;
+  *  - df is computed AFTER the broadcast restriction to query tokens:
+  *    every posting of a query token survives that filter, so the count
+  *    within the filtered set IS the full-corpus document frequency —
+  *    and computing it as a window over the single candidate chain keeps
+  *    the plan a straight line. The earlier formulation aggregated df
+  *    from the tf subtree as a second consumer, and Catalyst's column
+  *    pruning rewrote that consumer into a NARROWER aggregate — defeating
+  *    exchange reuse and silently scanning + exploding + exchanging the
+  *    corpus twice (caught by the plan pin in Bm25Spec);
+  *  - the df window partitions by token, so one task handles all
+  *    candidate postings of one query term — bounded by the hottest
+  *    query term's df, not the corpus, and sort-based so it spills
+  *    rather than OOMs;
   *  - the query table is small by nature (it is what a user asks), so
-  *    query terms + their df + the corpus constants ride ONE broadcast,
-  *    and the corpus side never shuffles for the term join;
+  *    the token restriction, the per-query fan-out and the corpus
+  *    constants all ride broadcasts — the corpus never shuffles to meet
+  *    the queries;
   *  - per-(query, doc) summation is the second exchange, sized by
   *    candidate postings (docs sharing a query term), not the corpus;
   *  - the final top-k per query runs on the native bounded-heap
@@ -56,9 +70,9 @@ object Bm25 {
         t => t =!= "")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
-    // Query vocabulary (distinct terms per query) + df restricted to it.
-    // df rows for absent terms vanish (inner join): a term nobody has
-    // scores no documents, identical to summing its zero postings.
+    // Query vocabulary (distinct terms per query). A term nobody has
+    // produces no candidate postings and so scores no documents —
+    // identical to summing its zero postings.
     // The cross-ROW distinct matters too: two query rows sharing an id
     // (split phrasings of one query) must contribute each term once —
     // array_distinct alone would double-count their shared terms.
@@ -68,8 +82,14 @@ object Bm25 {
           .as("token"))
       .where(col("token") =!= "")
       .distinct()
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val qterms = qt.join(df, "token").crossJoin(broadcast(stats))
+    // Candidate postings: tf restricted to query tokens by broadcast —
+    // the corpus side's only join work. df follows as a window count:
+    // the restriction keeps EVERY posting of a surviving token, so the
+    // per-token row count here equals the full-corpus df.
+    val qtok = qt.select(col("token")).distinct()
+    val cand = tf.join(broadcast(qtok), "token")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
 
     val idf = round(log(
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
@@ -77,7 +97,8 @@ object Bm25 {
     val tfn = col("tf") * lit(k1 + 1) /
       (col("tf") + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = tf.join(broadcast(qterms), "token")
+    val scored = cand.join(broadcast(qt), "token")
+      .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         round(idf * tfn, 8).cast(DecimalType(28, 10)).as("term_score"))
       .groupBy(col("query_id"), col("doc_id"))

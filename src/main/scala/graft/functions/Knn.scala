@@ -142,15 +142,27 @@ object Knn {
   }
 
   /** The lazy bounded Bernoulli training sample of [[kmeans]]: keep a
-    * row iff xxhash64(vid) lands under ~cap/n of a 2²⁰ hash range — a
+    * row iff xxhash64(vid) lands under ~cap/n of a 2⁵² hash range — a
     * pure projection prune, no sort or shuffle on `all`. Exposed
     * package-private so the no-exchange property is plan-asserted
     * (KnnSpec) — the take-k formulation it replaced silently planned a
-    * GLOBAL sort past the topKSortFallbackThreshold. */
+    * GLOBAL sort past the topKSortFallbackThreshold.
+    *
+    * The hash range must be large enough that the cutoff keeps resolving
+    * fractions of a row: a 2²⁰ range pins the cutoff at 1 once
+    * n > cap·2²⁰, and from there the expected sample is n/2²⁰ — growing
+    * LINEARLY with the corpus instead of staying capped, which defeats
+    * the bounded-working-set guarantee exactly at the 100 TB design
+    * point. 2⁵² still fits a Long cutoff while granting ~4.5e15 distinct
+    * thresholds; the scalar is driver-side BigInt so cap·2⁵² cannot
+    * overflow. Ceil keeps the EXPECTED size ≥ cap (the draw itself is
+    * binomial, so the realized size wobbles around it either way); the
+    * degenerate-draw fallback in [[kmeans]] covers an unlucky tail. */
   private[graft] def trainSample(all: DataFrame, cap: Long,
       n: Long): DataFrame = {
-    val range = 1L << 20
-    val keep = math.max(1L, cap * range / n) // ceil-ish; expected ≥ cap
+    val range = 1L << 52
+    val keep = math.max(1L,
+      ((BigInt(cap) * range + n - 1) / n).toLong) // ceil(cap·range/n)
     all.where(pmod(xxhash64(col("vid")), lit(range)) < lit(keep))
   }
 

@@ -71,6 +71,37 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     assert(score(split) == score(whole))
   }
 
+  test("the corpus is exploded and exchanged exactly once (plan pin)") {
+    import spark.implicits._
+    // The single-corpus-pass property is load-bearing at scale and easy
+    // to lose: an earlier formulation aggregated df from the tf subtree
+    // as a SECOND consumer, and Catalyst's column pruning rewrote that
+    // consumer into a narrower aggregate — no exchange reuse, corpus
+    // scanned + exploded + exchanged twice. Pin the shape on the final
+    // adaptive plan (AQE finalizes only during execution).
+    val q = Seq((1L, "bm25 query")).toDF("qid", "qtext")
+    val df = Bm25.topK(fixture, "text", "doc_id", q, "qtext", "qid", k = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.linesIterator.next())
+    val finalPlan = p.split("== Initial Plan ==").head
+    // The tf exchange partitions on (doc_id, token); every other
+    // exchange keys on query_id/token (candidate-scale) or is the
+    // single-row stats aggregate. Exactly one corpus-keyed exchange.
+    val tfExchanges = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id"))
+    assert(tfExchanges == 1, s"corpus exchange built $tfExchanges times:\n$finalPlan")
+    // Exactly one CORPUS tokenization (explode of the doc token array,
+    // named `toks` in topK) — a second one means df split the chain. The
+    // query text explodes separately (and may appear twice: the token
+    // restriction and the per-query fan-out both consume qt), but that
+    // side is small by nature and exempt from the single-pass property.
+    val corpusExplodes = finalPlan.linesIterator.count(l =>
+      l.contains("Generate explode(toks"))
+    assert(corpusExplodes == 1,
+      s"expected 1 corpus explode, got $corpusExplodes:\n$finalPlan")
+  }
+
   test("the plan broadcasts the query side and runs the native TopK") {
     import spark.implicits._
     val q = Seq((1L, "bm25 query")).toDF("qid", "qtext")
