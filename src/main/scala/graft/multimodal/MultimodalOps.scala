@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (SURVEY §2.7): media payloads are opaque
   * `BinaryType` columns with typed metadata travelling beside them. The
   * Spark-side machinery — schema, batching, partition-local decode loop —
-  * is real and tested; the codec itself is STUBBED with a deterministic
-  * fake because no image/audio libraries exist in this environment. Swap
-  * [[decodeStub]] for a real decoder (JNI/FFI per partition) to productionize.
-  */
+  * is real and tested. Codec dispatch is per-row on `media_type`:
+  * image-typed payloads decode for REAL via the JDK's `javax.imageio`
+  * ([[ImageCodec]] — JPEG/PNG/GIF/BMP, zero external dependencies,
+  * falling back to the stub on undecodable bytes); every other media
+  * type (audio/video need codecs this environment lacks) flows through
+  * the deterministic stubs, which keep the contract shape — binary in,
+  * features/frames out — without pretending to decode. */
 object MultimodalOps {
 
   case class MediaRow(media_id: Long, bytes: Array[Byte], media_type: String)
@@ -55,32 +58,90 @@ object MultimodalOps {
 
   case class MediaFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
 
+  /** Per-row codec dispatch — the production decision point. Image
+    * payloads take the real [[ImageCodec]] decode (stub only if the
+    * bytes turn out undecodable — a corrupt file must degrade, not kill
+    * the job); everything else is opaque and takes the stub. */
+  private[multimodal] def featureOf(bytes: Array[Byte], mediaType: String,
+      dim: Int): Array[Float] =
+    if (mediaType != null && mediaType.startsWith("image/"))
+      ImageCodec.decode(bytes).map(ImageCodec.gridFeature(_, dim))
+        .getOrElse(decodeStub(bytes, dim))
+    else decodeStub(bytes, dim)
+
+  /** Frame dispatch: a decoded image fans out to horizontal pixel bands
+    * (`frameSize` rows each — `every` applies to bands, mirroring the
+    * video keep-every-Nth-frame shape); opaque payloads split into raw
+    * byte frames via the stub. */
+  private[multimodal] def framesOf(bytes: Array[Byte], mediaType: String,
+      frameSize: Int, every: Int): Seq[Array[Byte]] =
+    (if (mediaType != null && mediaType.startsWith("image/"))
+      ImageCodec.decode(bytes).map(ImageCodec.bandFrames(_, frameSize))
+    else None) match {
+      case Some(bands) =>
+        bands.zipWithIndex.collect { case (b, i) if i % every == 0 => b }
+      case None => frameSampleStub(bytes, frameSize, every)
+    }
+
+  /** Resize dispatch: an image payload decodes, nearest-neighbor
+    * downscales so its longest side is `maxSide` (never upscales), and
+    * re-encodes as PNG — the output is a VALID image under the same
+    * media type, re-decodable downstream. Opaque payloads take the
+    * strided byte-budget stub with `maxSide²·3` as the budget (the raw
+    * size of the image case's worst-case raster). */
+  private[multimodal] def resizeOf(bytes: Array[Byte], mediaType: String,
+      maxSide: Int): Array[Byte] =
+    (if (mediaType != null && mediaType.startsWith("image/"))
+      ImageCodec.decode(bytes)
+    else None) match {
+      case Some(img) =>
+        val side = math.max(img.getWidth, img.getHeight)
+        if (side <= maxSide) bytes
+        else ImageCodec.encodePng(ImageCodec.resize(img,
+          math.max(1, img.getWidth * maxSide / side),
+          math.max(1, img.getHeight * maxSide / side)))
+      case None => resizeStub(bytes, maxSide * maxSide * 3)
+    }
+
+  /** Media resize over partitions: binary in, bounded binary out, media
+    * id and type preserved — the thumbnailing / normalization leg of an
+    * image-text curation pipeline. */
+  def resizeMedia(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => MediaRow(r.media_id, resizeOf(r.bytes, r.media_type,
+        maxSide), r.media_type))
+    }
+  }
+
   /** Frame extraction as a flatMap over partitions: one media row fans
     * out to its sampled frames — the row-multiplying decode shape
-    * (video → frames, audio → windows). */
+    * (video → frames, audio → windows) — through the per-row codec
+    * dispatch ([[framesOf]]). */
   def extractFrames(media: Dataset[MediaRow], frameSize: Int,
       every: Int): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        frameSampleStub(r.bytes, frameSize, every).zipWithIndex.map {
+        framesOf(r.bytes, r.media_type, frameSize, every).zipWithIndex.map {
           case (f, i) => MediaFrame(r.media_id, i, f)
         }
       }
     }
   }
 
-  /** Partition-local decode: mapPartitions so a real codec would be
-    * initialized once per partition (the connection-reuse pattern of
-    * reference dags/etl.py:89-96 applied to codecs), never per row and
-    * never on the driver. */
+  /** Partition-local decode: mapPartitions so per-partition codec state
+    * (the connection-reuse pattern of reference dags/etl.py:89-96
+    * applied to codecs) initializes once per partition, never per row
+    * and never on the driver. `javax.imageio` readers are per-call
+    * inside [[ImageCodec]] (they are not shareable), so the partition
+    * hook carries no state today — the loop shape is the contract. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // Real impl: val codec = Codec.open() here, once per partition.
       rows.map { r =>
         MediaFeatures(r.media_id, r.bytes.length, r.media_type,
-          decodeStub(r.bytes, dim))
+          featureOf(r.bytes, r.media_type, dim))
       }
     }
   }
