@@ -84,7 +84,7 @@ object Bench {
       "dedup_clusters",
       "knn_cosine_topk_native", "knn_ivf_topk", "knn_ivfpq_topk",
       "events_session", "events_asof_join", "text_langid",
-      "text_bm25_topk", "docs_quality_filter")
+      "text_bm25_topk", "docs_quality_filter", "stream_ingest_batches")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     // ONE template for both the sidecar and the contract line — a shape

@@ -739,6 +739,30 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // The streaming-ingest leg under the bench/oracle watch: four
+    // deterministic "daily" batches (doc_id mod 4, in order) through the
+    // EXACT foreachBatch body StreamingIngest runs per micro-batch —
+    // incremental dedup against the persisted fingerprint index, staged
+    // MERGE into a scratch warehouse — then the final docs table read
+    // back. The oracle replays the first-batch-wins-then-min-id rule as
+    // one window; equality pins batch ≡ stream semantics AND gives the
+    // previously spec-only ingest path a round-over-round number.
+    "stream_ingest_batches" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_stream_wh").toString
+      (0L until 4L).foreach { b =>
+        graft.streaming.StreamingIngest.ingestBatch(
+          docs.filter(pmod($"doc_id", lit(4L)) === b),
+          wh, "docs_stream", "text", "doc_id")
+      }
+      graft.pipeline.SendoPipeline
+        .readTable(s, wh, "docs_stream", docs.schema)
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
     // Interval (stream-stream) join: clicks attributed to same-user views
     // they follow within 10 minutes. Batch here for the oracle; the same
     // transform joins two watermarked streams (IntervalJoinStreamingSpec).
@@ -1718,6 +1742,18 @@ object ExtensionQueries extends graft.QueryModule {
         |  FROM batch)
         |SELECT doc_id, source FROM first_per_fp
         |WHERE (fp IS NULL OR (rn = 1 AND fp NOT IN (SELECT fp FROM corpus_fp)))
+        |ORDER BY doc_id""".stripMargin,
+
+    "stream_ingest_batches" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, doc_id % 4 AS bno,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY bno, doc_id) AS rn
+        |  FROM b)
+        |SELECT doc_id, source FROM r WHERE fp IS NULL OR rn = 1
         |ORDER BY doc_id""".stripMargin,
 
     "events_interval_join" ->
