@@ -86,7 +86,12 @@ object Bench {
       "events_session", "events_asof_join", "text_langid",
       "text_bm25_topk", "docs_quality_filter", "stream_ingest_batches")
     val byName = results.toMap
-    val head = headline.flatMap(n => byName.get(n).map(n -> _))
+    // A SPARK_GRAFT_ONLY run is small by construction, so report every
+    // selected query — the headline subset exists only to keep the
+    // 163-query contract line under the driver's tail-capture limit.
+    val head =
+      if (only.isDefined) results
+      else headline.flatMap(n => byName.get(n).map(n -> _))
     // ONE template for both the sidecar and the contract line — a shape
     // change edited in only one place would silently desynchronize them.
     def line(qs: Seq[(String, Double)]): String = {

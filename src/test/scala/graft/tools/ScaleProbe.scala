@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** One-off 10x corpus generator for the SCALING.md probe: replicates the
+  * driver's sf0.1 documents/embeddings/events tables `factor` times into
+  * an sf-dir-shaped output so the five most expensive queries can be
+  * timed at two scale points (wall-time exponent ~ log(t_Nx/t_1x)/log N).
+  *
+  * Replication preserves each query's WORK DISTRIBUTION instead of
+  * planting pathological structure:
+  *  - documents: replica r > 0 suffixes every token with "_r<r>", so
+  *    replicas share NO shingles/tokens with the original — the planted
+  *    near-dup structure replicates per replica (10x docs => 10x dup
+  *    pairs), rather than every doc acquiring a 10-clique of cross-
+  *    replica near-dups (which would square the pair count and measure
+  *    a different problem);
+  *  - embeddings: replica vectors get a deterministic hash-derived
+  *    offset per dimension, scattering them away from their originals
+  *    for the same reason;
+  *  - events: user ids shift by a replica stride, so sessions replicate
+  *    per user (10x sessions of the same size, not 10x-longer sessions).
+  *
+  * Usage: Test/runMain graft.tools.ScaleProbe <srcSfDir> <outDir> <factor>
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args.take(3)
+    val factor = factorS.toInt
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stride = 100000000L
+
+    val docs = Tables.documents(spark, src)
+    val docsN = (0 until factor).map { r =>
+      if (r == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(r * stride))
+        .withColumn("text", when(col("text").isNull, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit(s"_r$r"))), " ")))
+    }.reduce(_ unionAll _)
+    docsN.write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+
+    val emb = Tables.embeddings(spark, src)
+    val embN = (0 until factor).map { r =>
+      if (r == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(r * stride))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(hash(col("vec_id"), lit(r), i), lit(1000))
+              .cast("double") / 1000.0 - 0.5)).cast("float")))
+    }.reduce(_ unionAll _)
+    embN.write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+
+    val ev = Tables.events(spark, src)
+    val evN = (0 until factor).map { r =>
+      if (r == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(r * stride))
+        .withColumn("user_id", col("user_id") + lit(r * stride))
+    }.reduce(_ unionAll _)
+    evN.write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+
+    println(s"[scaleprobe] wrote ${factor}x corpus to $out: " +
+      s"docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
+      s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()} " +
+      s"events=${spark.read.parquet(s"$out/events.parquet").count()}")
+    spark.stop()
+  }
+}
