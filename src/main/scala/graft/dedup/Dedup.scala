@@ -81,6 +81,87 @@ object Dedup {
     corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .filter(col("fp").isNotNull).distinct()
 
+  /** (id, band, bh) banded MinHash buckets of every shingled doc — the
+    * shared candidate-key space of [[minhashPairs]], [[minhashBandIndex]]
+    * and [[incrementalMinhashDedup]]. `bh` is the band's r-row signature
+    * slice joined AS the key (array equality), exactly as in
+    * [[minhashPairs]], so the incremental path and the all-pairs path
+    * agree bucket-for-bucket. Docs with no shingles (null text, or fewer
+    * than `shingleN` tokens) produce no rows. */
+  private def bandedBuckets(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int,
+      family: MinHashFamily): DataFrame = {
+    val k = bands * rowsPerBand
+    val sets = shingleTable(df, textCol, idCol, shingleN)
+      .select(col("id"), family.prepare(col("shingle")).as("base"))
+      .groupBy("id").agg(collect_list(col("base")).as("bases"))
+    sets
+      .select(col("id"), minhashSignature(col("bases"), k, family.slot).as("sig"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+              .as("bh")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+  }
+
+  /** The persisted LSH band-bucket index of a corpus — the NEAR-dup
+    * analogue of [[fingerprintIndex]]: distinct (band, bh) bucket keys,
+    * one table a warehouse maintains incrementally by unioning each
+    * ingested batch's surviving buckets back in. */
+  def minhashBandIndex(corpus: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      family: MinHashFamily = xxFamily): DataFrame =
+    bandedBuckets(corpus, textCol, idCol, shingleN, bands, rowsPerBand,
+      family).select(col("band"), col("bh")).distinct()
+
+  /** Incremental ingestion NEAR-dup dedup: the [[incrementalDedup]]
+    * shape upgraded from exact fingerprints to MinHash+LSH candidates —
+    * O(batch) per day, the corpus is never rescanned. A batch row is
+    * DROPPED iff (a) any of its bands lands in a bucket the persisted
+    * corpus index already holds, or (b) some band bucket it shares with
+    * a SMALLER-id batch row (min-id-wins, the same tie-break every dedup
+    * in this module uses). Rule (b) is deliberately one-hop — a doc
+    * whose only bucket partner was itself dropped still drops, matching
+    * the index semantics after that partner would have been ingested —
+    * NOT the transitive-cluster rule ([[clusterPairs]] exists for that).
+    *
+    * LSH candidacy is probabilistic by design: P(bucket hit) ≈
+    * 1-(1-J^r)^b, so with the b=8/r=4 defaults a true near-dup at J=0.9
+    * is caught with p≈0.9995 while J≈0.1 strangers collide at ~8·10⁻⁴ —
+    * the standard ingest-time trade (candidates are dropped WITHOUT the
+    * exact-Jaccard verify pass, because the "corpus side" of a would-be
+    * verify is exactly what an O(batch) path cannot afford to rescan;
+    * keep the index bucket keys and nothing else).
+    *
+    * Docs with no shingles (null text, or shorter than `shingleN`
+    * tokens) pass through untouched — nothing to hash, same policy as
+    * [[incrementalDedup]]'s null-text rule.
+    *
+    * Scale shape: one shingle-aggregate shuffle + one (band, bh) window
+    * shuffle, both O(batch); the index probe is a semi join against the
+    * persisted bucket table (pre-bucketed by key in a real warehouse, so
+    * the batch side streams against it without moving the index). */
+  def incrementalMinhashDedup(batch: DataFrame, bandIndex: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      family: MinHashFamily = xxFamily): DataFrame = {
+    val banded = bandedBuckets(batch, textCol, idCol, shingleN, bands,
+      rowsPerBand, family)
+    val idxHits = banded
+      .join(bandIndex.select(col("band"), col("bh")), Seq("band", "bh"),
+        "left_semi")
+      .select(col("id"))
+    val internal = banded
+      .withColumn("__minid",
+        min(col("id")).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("id") > col("__minid"))
+      .select(col("id"))
+    val dropped = idxHits.union(internal).distinct()
+      .withColumnRenamed("id", idCol)
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** (id, shingle) exploded distinct-shingle table — the join key space
     * for exact Jaccard. `maxShingleDf` drops shingles appearing in more
     * than that many docs (stopword-gram skew guard; None keeps all). */

@@ -739,6 +739,23 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Incremental NEAR-dup ingestion: the non-src0 batch deduped against
+    // src0's persisted MinHash band-bucket index — the LSH upgrade of
+    // dedup_incremental (O(batch) daily near-dup, corpus never
+    // rescanned). md5-affine family so the oracle replays every bucket.
+    "dedup_minhash_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter($"source" === "src0")
+      val batch = docs.filter($"source" =!= "src0")
+      Dedup.incrementalMinhashDedup(batch,
+          Dedup.minhashBandIndex(corpus, "text", "doc_id",
+            family = Dedup.md5AffineFamily),
+          "text", "doc_id", family = Dedup.md5AffineFamily)
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
     // The streaming-ingest leg under the bench/oracle watch: four
     // deterministic "daily" batches (doc_id mod 4, in order) through the
     // EXACT foreachBatch body StreamingIngest runs per micro-batch —
@@ -1743,6 +1760,46 @@ object ExtensionQueries extends graft.QueryModule {
         |SELECT doc_id, source FROM first_per_fp
         |WHERE (fp IS NULL OR (rn = 1 AND fp NOT IN (SELECT fp FROM corpus_fp)))
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_incremental" -> {
+      // Same md5-affine signature machinery as the dedup_minhash_pairs
+      // oracle; here the banded buckets split into corpus (src0) keys
+      // and batch rows, and a batch doc drops on an index hit or a
+      // smaller-id batch bucket partner (one-hop, min-id-wins).
+      val sigCols = (0 until 32).map { i =>
+        val a = (2654435761L * (i + 1)) % 1073741824L + 1
+        s"""list_min(list_transform(shset,
+           |      s -> ($a * (('0x' || substr(md5(s), 1, 7))::BIGINT) + $i) % 2147483647)) AS m$i""".stripMargin
+      }.mkString(",\n    ")
+      val bandSelects = (0 until 8).map { b =>
+        val key = (0 until 4).map(r => s"m${b * 4 + r}").mkString("[", ", ", "]")
+        s"SELECT id, source, $b AS band, $key AS bh FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH sets AS (
+         |  SELECT doc_id AS id, source, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shset
+         |  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents)
+         |  WHERE len(toks) >= 3),
+         |sig AS (
+         |  SELECT id, source, shset,
+         |    $sigCols
+         |  FROM sets),
+         |banded AS (
+         |  $bandSelects),
+         |corpus_buckets AS (
+         |  SELECT DISTINCT band, bh FROM banded WHERE source = 'src0'),
+         |batch_banded AS (
+         |  SELECT id, band, bh FROM banded WHERE source <> 'src0'),
+         |dropped AS (
+         |  SELECT DISTINCT b.id FROM batch_banded b
+         |  JOIN corpus_buckets c ON b.band = c.band AND b.bh = c.bh
+         |  UNION
+         |  SELECT DISTINCT y.id FROM batch_banded x
+         |  JOIN batch_banded y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id)
+         |SELECT doc_id, source FROM documents
+         |WHERE source <> 'src0' AND doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "stream_ingest_batches" ->
       """WITH b AS (

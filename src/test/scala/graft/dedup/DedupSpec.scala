@@ -212,6 +212,89 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(10L, 11L, 13L))
   }
 
+  // One word changed in a 25-token text: 23 3-shingles, ≥20 shared,
+  // J ≥ 0.77 — above the b=8/r=4 coin-flip zone (catch p ≈ 0.97), so the
+  // deterministic hash draw below lands a bucket collision.
+  private val longA = "alpha bravo charlie delta echo foxtrot golf hotel " +
+    "india juliet kilo lima mike november oscar papa quebec romeo sierra " +
+    "tango uniform victor whiskey xray yankee"
+  private val longB = longA.replace("mike", "music")
+
+  test("incrementalMinhashDedup drops corpus near-dups and keeps strangers") {
+    val corpus = Seq(
+      (1L, longA),
+      (2L, "completely different text about spark catalyst optimizer internals"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, longB),
+      (11L, "unrelated words one two three four five six seven eight nine ten"),
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(corpus, "text", "doc_id")
+    val kept = Dedup.incrementalMinhashDedup(batch, idx, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+  }
+
+  test("incrementalMinhashDedup: batch-internal near-dups keep the min id") {
+    val empty = Dedup.minhashBandIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id")
+    val batch = Seq(
+      (10L, longA),
+      (11L, longB),
+      (12L, "completely different text about spark catalyst optimizer internals"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalMinhashDedup(batch, empty, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L))
+  }
+
+  test("incrementalMinhashDedup passes null and too-short docs through") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(corpus, "text", "doc_id")
+    val batch = Seq(
+      (10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String]), // NOT an internal dup of 10
+      (12L, "two tokens"),              // < shingleN tokens: no buckets
+      (13L, "two tokens"),              // identical but also bucketless
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalMinhashDedup(batch, idx, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L, 12L, 13L))
+  }
+
+  test("incrementalMinhashDedup agrees with minhashPairs buckets (split law)") {
+    // Law: splitting the fixture corpus into corpus/batch and ingesting
+    // the batch against the corpus index drops exactly the batch docs
+    // that minhashPairs (same family/params, run on the WHOLE corpus)
+    // pairs with a corpus doc or a smaller batch doc — i.e. the
+    // incremental path reproduces the all-pairs candidate graph's
+    // one-hop rule without ever touching corpus text. Candidate-level
+    // comparison, so use minhashCandidates' contract via pairs at
+    // threshold 0 (every candidate surfaces, no verify cut).
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text", $"source")
+    val corpus = docs.filter($"source" === "src0")
+    val batch = docs.filter($"source" =!= "src0")
+    val kept = Dedup.incrementalMinhashDedup(batch,
+        Dedup.minhashBandIndex(corpus, "text", "doc_id"),
+        "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val candPairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        threshold = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val droppedExpected = batchIds.filter { b =>
+      candPairs.exists { case (x, y) =>
+        // partner is a corpus doc, or a smaller-id batch doc
+        (y == b && (corpusIds.contains(x) || x < b)) ||
+          (x == b && corpusIds.contains(y))
+      }
+    }
+    assert(kept == batchIds -- droppedExpected)
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val sims = Dedup.simhash(df, "text", "doc_id")
