@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
 import graft.functions.expressions.{CosineSimilarity, DotProduct,
-  StripAccents, UnicodeNormalize}
+  SquaredDistance, StripAccents, UnicodeNormalize}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -35,6 +35,9 @@ object GraftFunctions {
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "sq_dist"),
+      (args: Seq[Expression]) => SquaredDistance(args(0), args(1))),
     (FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_norm"),
       (args: Seq[Expression]) => {
@@ -78,6 +81,10 @@ object GraftFunctions {
 
   /** Column-API form of the native dot product (same registry caveat). */
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** Column-API form of the native squared L2 distance (same registry
+    * caveat). */
+  def sqDist(a: Column, b: Column): Column = call_function("sq_dist", a, b)
 
   /** Unicode normalization (same registry caveat). `form` is one of
     * NFC|NFD|NFKC|NFKD, fixed at plan time. */

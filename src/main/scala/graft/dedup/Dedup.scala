@@ -146,8 +146,13 @@ object Dedup {
       textCol: String, idCol: String,
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       family: MinHashFamily = xxFamily): DataFrame = {
+    // Three plan branches consume the banded buckets (the index probe,
+    // both sides of the internal min-id window); pin them so the
+    // shingle-digest + signature pipeline runs over the batch once, not
+    // per branch — the same diamond semanticDedupAssigned pins. O(batch)
+    // rows by construction, so the pin is batch-sized at any corpus size.
     val banded = bandedBuckets(batch, textCol, idCol, shingleN, bands,
-      rowsPerBand, family)
+      rowsPerBand, family).localCheckpoint()
     val idxHits = banded
       .join(bandIndex.select(col("band"), col("bh")), Seq("band", "bh"),
         "left_semi")

@@ -65,10 +65,16 @@ object Knn {
 
   /** Bucket assignment against a caller-provided (centroid_id, centv)
     * table — e.g. [[kmeans]]-trained centroids. Same shuffle-free
-    * broadcast-argmin projection as [[ivfAssign]]. */
+    * broadcast-argmin projection as [[ivfAssign]]. The default scorer is
+    * the NATIVE cosine: inside the per-centroid transform lambda each
+    * score is evaluated through ArrayTransform's interpreted path, where
+    * the HOF-composed cosine walks three nested interpreted HOF trees
+    * per centroid per row (~40µs/element measured) while the native
+    * expression is one primitive loop — bit-identical results
+    * (CosineSimilaritySpec), so oracle replays are unaffected. */
   def assignWith(corpus: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame,
-      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame =
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative): DataFrame =
     assignBuckets(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")),
       cents, cosineFn)
 
@@ -168,24 +174,47 @@ object Knn {
 
   private def trainLoop(vecs: DataFrame, init: DataFrame,
       iterations: Int): DataFrame = {
-    var cents = init
+    val spark = vecs.sparkSession
+    val rowSchema = init.schema // (centroid_id: T, centv: array<double>)
+    // Centroid state lives on the DRIVER between iterations, as plain
+    // collected rows. This adds no scale assumption the design didn't
+    // already carry: the broadcast-argmin assignment folds ALL C
+    // centroids into one in-memory array row on every executor, so ≤C
+    // rows were already bounded by executor memory. What driver-side
+    // state removes is per-iteration fixed cost — the earlier
+    // localCheckpoint form paid a checkpoint job plus a broadcast-build
+    // job per iteration just to hand ≤C rows to the next one; now each
+    // Lloyd's iteration is exactly ONE distributed job (assignment +
+    // mean aggregation over the pinned sample, collected straight
+    // back), which at sf0.1 is the difference between overhead-bound
+    // and data-bound training.
+    var cents: Array[org.apache.spark.sql.Row] = init.collect()
     for (_ <- 0 until iterations) {
-      // Same shuffle-free argmin trick as assignBuckets: centroids fold
-      // to one broadcast array row; each vector picks the nearest with
-      // an inline struct MIN over (d2, centroid_id) — no |N|×C window
-      // shuffle per iteration, and ids of any orderable type work.
-      val centArr = cents.groupBy()
-        .agg(array_sort(collect_list(struct(col("centroid_id"), col("centv"))))
-          .as("__cents"))
+      // Same shuffle-free argmin trick as assignBuckets: centroids ride
+      // in as ONE LocalRelation array row (broadcasting a LocalRelation
+      // launches no job); each vector picks the nearest with an inline
+      // struct MIN over (d2, centroid_id) — no |N|×C window shuffle per
+      // iteration, and ids of any orderable type work. The array is
+      // deliberately NOT sorted: struct MIN under Spark's total
+      // ordering is order-independent when centroid ids are distinct
+      // (d2 ties break on cid), and an array_sort here would re-sort
+      // per corpus ROW, not once.
+      val centArr = spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(cents.toSeq)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__cents",
+            org.apache.spark.sql.types.ArrayType(rowSchema)))))
       val assigned = vecs.crossJoin(broadcast(centArr))
         .select(col("v"), array_min(transform(col("__cents"), c =>
-          struct(aggregate(
-            zip_with(col("v"), c.getField("centv"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), _ + _).as("d2"),
+          struct(
+            VectorFunctions.l2sqNative(col("v"), c.getField("centv")).as("d2"),
             c.getField("centroid_id").as("cid")))).as("__best"))
         .select(col("__best.cid").as("centroid_id"), col("v"))
       // Elementwise mean via position explode + avg — no whole-vector
-      // collect; decimal not needed (means are engine-internal).
+      // collect; decimal not needed (means are engine-internal). The
+      // collect is the iteration's single action AND the next
+      // iteration's input, so plans never nest across iterations.
       cents = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos"))
@@ -194,13 +223,9 @@ object Knn {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),
           transform(col("pm"), e => e.getField("m")).as("centv"))
-        // Materialize each iteration's (<=C-row) centroids: iterative
-        // lazy plans otherwise nest — iteration i's plan contains all
-        // i-1 prior corpus scans, and anything consuming the result
-        // re-runs the whole chain per reference.
-        .localCheckpoint()
+        .collect()
     }
-    cents
+    spark.createDataFrame(java.util.Arrays.asList(cents: _*), rowSchema)
   }
 
   /** Per-dimension scalar-quantization stats over the corpus: ONE row
@@ -252,7 +277,7 @@ object Knn {
     * the only error left is 8-bit rounding. Deterministic tiebreaks. */
   def bruteForceQuantized(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, levels: Int = 256,
-      dotFn: (Column, Column) => Column = VectorFunctions.dot): DataFrame = {
+      dotFn: (Column, Column) => Column = VectorFunctions.dotNative): DataFrame = {
     // One-row stats table, two quantizeCodes consumers: pin so the
     // per-dimension min/max corpus aggregate runs once.
     val stats = quantizeStats(corpus, vecCol, levels).localCheckpoint()
@@ -329,8 +354,8 @@ object Knn {
     * corpora sit at much higher cosine and prune far harder. */
   def lshCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dims: Int, tables: Int = 24, bits: Int = 6,
-      cosineFn: (Column, Column) => Column = VectorFunctions.cosine,
-      dotFn: (Column, Column) => Column = VectorFunctions.dot): DataFrame = {
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative,
+      dotFn: (Column, Column) => Column = VectorFunctions.dotNative): DataFrame = {
     val planes = lshPlanes(corpus.sparkSession, tables, bits, dims)
     val cb = lshBuckets(
       corpus.select(col(idCol).as("vid"), col(vecCol).as("v")),
@@ -406,7 +431,7 @@ object Knn {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 16, codebook: Int = 16,
       dims: Int = 64,
-      dotFn: (Column, Column) => Column = VectorFunctions.dot): DataFrame = {
+      dotFn: (Column, Column) => Column = VectorFunctions.dotNative): DataFrame = {
     val sub = dims / m
     require(m * sub == dims, s"m=$m must divide dims=$dims")
     // One-row codebook, consumed by the coded projection AND the query
@@ -477,8 +502,8 @@ object Knn {
   def ivfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int, nprobe: Int,
       m: Int = 16, codebook: Int = 16, dims: Int = 64,
-      cosineFn: (Column, Column) => Column = VectorFunctions.cosine,
-      dotFn: (Column, Column) => Column = VectorFunctions.dot): DataFrame = {
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative,
+      dotFn: (Column, Column) => Column = VectorFunctions.dotNative): DataFrame = {
     val sub = dims / m
     require(m * sub == dims, s"m=$m must divide dims=$dims")
     val cents = corpus.orderBy(col(idCol)).limit(centroids)
@@ -534,7 +559,7 @@ object Knn {
   /** IVF top-k with naive deterministic centroids. */
   def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Int, nprobe: Int,
-      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(centroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
     ivfWith(corpus, queries, idCol, vecCol, k, cents, nprobe, cosineFn)
@@ -555,7 +580,7 @@ object Knn {
     * corpus itself. */
   def ivfWith(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: DataFrame, nprobe: Int,
-      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative): DataFrame = {
     // Pin the (tiny, <=centroids-row) table: it feeds BOTH the
     // assignment fold and the probe broadcast, and an unpinned plan
     // re-executes whatever produced it per branch — for ivfTrained that

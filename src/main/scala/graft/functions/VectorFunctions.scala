@@ -33,4 +33,39 @@ object VectorFunctions {
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), _ + _)
+
+  // Native (codegen Expression) forms, built directly — no function-
+  // registry registration required, so they are safe as library-internal
+  // DEFAULTS. Bit-identical to the HOF compositions above for same-
+  // length arrays (pinned in CosineSimilaritySpec / SquaredDistanceSpec);
+  // the difference is purely evaluation strategy: one fused primitive
+  // loop per call instead of interpreted zip_with/aggregate trees —
+  // which matters enormously INSIDE higher-order lambdas (the
+  // broadcast-argmin centroid assignment evaluates the score once per
+  // centroid per row through ArrayTransform's interpreted path, where a
+  // nested interpreted HOF costs ~40µs/element and a native expression
+  // ~0.1µs).
+
+  /** Native cosine; accepts array<float|double> on each side (the
+    * trained-centroid assignment scores float corpus rows against
+    * double k-means centroids). */
+  def cosineNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.expressions.CosineSimilarity(
+        org.apache.spark.sql.GraftSqlShim.expression(a),
+        org.apache.spark.sql.GraftSqlShim.expression(b)))
+
+  /** Native dot product (same float/double flexibility). */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.expressions.DotProduct(
+        org.apache.spark.sql.GraftSqlShim.expression(a),
+        org.apache.spark.sql.GraftSqlShim.expression(b)))
+
+  /** Native squared L2 distance (same float/double flexibility). */
+  def l2sqNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.expressions.SquaredDistance(
+        org.apache.spark.sql.GraftSqlShim.expression(a),
+        org.apache.spark.sql.GraftSqlShim.expression(b)))
 }

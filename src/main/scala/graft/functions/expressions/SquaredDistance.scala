@@ -6,23 +6,23 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression for cosine similarity over two numeric
+/** Native Catalyst expression for squared L2 distance over two numeric
   * array columns (`array<float>` or `array<double>`, independently on
   * each side), with whole-stage codegen.
   *
-  * Semantics match [[graft.functions.VectorFunctions.cosine]] exactly
-  * (floats widened to double before any arithmetic; sequential
-  * accumulation; `sqrt(na)*sqrt(nb)` denominator; NULL when either norm is
-  * zero; a null ELEMENT poisons the result to NULL like zip_with's null
-  * product under aggregate's `+`) — so it is interchangeable with the HOF
-  * composition and with the DuckDB oracle, but runs as one fused primitive
-  * loop instead of three zip_with/aggregate array traversals with
-  * intermediate array allocations. Compares over the common prefix when
-  * lengths differ (zip_with semantics). The double-element side exists
-  * for k-means-TRAINED centroid tables, whose means are doubles — the
-  * trained assignment path scores (float corpus, double centroid) pairs.
+  * Semantics match [[graft.functions.VectorFunctions.l2sq]] —
+  * `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0.0, _+_)` on
+  * double-widened elements — exactly for same-length arrays: sequential
+  * accumulation in index order, 0.0 for empty input, a null element
+  * poisons the result to NULL. For unequal lengths it sums the common
+  * prefix (zip_with would return NULL), same divergence [[DotProduct]]
+  * documents. This is the k-means inner loop ([[graft.functions.Knn]]
+  * trainLoop): the HOF form allocates a zipped intermediate array and
+  * walks an interpreted expression tree per centroid per row, which made
+  * Lloyd's iterations expression-interpretation-bound rather than
+  * FLOP-bound.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
+case class SquaredDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 
   private def elemOk(dt: DataType): Boolean = dt match {
@@ -39,17 +39,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  // Always nullable: zero-norm input yields NULL regardless of input
-  // nullability, so ev.isNull is always a real slot in codegen.
-  override def nullable: Boolean = true
-
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
     case _ => false
   }
 
-  private def elemNullable(e: Expression): Boolean = e.dataType match {
-    case ArrayType(_, containsNull) => containsNull
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
     case _ => false
   }
 
@@ -58,34 +57,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     val lf = isFloat(left); val rf = isFloat(right)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      dot += xi * yi; na += xi * xi; nb += yi * yi
+      val d = xi - yi
+      acc += d * d
       i += 1
     }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom > 0.0) dot / denom else null
+    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val denom = ctx.freshName("denom")
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
       def get(arr: String, float: Boolean): String =
         if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
-      // nullable is unconditionally true (zero-norm → NULL), so ev.isNull
-      // is always assignable here — no DotProduct-style literal-false
-      // guard needed.
+      // Same literal-false guard as DotProduct: with containsNull=false
+      // on both sides `nullable` can resolve false and ev.isNull renders
+      // as the literal "false" — an assignment to it would be a Janino
+      // compile error (silent interpreted fallback).
       val elemChecks = Seq(
         if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
         if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None,
@@ -93,20 +89,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nullBreak =
         if (elemChecks.isEmpty) ""
         else s"if (${elemChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+      val assign =
+        if (elemChecks.isEmpty) s"${ev.value} = $acc;"
+        else s"if (!${ev.isNull}) { ${ev.value} = $acc; }"
       s"""
         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        |double $acc = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
         |  $nullBreak
-        |  double $x = ${get(a, isFloat(left))};
-        |  double $y = ${get(b, isFloat(right))};
-        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |  double $d = (${get(a, isFloat(left))}) - (${get(b, isFloat(right))});
+        |  $acc += $d * $d;
         |}
-        |if (!${ev.isNull}) {
-        |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-        |  if ($denom > 0.0) { ${ev.value} = $dot / $denom; }
-        |  else { ${ev.isNull} = true; }
-        |}
+        |$assign
       """.stripMargin
     })
 
@@ -114,5 +108,5 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 
-  override def prettyName: String = "cosine_sim"
+  override def prettyName: String = "sq_dist"
 }
