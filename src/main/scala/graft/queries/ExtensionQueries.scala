@@ -529,6 +529,60 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"band_id")
     },
 
+    // Salt-scatter skew join (the explicit hot-key mitigation for joins
+    // AQE cannot split: one key holding >10% of the fact table against a
+    // non-broadcastable side). The salt is pure mechanics — results are
+    // EXACTLY the plain inner join, which is what the oracle replays.
+    "q_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_suppkey".as("suppkey"), $"l_extendedprice")
+      val supp = Tables.supplier(s, dir)
+        .select($"s_suppkey".as("suppkey"), $"s_nationkey")
+      graft.ops.ScaleOps.saltedJoin(li, supp, "suppkey", 8)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          Parity.dsum($"l_extendedprice").as("revenue"))
+        .orderBy($"s_nationkey")
+    },
+
+    // Runtime Bloom-filter semi join: a broadcast Bloom filter prunes
+    // the fact side BEFORE its shuffle (pure projection); the trailing
+    // exact semi join removes false positives, and Bloom filters have
+    // no false negatives — so the oracle is the plain semi join.
+    "q_bloom_semijoin" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_suppkey", $"l_quantity", $"l_returnflag")
+      val smallSupp = Tables.supplier(s, dir)
+        .filter($"s_nationkey" < 5)
+        .select($"s_suppkey".as("l_suppkey"))
+      graft.ops.ScaleOps.bloomSemiJoin(li, smallSupp, "l_suppkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          Parity.dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Co-partitioned join + same-key aggregate chain: both sides land
+    // on ONE hash partitioning so the join and the following groupBy
+    // reuse a single exchange per side (the transient form of bucketed
+    // tables; plan pinned in ScaleOpsSpec). Co-partitioning is pure
+    // mechanics — the oracle replays the plain join + aggregate.
+    "q_copartitioned_agg" -> { (s, dir) =>
+      import s.implicits._
+      val ord = Tables.orders(s, dir).select($"o_custkey", $"o_totalprice")
+      val cust = Tables.customer(s, dir)
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+      val (a, b) = graft.ops.ScaleOps.coPartition(ord, cust, "o_custkey", 32)
+      a.join(b, Seq("o_custkey"))
+        .groupBy($"o_custkey")
+        .agg(max($"c_mktsegment").as("segment"),
+          count(lit(1)).as("n_orders"),
+          Parity.dsum($"o_totalprice").as("spend"))
+        .orderBy($"o_custkey")
+    },
+
     // Equi-depth price histogram: 8 buckets of equal row count with
     // exact bounds — the skew-robust optimizer statistic, on the
     // scalable ntile (no single-partition window).
@@ -983,6 +1037,25 @@ object ExtensionQueries extends graft.QueryModule {
         |FROM part p JOIN bands b
         |  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q_bloom_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_copartitioned_agg" ->
+      """SELECT o_custkey, max(c_mktsegment) AS segment, COUNT(*) AS n_orders,
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS spend
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "docs_contamination" ->
       """WITH cs AS (
