@@ -597,6 +597,109 @@ object Dedup {
       .select(col("vid"), col("bucket"))
   }
 
+  /** LSH-bucketed embedding near-dup pairs: the DATA-INDEPENDENT scale
+    * path for [[graft.functions.Knn.cosinePairs]]'s exact all-pairs
+    * baseline. Sign-random-projection buckets
+    * ([[graft.functions.Knn.lshBucketTable]]) generate candidates —
+    * vectors sharing any of `tables` B-bit sign signatures — and the
+    * exact cosine verifies, so every returned pair is a TRUE ≥threshold
+    * pair (precision 1.0; the bucketing only prunes candidates). Recall
+    * is the LSH trade: P(detect) = 1-(1-(1-θ/π)^bits)^tables for angle θ.
+    *
+    * vs [[semanticDedup]]'s centroid buckets: the hyperplanes carry NO
+    * corpus statistics (md5-derived from (table, plane, dim) alone), so
+    * new rows bucket identically with no retrain — the variant that
+    * survives streaming ingest and incremental index maintenance, at the
+    * cost of needing `tables` bucket rows per vector instead of one.
+    *
+    * Scale shape: one unshuffled bucketing pass (planes broadcast), one
+    * (t, bucket) self-join whose both sides are the SAME exchange
+    * (shuffle_hash hint → ReusedExchange, exactly [[minhashPairs]]'s
+    * diamond discipline), one pair-dedup aggregate. Quadratic only
+    * within a (table, bucket) cell. */
+  def embeddingLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dims: Int, tables: Int = 24, bits: Int = 6,
+      cosineFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.cosineNative,
+      dotFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.dotNative): DataFrame = {
+    val bucketed = graft.functions.Knn.lshBucketTable(
+      corpus, idCol, vecCol, tables, bits, dims, dotFn)
+    bucketed.as("x")
+      .join(bucketed.as("y").hint("shuffle_hash"), Seq("t", "bucket"))
+      .filter(col("x.vid") < col("y.vid"))
+      // A pair colliding in several tables must verify once: dedup via
+      // the (id_a, id_b) aggregate, vectors riding `first` like
+      // minhashPairs' shingle sets — never a join back to the corpus.
+      .groupBy(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
+      .agg(first(col("x.v")).as("va"), first(col("y.v")).as("vb"))
+      .withColumn("cosine", cosineFn(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** The persisted LSH bucket index of an embedding corpus — the
+    * vector-space analogue of [[minhashBandIndex]]: distinct (t, bucket)
+    * sign-signature keys, one table a warehouse maintains incrementally
+    * by unioning each ingested batch's surviving buckets back in.
+    * Because the hyperplanes are data-independent, the index never needs
+    * rebuilding as the corpus grows — new rows bucket against the same
+    * planes forever. */
+  def embeddingLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, tables: Int = 8, bits: Int = 12,
+      dotFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.dotNative): DataFrame =
+    graft.functions.Knn.lshBucketTable(corpus, idCol, vecCol, tables, bits,
+      dims, dotFn).select(col("t"), col("bucket")).distinct()
+
+  /** Incremental ingestion near-dup dedup for EMBEDDINGS: the
+    * [[incrementalMinhashDedup]] shape in vector space — O(batch) per
+    * day, the corpus is never rescanned. A batch row is DROPPED iff any
+    * of its `tables` sign-signature buckets lands in the persisted
+    * corpus index, or it shares a bucket with a smaller-id batch row
+    * (min-id-wins, one-hop — the same deliberate non-transitive rule,
+    * same rationale: the corpus side of a would-be exact-cosine verify
+    * is exactly what an O(batch) path cannot afford to rescan).
+    *
+    * LSH candidacy is probabilistic, and — unlike [[embeddingLshPairs]],
+    * which verifies with the exact cosine — a bucket hit here DROPS with
+    * no verify, so the defaults diverge deliberately: T=8/B=12 (not the
+    * pairs path's 24/6). Twelve-bit signatures push a random
+    * ~orthogonal stranger's per-table collision to 2⁻¹² (≈0.2% false-
+    * drop across 8 tables), while a true near-dup at cosine 0.9
+    * (θ≈26°, per-table (1-θ/π)¹²≈0.16) is caught with p≈0.74 per
+    * ingest — and REAL semantic duplicates sit above 0.95 where p→1.
+    * The pairs path wants candidates cheap (verify cleans up); the
+    * ingest path wants buckets precise (nothing cleans up).
+    *
+    * Scale shape: one unshuffled bucketing pass over the batch (planes
+    * broadcast), one (t, bucket) window shuffle O(batch·tables), one
+    * semi-join probe against the pre-bucketed index. */
+  def incrementalEmbeddingDedup(batch: DataFrame, lshIndex: DataFrame,
+      idCol: String, vecCol: String, dims: Int,
+      tables: Int = 8, bits: Int = 12,
+      dotFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.dotNative): DataFrame = {
+    // Same three-consumer diamond as incrementalMinhashDedup: pin the
+    // O(batch·tables) bucket table so the signing pass runs once.
+    val banded = graft.functions.Knn.lshBucketTable(batch, idCol, vecCol,
+      tables, bits, dims, dotFn)
+      .select(col("vid").as("id"), col("t"), col("bucket"))
+      .localCheckpoint()
+    val idxHits = banded
+      .join(lshIndex.select(col("t"), col("bucket")), Seq("t", "bucket"),
+        "left_semi")
+      .select(col("id"))
+    val internal = banded
+      .withColumn("__minid",
+        min(col("id")).over(Window.partitionBy(col("t"), col("bucket"))))
+      .filter(col("id") > col("__minid"))
+      .select(col("id"))
+    val dropped = idxHits.union(internal).distinct()
+      .withColumnRenamed("id", idCol)
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** STREAMING exact dedup: drop any document whose normalized-text
     * fingerprint was already emitted, with state bounded by the event-time
     * watermark (`dropDuplicatesWithinWatermark` expires fingerprint state

@@ -313,6 +313,16 @@ object Knn {
         u(concat_ws(":", lit("lsh"), t, p, d)) * 2.0 - 1.0).as("w"))
   }
 
+  /** Public form of the LSH bucketing pass: (vid, v, t, bucket) for a
+    * corpus — the reusable leg shared by search ([[lshCosine]]) and
+    * near-dup pair generation
+    * ([[graft.dedup.Dedup.embeddingLshPairs]]). */
+  def lshBucketTable(corpus: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bits: Int, dims: Int,
+      dotFn: (Column, Column) => Column = VectorFunctions.dotNative): DataFrame =
+    lshBuckets(corpus.select(col(idCol).as("vid"), col(vecCol).as("v")),
+      lshPlanes(corpus.sparkSession, tables, bits, dims), tables, bits, dotFn)
+
   /** (vid, v, t, bucket) for every vector × hash table: bucket = the
     * B-bit sign signature of the vector against table t's hyperplanes.
     * The planes fold into ONE broadcast array row and each vector signs

@@ -246,6 +246,35 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // LSH-bucketed embedding near-dup pairs: the data-independent scale
+    // path for the exact all-pairs baseline above — sign-random-
+    // projection candidates, exact-cosine verify (precision 1.0, LSH
+    // recall). Deterministic md5-derived hyperplanes, so the oracle
+    // replays plane -> signature -> candidate -> verify end to end.
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      graft.dedup.Dedup.embeddingLshPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.4, dims = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Incremental embedding ingestion vs a persisted LSH bucket index —
+    // the vector-space analogue of dedup_minhash_incremental: O(batch)
+    // per day, corpus never rescanned, index never retrained (the
+    // planes are data-independent). Every-4th vec_id plays the day's
+    // batch; the rest are the indexed corpus.
+    "dedup_embedding_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(pmod($"vec_id", lit(4L)) =!= 0L)
+      val batch = emb.filter(pmod($"vec_id", lit(4L)) === 0L)
+      graft.dedup.Dedup.incrementalEmbeddingDedup(batch,
+          graft.dedup.Dedup.embeddingLshIndex(corpus, "vec_id",
+            "embedding", dims = 64),
+          "vec_id", "embedding", dims = 64)
+        .select($"vec_id")
+        .orderBy($"vec_id")
+    },
+
     // Semantic dedup (SemDeDup): centroid-bucketed embedding-space
     // near-dup removal — pairwise cosine quadratic only within buckets,
     // keep-lowest-id survivors. Full assign→pair→drop pipeline replayed
@@ -1533,6 +1562,79 @@ object ExtensionQueries extends graft.QueryModule {
         |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_lsh" -> {
+      // Same md5-derived plane/signature machinery as the knn_lsh_topk
+      // oracle; here the candidate join is the bucket SELF-join and the
+      // verify is the thresholded exact cosine.
+      val T = 24; val B = 6; val D = 64
+      s"""WITH planes AS (
+         |  SELECT CAST(i // $B AS INT) AS t, CAST(i % $B AS INT) AS p,
+         |    list(w ORDER BY d) AS w
+         |  FROM (
+         |    SELECT i, d,
+         |      (('0x' || substr(md5('lsh:' || (i // $B) || ':' || (i % $B) || ':' || d), 1, 13))::BIGINT
+         |        / 4503599627370496.0) * 2.0 - 1.0 AS w
+         |    FROM (SELECT unnest(range(${T * B})) AS i)
+         |    CROSS JOIN (SELECT unnest(range($D)) AS d))
+         |  GROUP BY 1, 2),
+         |vecs AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+         |  FROM embeddings),
+         |sigs AS (
+         |  SELECT vec_id, t,
+         |    SUM(CASE WHEN list_dot_product(v, w) >= 0
+         |        THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM vecs CROSS JOIN planes GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM sigs x JOIN sigs y
+         |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT id_a, id_b,
+         |    CASE WHEN a.nv * b.nv > 0
+         |         THEN list_dot_product(a.v, b.v) / (a.nv * b.nv) END AS cosine
+         |  FROM cand JOIN vecs a ON a.vec_id = id_a
+         |  JOIN vecs b ON b.vec_id = id_b)
+         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_embedding_incremental" -> {
+      // T=8 tables x B=12-bit signatures (the ingest-tuned setting —
+      // no verify stage, so buckets must be precise); same md5 plane
+      // derivation as the LSH pairs/search oracles.
+      val T = 8; val B = 12; val D = 64
+      s"""WITH planes AS (
+         |  SELECT CAST(i // $B AS INT) AS t, CAST(i % $B AS INT) AS p,
+         |    list(w ORDER BY d) AS w
+         |  FROM (
+         |    SELECT i, d,
+         |      (('0x' || substr(md5('lsh:' || (i // $B) || ':' || (i % $B) || ':' || d), 1, 13))::BIGINT
+         |        / 4503599627370496.0) * 2.0 - 1.0 AS w
+         |    FROM (SELECT unnest(range(${T * B})) AS i)
+         |    CROSS JOIN (SELECT unnest(range($D)) AS d))
+         |  GROUP BY 1, 2),
+         |vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sigs AS (
+         |  SELECT vec_id, t,
+         |    SUM(CASE WHEN list_dot_product(v, w) >= 0
+         |        THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM vecs CROSS JOIN planes GROUP BY 1, 2),
+         |corpus_buckets AS (
+         |  SELECT DISTINCT t, bucket FROM sigs WHERE vec_id % 4 <> 0),
+         |batch_sigs AS (
+         |  SELECT vec_id, t, bucket FROM sigs WHERE vec_id % 4 = 0),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id FROM batch_sigs b
+         |  JOIN corpus_buckets c ON b.t = c.t AND b.bucket = c.bucket
+         |  UNION
+         |  SELECT DISTINCT y.vec_id FROM batch_sigs x
+         |  JOIN batch_sigs y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id % 4 = 0 AND vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "dedup_semantic" ->
       """WITH corpus AS (

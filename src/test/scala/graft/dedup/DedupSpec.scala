@@ -431,4 +431,75 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 1L, 1L), (2L, 1L, 1L)))
   }
+
+  test("embeddingLshPairs: precision 1.0 (subset of exact pairs) and recall floor") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val exact = graft.functions.Knn
+      .cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, dims = 64)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // Exact-cosine verify => every reported pair is a true pair.
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // Recall floor mirrors KnnSpec's LSH claim on this fixture.
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall < 0.7 (${lsh.size}/${exact.size})")
+  }
+
+  test("incrementalEmbeddingDedup: index hit drops, stranger survives, min-id wins in-batch") {
+    // Exact copies have IDENTICAL sign signatures in every table, so
+    // index-hit and in-batch drops are deterministic (p=1), not
+    // probabilistic — the test never relies on an LSH coin flip.
+    val u = Array(1f, 0.2f, -0.3f, 0f, 0.5f, 0f, 0f, 0.1f)
+    val w = Array(0f, -1f, 0.4f, 0.2f, 0f, 0.7f, 0f, 0f)
+    val stranger = Array(-0.6f, 0f, 0f, 0.9f, -0.2f, 0f, 0.3f, 0f)
+    val x = Array(0.1f, 0.1f, 0.8f, -0.5f, 0f, 0f, -0.9f, 0.2f)
+    val corpus = Seq((1L, u), (3L, w)).toDF("vec_id", "embedding")
+    val batch = Seq((4L, u), (8L, stranger), (12L, x), (16L, x))
+      .toDF("vec_id", "embedding")
+    val idx = Dedup.embeddingLshIndex(corpus, "vec_id", "embedding", dims = 8)
+    val kept = Dedup.incrementalEmbeddingDedup(batch, idx,
+        "vec_id", "embedding", dims = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!kept.contains(4L), "exact copy of an indexed vector must drop")
+    assert(!kept.contains(16L), "larger id of an identical in-batch pair must drop")
+    assert(kept.contains(12L), "smaller id of the in-batch pair survives")
+    assert(kept.contains(8L), "the stranger survives")
+  }
+
+  test("incrementalEmbeddingDedup re-ingest is idempotent after index append") {
+    // The warehouse loop: survivors' buckets union into the index; a
+    // replay of the same batch against the appended index drops ALL of
+    // it (every row now hits either the old or its own new bucket).
+    val u = Array(1f, 0.2f, -0.3f, 0f, 0.5f, 0f, 0f, 0.1f)
+    val x = Array(0.1f, 0.1f, 0.8f, -0.5f, 0f, 0f, -0.9f, 0.2f)
+    val corpus = Seq((1L, u)).toDF("vec_id", "embedding")
+    val batch = Seq((4L, u), (12L, x)).toDF("vec_id", "embedding")
+    val idx = Dedup.embeddingLshIndex(corpus, "vec_id", "embedding", dims = 8)
+    val kept = Dedup.incrementalEmbeddingDedup(batch, idx,
+      "vec_id", "embedding", dims = 8)
+    val appended = idx.unionByName(
+      Dedup.embeddingLshIndex(kept, "vec_id", "embedding", dims = 8)).distinct()
+    val replay = Dedup.incrementalEmbeddingDedup(batch, appended,
+        "vec_id", "embedding", dims = 8)
+      .select($"vec_id").as[Long].collect()
+    assert(replay.isEmpty, s"replay kept ${replay.mkString(",")}")
+  }
+
+  test("embeddingLshPairs buckets are data-independent (subset ≡ full corpus)") {
+    // The streaming-safety claim: a row's (t, bucket) signature depends
+    // only on the planes, never on corpus statistics — bucketing a
+    // subset must produce exactly the signatures it had in the full run.
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val full = graft.functions.Knn
+      .lshBucketTable(emb, "vec_id", "embedding", 4, 6, 64)
+      .filter($"vid" < 20)
+      .select($"vid", $"t", $"bucket").as[(Long, Int, Long)].collect().toSet
+    val subset = graft.functions.Knn
+      .lshBucketTable(emb.filter($"vec_id" < 20), "vec_id", "embedding", 4, 6, 64)
+      .select($"vid", $"t", $"bucket").as[(Long, Int, Long)].collect().toSet
+    assert(full == subset)
+  }
 }

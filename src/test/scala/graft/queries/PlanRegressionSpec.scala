@@ -122,6 +122,19 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(lines.forall(l => l.contains("bucket") || l.contains("vid")), lines.mkString("\n"))
   }
 
+  test("dedup_embedding_lsh buckets the corpus once (ReusedExchange on the self-join)") {
+    // Both sides of the (t, bucket) self-join are the same bucketing
+    // subtree; the shuffle_hash hint keeps them identical exchanges so
+    // AQE computes the LSH pass once. Reuse materializes only during
+    // execution — run, then inspect the final adaptive plan.
+    val df = SparkEntry.queries("dedup_embedding_lsh")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.linesIterator.next())
+    assert(p.toLowerCase.contains("reused"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("docs_pack_chunks reuses one range exchange; windows are pid-partitioned") {
     // AQE materializes exchange reuse only during execution — run the
     // query, then inspect the final adaptive plan.
