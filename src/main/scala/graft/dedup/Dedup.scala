@@ -616,15 +616,31 @@ object Dedup {
     * (t, bucket) self-join whose both sides are the SAME exchange
     * (shuffle_hash hint → ReusedExchange, exactly [[minhashPairs]]'s
     * diamond discipline), one pair-dedup aggregate. Quadratic only
-    * within a (table, bucket) cell. */
+    * within a (table, bucket) cell — WHICH IS WHY `bits` MUST GROW WITH
+    * THE CORPUS: a fixed B gives a fixed 2^B buckets per table, so
+    * per-cell population grows ∝ N and candidate pairs ∝ N² (measured:
+    * 6-bit signatures went 1.7 s → 287 s on a 10× corpus). The default
+    * `bits = 0` auto-sizes B = max(6, ceil(log₂(n / 32))) — buckets
+    * scale with N, expected cell population stays ~32, candidates stay
+    * ~linear. This is the standard LSH prescription (signature length
+    * ∝ log n); per-table recall for a pair at angle θ is (1-θ/π)^B, so
+    * raising B trades recall per table — raise `tables` alongside for
+    * recall-critical corpora. Pass an explicit `bits > 0` to pin the
+    * geometry (what the fixed-text DuckDB oracle does). */
   def embeddingLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dims: Int, tables: Int = 24, bits: Int = 6,
+      threshold: Double, dims: Int, tables: Int = 24, bits: Int = 0,
       cosineFn: (Column, Column) => Column =
         graft.functions.VectorFunctions.cosineNative,
       dotFn: (Column, Column) => Column =
         graft.functions.VectorFunctions.dotNative): DataFrame = {
+    val b =
+      if (bits > 0) bits
+      else {
+        val n = math.max(1L, corpus.count())
+        math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+      }
     val bucketed = graft.functions.Knn.lshBucketTable(
-      corpus, idCol, vecCol, tables, bits, dims, dotFn)
+      corpus, idCol, vecCol, tables, b, dims, dotFn)
     bucketed.as("x")
       .join(bucketed.as("y").hint("shuffle_hash"), Seq("t", "bucket"))
       .filter(col("x.vid") < col("y.vid"))

@@ -488,6 +488,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(replay.isEmpty, s"replay kept ${replay.mkString(",")}")
   }
 
+  test("embeddingLshPairs auto-sizes signature bits with corpus cardinality") {
+    // Fixed-B geometry is the measured scale-killer (candidates ∝ N²
+    // once cells saturate); auto mode must grow B so expected cell
+    // population stays ~32. Pin the floor and the growth points.
+    def autoBits(n: Long): Int =
+      math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+    assert(autoBits(1L) == 6 && autoBits(500L) == 6 && autoBits(2048L) == 6)
+    assert(autoBits(20000L) == 10)
+    assert(autoBits(2048L * 32) == 11)
+    assert(autoBits(1000000L) == 15)
+    // And the operator under auto mode equals the explicit-B call at
+    // the fixture's cardinality (auto resolves to 6 here).
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val auto = Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, dims = 64)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val pinned = Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, dims = 64, bits = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(auto == pinned)
+  }
+
   test("embeddingLshPairs buckets are data-independent (subset ≡ full corpus)") {
     // The streaming-safety claim: a row's (t, bucket) signature depends
     // only on the planes, never on corpus statistics — bucketing a
