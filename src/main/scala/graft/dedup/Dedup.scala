@@ -403,6 +403,49 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Train/test split leakage guard: near-duplicate clusters must never
+    * straddle a split boundary — a test document whose near-dup sits in
+    * train is memorized, not held out (the cross-split contamination the
+    * decontamination literature warns about, applied to the pipeline's
+    * OWN splits). Given a per-row split assignment (`idCol`, `splitCol`)
+    * and a near-dup pair graph, reassigns every clustered row to the
+    * split of its cluster's canonical (minimum-id) member, so each
+    * cluster lands whole in exactly one split. Unclustered rows (the
+    * overwhelming majority — the pair graph is duplicate-proportional)
+    * keep their assignment.
+    *
+    * Output: (`idCol`, `splitCol`, canonical_id, final_split, moved) —
+    * `moved` marks rows whose assignment changed, i.e. the leakage that
+    * was repaired; a summary (`GROUP BY split, final_split`) is the
+    * audit report.
+    *
+    * Scale shape: [[clusterPairs]] is duplicate-proportional (tiered
+    * driver/distributed solver); both joins here are keyed by id /
+    * canonical id — linear, one exchange each, and the canonical side is
+    * small enough for AQE to broadcast in practice. Nothing touches the
+    * corpus more than once. Deterministic: the canonical member is the
+    * cluster minimum and the hash split is partition-invariant, so the
+    * repaired assignment is a pure function of (keys, salt, pair graph).
+    */
+  def splitLeakageGuard(assign: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    val canon = clusterPairs(pairs, maxIterations)
+      .withColumnRenamed("id", idCol)
+    val withCanon = assign.select(col(idCol), col(splitCol))
+      .join(canon, Seq(idCol), "left_outer")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col(idCol)))
+    // The canonical member's own split: canonical_id always exists in
+    // `assign` (it is one of the clustered ids), so an inner join loses
+    // nothing — but left_outer keeps the guard total if a caller passes
+    // a pair graph referencing ids outside the assignment.
+    val canonSplit = assign.select(col(idCol).as("canonical_id"),
+      col(splitCol).as("final_split"))
+    withCanon.join(canonSplit, Seq("canonical_id"), "left_outer")
+      .select(col(idCol), col(splitCol), col("canonical_id"),
+        col("final_split"),
+        (col(splitCol) =!= col("final_split")).as("moved"))
+  }
+
   /** Fixed-size token chunks of a raw text column (1-based slices of the
     * space-split tokens, original case preserved) — the unit function for
     * [[unitDedup]] on unstructured text that has no paragraph breaks.

@@ -157,6 +157,23 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("id"))
     },
 
+    // Train/test leakage guard: hash-split the corpus, then repair every
+    // near-dup cluster that straddles a split boundary by reassigning
+    // the whole cluster to its canonical member's split — the
+    // cross-split contamination fix a held-out split needs BEFORE
+    // benchmark decontamination even starts (a test doc whose near-dup
+    // sits in train is memorized, not held out). Fully oracle-replayed:
+    // the split CASE and the recursive-CTE components compose.
+    "docs_split_leakage" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val assign = docs.select(col("doc_id"),
+        graft.ops.Sampling.splitColumn(col("doc_id"), "split-v1",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      Dedup.splitLeakageGuard(assign, "doc_id", "split",
+        Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8))
+        .orderBy(col("doc_id"))
+    },
+
     // Paragraph/unit-level dedup with document reassembly: drop every
     // repeated 10-token chunk (global first occurrence wins, by (doc,
     // position)) and rebuild each document from its surviving chunks —
@@ -671,6 +688,21 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("window_start"), col("event_type"))
     },
 
+    // Rolling z-score anomaly flags: each event judged against the mean
+    // and sample stddev of its user's previous 20 values (strictly prior
+    // frame — a spike never inflates its own baseline). One window
+    // exchange; decimal frame sums keep the oracle replay exact.
+    "events_anomaly" -> { (s, dir) =>
+      EventsOps.rollingZScore(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value")),
+        key = col("user_id"), order = Seq(col("ts"), col("event_id")),
+        valueCol = col("value"))
+        .select(col("event_id"), col("user_id"), col("value"), col("z"),
+          col("anomaly"))
+        .orderBy(col("event_id"))
+    },
+
     // Conversion funnel: per-user FIRST timestamps of each stage in one
     // conditional-min aggregate (no joins, no windows — two shuffles
     // total, the second on a single row), then strictly-ordered stage
@@ -885,6 +917,56 @@ object ExtensionQueries extends graft.QueryModule {
   private val stopwordList =
     TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** SQL CASE chain replaying [[graft.ops.Sampling.splitColumn]] term for
+    * term. Thresholds are generated by the SAME Scala arithmetic as the
+    * operator (cumulative-sum floating point included), so the embedded
+    * literals round-trip to identical doubles; the null-key guard mirrors
+    * splitColumn's (null key → NULL split in both engines, never a silent
+    * last-bucket leak). ONE definition of the replay, shared by every
+    * split-consuming oracle — the Parity.dsum discipline. */
+  private def splitCaseSql(key: String, salt: String,
+      splits: Seq[(String, Double)]): String = {
+    val total = splits.map(_._2).sum
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val u = s"(('0x' || substr(md5($key::VARCHAR || ':$salt'), 1, 13))::BIGINT" +
+      " / 4503599627370496.0)"
+    val cases = splits.init.zip(cums.init).reverse
+      .foldLeft(s"'${splits.last._1}'") {
+        case (rest, ((name, _), cum)) =>
+          s"CASE WHEN $u < $cum THEN '$name' ELSE $rest END"
+      }
+    s"CASE WHEN $key IS NULL THEN NULL ELSE $cases END"
+  }
+
+  /** The Jaccard pair graph → connected components → canonical-member
+    * CTE chain shared verbatim by the dedup_clusters and
+    * docs_split_leakage oracles (the latter composes on top). */
+  private val clusterCanonCtes =
+    """sh AS (
+      |  SELECT doc_id AS id, unnest(list_distinct(
+      |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      |shared AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM shared
+      |  JOIN sizes sa ON sa.id = id_a
+      |  JOIN sizes sb ON sb.id = id_b
+      |  WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.8),
+      |edges AS (
+      |  SELECT id_a AS x, id_b AS y FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT x, y FROM edges
+      |  UNION
+      |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+      |canon AS (
+      |  SELECT x AS id, least(x, min(y)) AS canonical_id
+      |  FROM reach GROUP BY x)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id,
@@ -979,29 +1061,23 @@ object ExtensionQueries extends graft.QueryModule {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id AS id, unnest(list_distinct(
-        |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)),
-        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-        |shared AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM shared
-        |  JOIN sizes sa ON sa.id = id_a
-        |  JOIN sizes sb ON sb.id = id_b
-        |  WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.8),
-        |edges AS (
-        |  SELECT id_a AS x, id_b AS y FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(x, y) AS (
-        |  SELECT x, y FROM edges
-        |  UNION
-        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
-        |SELECT x AS id, least(x, min(y)) AS canonical_id
-        |FROM reach GROUP BY x ORDER BY id""".stripMargin,
+      s"""WITH RECURSIVE $clusterCanonCtes
+         |SELECT id, canonical_id FROM canon ORDER BY id""".stripMargin,
+
+    "docs_split_leakage" -> {
+      val splitCase = splitCaseSql("doc_id", "split-v1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH RECURSIVE $clusterCanonCtes,
+         |assign AS (SELECT doc_id, $splitCase AS split FROM documents),
+         |wc AS (
+         |  SELECT a.doc_id, a.split,
+         |    coalesce(c.canonical_id, a.doc_id) AS canonical_id
+         |  FROM assign a LEFT JOIN canon c ON c.id = a.doc_id)
+         |SELECT wc.doc_id, wc.split, wc.canonical_id,
+         |  b.split AS final_split, (wc.split <> b.split) AS moved
+         |FROM wc LEFT JOIN assign b ON b.doc_id = wc.canonical_id
+         |ORDER BY wc.doc_id""".stripMargin
+    },
 
     "knn_cosine_topk" ->
       """SELECT query_id, neighbor_id, cosine, rk FROM (
@@ -1134,23 +1210,11 @@ object ExtensionQueries extends graft.QueryModule {
     // Split thresholds are generated by the SAME Scala arithmetic as
     // Sampling.splitColumn (cumulative-sum floating point included), so
     // the embedded literals round-trip to identical doubles.
-    "docs_hash_split" -> {
-      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-      val total = splits.map(_._2).sum
-      val cums = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
-      val u = "(('0x' || substr(md5(doc_id::VARCHAR || ':split-v1'), 1, 13))::BIGINT" +
-        " / 4503599627370496.0)"
-      val cases = splits.init.zip(cums.init).reverse
-        .foldLeft(s"'${splits.last._1}'") {
-          case (rest, ((name, _), cum)) =>
-            s"CASE WHEN $u < $cum THEN '$name' ELSE $rest END"
-        }
-      // Null-key guard mirrors Sampling.splitColumn: null doc_id →
-      // NULL split in both engines (never a silent last-bucket leak).
+    "docs_hash_split" ->
       s"""SELECT doc_id, source,
-         |  CASE WHEN doc_id IS NULL THEN NULL ELSE $cases END AS split
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+         |  ${splitCaseSql("doc_id", "split-v1",
+                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // ntile over the value order is the textbook equi-depth spec; the
     // engine's arithmetic form is bit-identical (ref_u5 pins the law).
@@ -1784,6 +1848,28 @@ object ExtensionQueries extends graft.QueryModule {
         |  COUNT(*) AS n,
         |  CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // Replays rollingZScore term for term: exact decimal frame sums cast
+    // to double once, then identical IEEE arithmetic; z rounded at 6
+    // right after the one sqrt (the unigram-logprob discipline).
+    "events_anomaly" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2,
+        |    CAST(COUNT(value) OVER w AS DOUBLE) AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_id, user_id, value,
+        |    CASE WHEN n >= 8.0 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0.0
+        |      THEN round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 6)
+        |    END AS z
+        |  FROM s)
+        |SELECT event_id, user_id, value, z,
+        |  coalesce(abs(z) > 3.0, false) AS anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
 
     "events_funnel" ->
       """WITH firsts AS (

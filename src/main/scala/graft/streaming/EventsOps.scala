@@ -73,6 +73,53 @@ object EventsOps {
         coalesce(col("c.n"), lit(0L)).as("n"))
   }
 
+  /** Rolling z-score anomaly detection: flag each event whose value sits
+    * more than `threshold` sample standard deviations from the mean of
+    * the same key's previous `lookback` events — the metrics-monitoring
+    * shape (per-user spend spikes, per-host latency outliers) and the
+    * statistical-outlier filter of a data-curation pass. The frame is
+    * strictly PRIOR rows (`-lookback .. -1`): the current value never
+    * contaminates its own baseline, so a genuine spike cannot mask
+    * itself by inflating the window statistics it is judged against.
+    *
+    * Engine-exact by the repo's oracle discipline: the only
+    * order-sensitive terms — Σv and Σv² over the frame — are summed as
+    * decimals (exact, order-independent), converted to double once, and
+    * the mean/variance/sqrt arithmetic that follows is deterministic
+    * IEEE on identical inputs; z is rounded at 6 immediately after the
+    * one sqrt. Rows with fewer than `minPrior` prior values (cold start)
+    * or a zero-variance baseline get a NULL z and `anomaly = false` —
+    * never a division-by-zero Inf/NaN leaking into downstream filters.
+    *
+    * Scale shape: ONE window exchange, partitioned by the key — the
+    * per-key frame is a bounded `lookback`-row deque inside WindowExec,
+    * so memory is O(lookback) per open key regardless of corpus size,
+    * and there is no self-join (the naive formulation) or global sort.
+    */
+  def rollingZScore(events: DataFrame, key: Column, order: Seq[Column],
+      valueCol: Column, lookback: Int = 20, minPrior: Int = 8,
+      threshold: Double = 3.0): DataFrame = {
+    require(lookback >= minPrior && minPrior >= 2,
+      s"need lookback >= minPrior >= 2, got ($lookback, $minPrior)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(order: _*).rowsBetween(-lookback, -1)
+    val v = valueCol.cast(DecimalType(18, 6))
+    val s1 = sum(v).over(w).cast("double")
+    val s2 = sum(v * v).over(w).cast("double")
+    val n = count(v).over(w).cast("double")
+    val mean = s1 / n
+    // Sample variance via the sum-of-squares identity; the subtraction
+    // can go epsilon-negative under FP cancellation, and the > 0 guard
+    // below keeps sqrt off that path in BOTH engines (same doubles).
+    val variance = (s2 - s1 * s1 / n) / (n - lit(1.0))
+    val z = round((valueCol - mean) / sqrt(variance), 6)
+    events
+      .withColumn("z",
+        when(n >= lit(minPrior.toDouble) && variance > lit(0.0), z))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) > lit(threshold), lit(false)))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

@@ -127,6 +127,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 5L, 7L))
   }
 
+  test("splitLeakageGuard moves straddling clusters whole, leaves the rest") {
+    // cluster {1,2,3} straddles train/test; {7,9} already agrees; 5 solo.
+    val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (5L, "test"), (7L, "val"), (9L, "val")).toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.splitLeakageGuard(assign, "doc_id", "split", pairs)
+      .select("doc_id", "split", "canonical_id", "final_split", "moved")
+      .as[(Long, String, Long, String, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "train", 1L, "train", false),
+      (2L, "test", 1L, "train", true), // repaired: joins its cluster
+      (3L, "train", 1L, "train", false),
+      (5L, "test", 5L, "test", false), // unclustered: untouched
+      (7L, "val", 7L, "val", false),
+      (9L, "val", 7L, "val", false)))
+  }
+
+  test("splitLeakageGuard output never has a cluster straddling splits") {
+    val docs = Tables.documents(spark, sf)
+    val assign = docs.select($"doc_id",
+      graft.ops.Sampling.splitColumn($"doc_id", "split-v1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
+    val out = Dedup.splitLeakageGuard(assign, "doc_id", "split", pairs)
+    // The repaired law: every canonical_id maps to exactly one
+    // final_split, and total row count is preserved.
+    val straddling = out.groupBy("canonical_id")
+      .agg(countDistinct("final_split").as("n")).filter($"n" > 1).count()
+    assert(straddling == 0L)
+    assert(out.count() == assign.count())
+    // The fixture's planted near-dups make at least one repair likely;
+    // assert the guard is a no-op EXACTLY on rows whose cluster already
+    // agreed (moved <=> split != final_split, no nulls).
+    assert(out.filter($"moved" =!= ($"split" =!= $"final_split")).count() == 0L)
+  }
+
   test("end-to-end near-dup removal on the fixture corpus shrinks it by the planted dups") {
     val docs = Tables.documents(spark, sf)
     val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class RollingZScoreSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** (event_id, user, value) rows with ts = event_id seconds from epoch. */
+  private def events(rows: Seq[(Long, Long, Double)]) =
+    rows.toDF("event_id", "user_id", "value")
+      .withColumn("ts", timestamp_seconds($"event_id"))
+
+  private def zscored(rows: Seq[(Long, Long, Double)], minPrior: Int = 8) =
+    EventsOps.rollingZScore(events(rows), key = $"user_id",
+      order = Seq($"ts", $"event_id"), valueCol = $"value",
+      minPrior = minPrior)
+      .select("event_id", "z", "anomaly")
+      .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1)
+
+  test("a planted spike against a stable baseline is flagged; the baseline is not") {
+    // 10 alternating 9.5/10.5 values (std ~0.5), then a 100.0 spike.
+    val base = (0L until 10L).map(i =>
+      (i, 1L, if (i % 2 == 0) 9.5 else 10.5))
+    val out = zscored(base :+ ((10L, 1L, 100.0)))
+    val spike = out.find(_._1 == 10L).get
+    assert(spike._3, s"spike not flagged: $spike")
+    assert(spike._2.get > 100.0) // ~90 sigma out
+    assert(out.filter(_._1 < 10L).forall(!_._3), "baseline rows flagged")
+  }
+
+  test("cold start: rows with fewer than minPrior prior values get NULL z, anomaly=false") {
+    val out = zscored((0L until 12L).map(i => (i, 1L, i.toDouble * 3)))
+    // Frame is strictly prior rows, so row i has i prior values.
+    assert(out.filter(_._1 < 8L).forall(r => r._2.isEmpty && !r._3))
+    assert(out.filter(_._1 >= 8L).forall(_._2.isDefined))
+  }
+
+  test("zero-variance baseline yields NULL z (guard), never Inf/NaN") {
+    val out = zscored((0L until 10L).map(i => (i, 1L, 5.0)) :+ ((10L, 1L, 99.0)))
+    assert(out.forall(r => r._2.forall(z => !z.isNaN && !z.isInfinite)))
+    // constant prior frame → variance 0 → guarded to null, not flagged
+    assert(out.forall(r => r._2.isEmpty && !r._3))
+  }
+
+  test("the frame is strictly prior: a spike never inflates its own baseline") {
+    // If the frame included the current row, the spike's own value would
+    // blow up the window std and z would shrink to ~sqrt(n); with a
+    // strictly-prior frame z is (100-10)/0.5 ≈ 90+ sigma.
+    val base = (0L until 10L).map(i =>
+      (i, 1L, if (i % 2 == 0) 9.5 else 10.5))
+    val out = zscored(base :+ ((10L, 1L, 100.0)))
+    assert(out.find(_._1 == 10L).get._2.get > 50.0)
+  }
+
+  test("keys are independent and null values pass through unflagged") {
+    val rows = (0L until 10L).map(i => (i, 1L, if (i % 2 == 0) 9.5 else 10.5)) ++
+      (100L until 110L).map(i => (i, 2L, 1000.0 + (if (i % 2 == 0) -0.5 else 0.5)))
+    // user 2's values are huge but internally stable — nothing flagged.
+    val out = zscored(rows :+ ((110L, 2L, 1001.0)))
+    assert(out.forall(!_._3))
+  }
+
+  test("one exchange: the window shuffle is the only exchange in the plan") {
+    val df = EventsOps.rollingZScore(
+      events((0L until 10L).map(i => (i, i % 3, i.toDouble))),
+      key = $"user_id", order = Seq($"ts", $"event_id"), valueCol = $"value")
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}
