@@ -453,6 +453,46 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // ANN recall evaluation harness: recall@10 of every approximate
+    // index path (IVF, LSH, PQ, int8 SQ, IVF+PQ) against the exact
+    // brute-force neighbors, per query — the "measure, don't guess"
+    // leg of index selection (FAISS-bench shape). The ANN pipelines are
+    // the cost; the recall join runs on |queries|·k rows. Every path is
+    // the oracle-replayable configuration, so the oracle recomputes the
+    // SAME indexes and the recall numbers must agree exactly.
+    "knn_recall_at_k" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+      val cos = graft.GraftFunctions.cosineSim _
+      val dot = graft.GraftFunctions.dotProduct _
+      def ids(df: DataFrame, m: String) =
+        df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      val exact = Knn.bruteForce(emb, qs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val methods =
+        ids(Knn.ivf(emb, qs, "vec_id", "embedding", k = 10,
+          centroids = 16, nprobe = 4, cosineFn = cos), "ivf")
+        .union(ids(Knn.lshCosine(emb, qs, "vec_id", "embedding", k = 10,
+          dims = 64, cosineFn = cos, dotFn = dot), "lsh"))
+        .union(ids(Knn.pqTopK(emb, qs, "vec_id", "embedding", k = 10,
+          m = 16, codebook = 16, dims = 64, dotFn = dot), "pq"))
+        .union(ids(Knn.bruteForceQuantized(emb, qs, "vec_id", "embedding",
+          10, dotFn = dot), "sq"))
+        .union(ids(Knn.ivfPq(emb, qs, "vec_id", "embedding", k = 10,
+          centroids = 16, nprobe = 4, m = 16, codebook = 16, dims = 64,
+          cosineFn = cos, dotFn = dot), "ivfpq"))
+      val grid = methods.select("method").distinct()
+      // Every (method, exact-neighbor) cell exists via the broadcast
+      // method grid, so a zero-overlap query reports recall 0.0 instead
+      // of silently vanishing.
+      exact.crossJoin(broadcast(grid))
+        .join(methods.withColumn("__hit", lit(1)),
+          Seq("method", "query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("method"), col("query_id"))
+        .agg((count(col("__hit")).cast("double") / lit(10.0)).as("recall"))
+        .orderBy(col("method"), col("query_id"))
+    },
+
     // Deterministic train/val/test split by key hash: reproducible on
     // any engine/run/partitioning, never materialized.
     "docs_hash_split" -> { (s, dir) =>
@@ -967,7 +1007,7 @@ object ExtensionQueries extends graft.QueryModule {
       |  SELECT x AS id, least(x, min(y)) AS canonical_id
       |  FROM reach GROUP BY x)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS INTEGER) AS n_chars,
@@ -2103,4 +2143,37 @@ object ExtensionQueries extends graft.QueryModule {
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
   )
+
+  /** The recall harness oracle COMPOSES the already-declared per-index
+    * oracles verbatim (each as a parenthesized subquery): one definition
+    * of every index replay, so an index-oracle fix automatically
+    * propagates into the recall numbers. */
+  val oracles: Map[String, String] = {
+    def sub(name: String) =
+      s"(SELECT query_id, neighbor_id FROM (${baseOracles(name)}))"
+    val recall =
+      s"""WITH exact AS ${sub("knn_cosine_topk")},
+         |ivf AS ${sub("knn_ivf_topk")},
+         |lsh AS ${sub("knn_lsh_topk")},
+         |pq AS ${sub("knn_pq_topk")},
+         |sq AS ${sub("knn_quantized_topk")},
+         |ivfpq AS ${sub("knn_ivfpq_topk")},
+         |methods AS (
+         |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+         |  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh
+         |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq
+         |  UNION ALL SELECT 'sq', query_id, neighbor_id FROM sq
+         |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ivfpq),
+         |grid AS (SELECT DISTINCT method FROM methods)
+         |SELECT g.method, e.query_id,
+         |  CAST(COUNT(m.query_id) AS DOUBLE) / 10.0 AS recall
+         |FROM exact e
+         |CROSS JOIN grid g
+         |LEFT JOIN methods m
+         |  ON m.method = g.method AND m.query_id = e.query_id
+         |    AND m.neighbor_id = e.neighbor_id
+         |GROUP BY g.method, e.query_id
+         |ORDER BY g.method, e.query_id""".stripMargin
+    baseOracles + ("knn_recall_at_k" -> recall)
+  }
 }

@@ -218,4 +218,28 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     val recall = approx.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.4, s"ivfPq recall $recall")
   }
+
+  test("knn_recall_at_k harness: full method grid, bounded recall, agrees with direct intersection") {
+    val rows = graft.SparkEntry.queries("knn_recall_at_k")(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(rows.map(_._1).toSet == Set("ivf", "lsh", "pq", "sq", "ivfpq"))
+    val nq = rows.map(_._2).distinct.length
+    assert(rows.length == 5 * nq, "one row per (method, query) cell")
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    // Cross-check one method against an independently computed recall:
+    // the harness must report exactly |approx ∩ exact| / k.
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 5)
+    val exact = Knn.bruteForce(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val sq = Knn.bruteForceQuantized(emb, qs, "vec_id", "embedding", 10,
+        dotFn = graft.GraftFunctions.dotProduct)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val expected = exact.groupBy(_._1).map { case (q, ns) =>
+      q -> ns.count(sq.contains).toDouble / 10.0
+    }
+    rows.filter(_._1 == "sq").foreach { case (_, q, r) =>
+      assert(r == expected(q), s"sq recall mismatch for query $q")
+    }
+  }
 }
