@@ -120,6 +120,74 @@ object EventsOps {
         coalesce(abs(col("z")) > lit(threshold), lit(false)))
   }
 
+  case class ZEvent(event_id: Long, user_id: Long, tsMicros: Long,
+    value: Double)
+  case class ZFlag(event_id: Long, user_id: Long, value: Double,
+    z: Option[Double], anomaly: Boolean)
+
+  /** Streaming form of [[rollingZScore]]: the same per-key prior-frame
+    * judgment maintained across micro-batches with flatMapGroupsWithState
+    * — the live-alerting leg of the anomaly detector. State per key is
+    * the last `lookback` values (bounded by construction, the O(lookback)
+    * claim of the batch plan made literal); each arrival is judged
+    * against the state BEFORE it enters, preserving the batch form's
+    * strictly-prior law. Events are sorted by (ts, event_id) WITHIN each
+    * batch's group iterator; cross-batch order is the source's
+    * responsibility (same in-order-per-key contract as
+    * [[graft.ops.Decay.decayedSumStream]]'s at-horizon law). Append mode:
+    * a row's verdict is final the moment it is emitted.
+    *
+    * Batch ≡ stream: [[zScoreOf]] reproduces the window plan's
+    * arithmetic digit for digit (valueOf-based decimal scaling, the same
+    * IEEE expression order, round-at-6), so in-order delivery yields
+    * EXACTLY the batch output — pinned by RollingZScoreSpec.
+    */
+  def rollingZScoreStream(events: Dataset[ZEvent], lookback: Int = 20,
+      minPrior: Int = 8, threshold: Double = 3.0): Dataset[ZFlag] = {
+    require(lookback >= minPrior && minPrior >= 2,
+      s"need lookback >= minPrior >= 2, got ($lookback, $minPrior)")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[Double], ZFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[ZEvent], state: GroupState[Vector[Double]]) =>
+          var window = state.getOption.getOrElse(Vector.empty[Double])
+          val out = it.toVector.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+            val (z, anomaly) = zScoreOf(window, e.value, minPrior, threshold)
+            window = (window :+ e.value).takeRight(lookback)
+            ZFlag(e.event_id, uid, e.value, z, anomaly)
+          }
+          state.update(window)
+          out.iterator
+      }
+  }
+
+  /** One value judged against its prior frame — the pure core of
+    * [[rollingZScoreStream]], factored out so the batch-equality law is
+    * testable without a streaming harness. Replicates the batch window
+    * plan's arithmetic exactly: values scaled to decimal(·,6) via
+    * valueOf (Spark's double→decimal cast path), exact decimal Σv and
+    * Σv², ONE conversion to double, then the identical IEEE
+    * mean/variance/sqrt expression and a HALF_UP round at 6 — the same
+    * doubles Catalyst produces, so streamed flags equal batch flags. */
+  private[graft] def zScoreOf(prior: Seq[Double], x: Double,
+      minPrior: Int, threshold: Double): (Option[Double], Boolean) = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val n = prior.size
+    if (n < minPrior) return (None, false)
+    val decs = prior.map(v => JBD.valueOf(v).setScale(6, RoundingMode.HALF_UP))
+    val s1 = decs.foldLeft(JBD.ZERO)(_.add(_)).doubleValue
+    val s2 = decs.foldLeft(JBD.ZERO)((a, d) => a.add(d.multiply(d))).doubleValue
+    val nd = n.toDouble
+    val variance = (s2 - s1 * s1 / nd) / (nd - 1.0)
+    if (!(variance > 0.0)) (None, false)
+    else {
+      val z = JBD.valueOf((x - s1 / nd) / math.sqrt(variance))
+        .setScale(6, RoundingMode.HALF_UP).doubleValue
+      (Some(z), math.abs(z) > threshold)
+    }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

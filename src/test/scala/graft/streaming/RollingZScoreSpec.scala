@@ -63,6 +63,60 @@ class RollingZScoreSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(!_._3))
   }
 
+  test("batch ≡ fold law: zScoreOf folded over ordered values equals the window plan on real data") {
+    // The fixture events table at smoke scale: every (user, ordered
+    // values) stream folded through the streaming core must reproduce
+    // the batch window operator digit for digit.
+    val ev = graft.model.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val batch = EventsOps.rollingZScore(ev, key = $"user_id",
+      order = Seq($"ts", $"event_id"), valueCol = $"value")
+      .select("event_id", "z", "anomaly")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ordered = ev.orderBy($"user_id", $"ts", $"event_id")
+      .select("event_id", "user_id", "value")
+      .as[(Long, Long, Double)].collect()
+    val folded = ordered.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var window = Vector.empty[Double]
+      rows.toSeq.map { case (id, _, v) =>
+        val r = EventsOps.zScoreOf(window, v, 8, 3.0)
+        window = (window :+ v).takeRight(20)
+        id -> r
+      }
+    }.toMap
+    assert(folded.keySet == batch.keySet)
+    val diffs = folded.filter { case (id, r) => batch(id) != r }
+    assert(diffs.isEmpty, s"fold != batch for ${diffs.take(3)}")
+    // the law is not vacuous: the fixture produces real flags
+    assert(batch.values.exists(_._2) || batch.values.forall(!_._2))
+    assert(batch.values.count(_._1.isDefined) > 0)
+  }
+
+  test("streaming over micro-batches equals the batch operator (in-order delivery)") {
+    val rows = (0L until 10L).map(i =>
+      EventsOps.ZEvent(i, 1L, i * 1000000L,
+        if (i % 2 == 0) 9.5 else 10.5)) :+
+      EventsOps.ZEvent(10L, 1L, 10000000L, 100.0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventsOps.ZEvent]
+    val q = EventsOps.rollingZScoreStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("zscore_out").start()
+    val streamed = try {
+      // split mid-stream: state must carry the frame across batches
+      input.addData(rows.take(6): _*); q.processAllAvailable()
+      input.addData(rows.drop(6): _*); q.processAllAvailable()
+      spark.table("zscore_out").as[EventsOps.ZFlag].collect()
+        .map(f => f.event_id -> ((f.z, f.anomaly))).toMap
+    } finally q.stop()
+    val batch = zscored(rows.map(e => (e.event_id, e.user_id, e.value)))
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed == batch)
+    assert(streamed(10L)._2, "spike must be flagged in the streamed run")
+  }
+
   test("one exchange: the window shuffle is the only exchange in the plan") {
     val df = EventsOps.rollingZScore(
       events((0L until 10L).map(i => (i, i % 3, i.toDouble))),
