@@ -66,6 +66,36 @@ object ExtensionQueries extends graft.QueryModule {
           TextFunctions.bpeTokenCount($"text").as("n_bpe_tokens"))
     },
 
+    // Distributed BPE merge training (Sennrich 2016): 20 merges learned
+    // from the corpus — ONE corpus pass to word frequencies, then every
+    // iteration runs at vocabulary scale. Deliberately oracle-free: the
+    // per-iteration data-dependent argmax is not replayable as one SQL
+    // statement — so the FULL sf0.01 merge table is pinned by a
+    // committed golden (GoldenOutputSpec), and the iteration-0 pair
+    // counts are oracle-checked via text_bpe_pair_counts below.
+    "text_bpe_merges" -> { (s, dir) =>
+      graft.functions.Bpe.train(Tables.documents(s, dir), "text", 20)
+        .orderBy(col("rank"))
+    },
+
+    // Iteration 0 of BPE training, oracle-replayed: adjacent character
+    // pair counts over word types, weighted by word frequency — the
+    // corpus statistic the first merge argmaxes over.
+    "text_bpe_pair_counts" -> { (s, dir) =>
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens($"text")).as("w"))
+        .where($"w" =!= "" && $"w".isNotNull)
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+      words.where(length($"w") >= 2)
+        .select($"w", $"freq",
+          explode(sequence(lit(1), length($"w") - 1)).as("i"))
+        .select($"w".substr($"i", lit(1)).as("a"),
+          $"w".substr($"i" + 1, lit(1)).as("b"), $"freq")
+        .groupBy($"a", $"b").agg(sum($"freq").as("cnt"))
+        .orderBy($"a", $"b")
+    },
+
     // Order-sensitive rolling-hash document fingerprint.
     "text_rolling_hash" -> { (s, dir) =>
       import s.implicits._
@@ -1020,6 +1050,19 @@ object ExtensionQueries extends graft.QueryModule {
          |  CAST(length(text) - len(string_split(lower(text), ' ')) + 1 AS DOUBLE)
          |    / CAST(greatest(len(string_split(lower(text), ' ')), 1) AS DOUBLE) AS mean_token_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_pair_counts" ->
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE w <> '' AND w IS NOT NULL GROUP BY w),
+        |pos AS (
+        |  SELECT w, freq, unnest(range(1, length(w))) AS i
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+        |  substr(w, CAST(i AS INTEGER) + 1, 1) AS b,
+        |  CAST(SUM(freq) AS BIGINT) AS cnt
+        |FROM pos GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp

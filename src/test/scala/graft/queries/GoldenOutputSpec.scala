@@ -75,4 +75,10 @@ class GoldenOutputSpec extends AnyFunSuite with SparkTestBase {
   test("dedup_minhash_fast matches its committed sf0.01 golden") {
     checkGolden("dedup_minhash_fast")
   }
+
+  test("text_bpe_merges matches its committed sf0.01 golden") {
+    // Oracle-free because the per-iteration data-dependent argmax is
+    // not one SQL statement; the golden pins the full 20-merge table.
+    checkGolden("text_bpe_merges")
+  }
 }
