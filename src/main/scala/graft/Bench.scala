@@ -83,8 +83,11 @@ object Bench {
       "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_fast",
       "dedup_clusters",
       "knn_cosine_topk_native", "knn_ivf_topk", "knn_ivfpq_topk",
-      "events_session", "events_asof_join", "text_langid",
-      "text_bm25_topk", "docs_quality_filter", "stream_ingest_batches")
+      "knn_recall_at_k",
+      "events_session", "events_asof_join", "events_anomaly",
+      "text_langid", "text_bm25_topk", "text_bpe_merges",
+      "docs_quality_filter", "docs_split_leakage",
+      "stream_ingest_batches")
     val byName = results.toMap
     // A SPARK_GRAFT_ONLY run is small by construction, so report every
     // selected query — the headline subset exists only to keep the

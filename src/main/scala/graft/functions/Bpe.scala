@@ -93,6 +93,21 @@ object Bpe {
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Segment a word column with a trained merge table, applying merges
+    * in learned rank order (the original subword-nmt apply scheme) — k
+    * chained [[mergePair]] folds over the char array, all inside one
+    * projection: distributed, per-row O(k·len) work, no UDF, no state.
+    * On any well-formed trained table (a merge's operand symbols always
+    * originate from strictly earlier merges — guaranteed by training,
+    * since a pair must EXIST to be counted) rank-order application
+    * equals the lowest-rank-first reference [[encodeWord]]; the
+    * equivalence is spec-pinned against the fixture corpus. */
+  def segment(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))) {
+      case (syms, (a, b)) => mergePair(syms, a, b)
+    }
+
   /** Encode one word with a learned merge table (driver-side reference
     * implementation, used by specs to validate round-trips): repeatedly
     * apply the LOWEST-rank merge whose pair is adjacent somewhere in the

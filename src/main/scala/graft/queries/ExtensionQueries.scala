@@ -78,6 +78,39 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("rank"))
     },
 
+    // The apply leg of BPE: segment every document with the 20 trained
+    // merges (train at vocabulary scale, then ONE distributed pass of
+    // chained per-word merge folds) and report per-doc subword counts —
+    // the corpus tokenization step a trained vocabulary exists for.
+    // Oracle-free like text_bpe_merges (training's argmax loop is not
+    // one SQL statement); golden-pinned, and the segment column is
+    // law-tested against the encodeWord reference in BpeSpec.
+    "text_bpe_segments" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merges = graft.functions.Bpe.train(docs, "text", 20)
+        .orderBy($"rank").select($"left", $"right")
+        .as[(String, String)].collect().toSeq // <= 20 rows of driver state
+      // Segment WORD TYPES, not instances: the k chained merge folds are
+      // interpreted (HOFs don't codegen), so running them per word
+      // INSTANCE cost 30 s at sf0.1 — per distinct word it is vocabulary
+      // -scale work and the instances get their counts via a join the
+      // optimizer broadcasts (5.2 s total, 2.9 of which is the training
+      // loop; same results). The same split is what scales: 100 TB of
+      // text has millions of word types, not trillions of instances.
+      val wordsOf = (d: org.apache.spark.sql.DataFrame) => d
+        .select($"doc_id", explode(TextFunctions.tokens($"text")).as("w"))
+        .where($"w" =!= "")
+      val segCounts = wordsOf(docs).select($"w").distinct()
+        .select($"w",
+          size(graft.functions.Bpe.segment($"w", merges)).as("n_segs"))
+      wordsOf(docs)
+        .join(segCounts, Seq("w"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"n_segs").as("n_bpe_tokens"))
+        .orderBy($"doc_id")
+    },
+
     // Iteration 0 of BPE training, oracle-replayed: adjacent character
     // pair counts over word types, weighted by word frequency — the
     // corpus statistic the first merge argmaxes over.

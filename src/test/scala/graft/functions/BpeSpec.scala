@@ -64,6 +64,23 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(Bpe.encodeWord("slow", merges) == Seq("s", "low"))
   }
 
+  test("segment column equals the encodeWord reference on fixture corpus words") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val merges = Bpe.train(docs, "text", 20)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    val words = docs
+      .select(explode(TextFunctions.tokens($"text")).as("w"))
+      .where($"w" =!= "").distinct()
+    val got = words.select($"w", Bpe.segment($"w", merges).as("segs"))
+      .as[(String, Seq[String])].collect()
+    assert(got.nonEmpty)
+    val bad = got.filter { case (w, segs) =>
+      segs != Bpe.encodeWord(w, merges) || segs.mkString != w
+    }
+    assert(bad.isEmpty, s"segment != encodeWord for ${bad.take(3).toSeq}")
+  }
+
   test("empty and single-char corpora learn nothing (no crash, no junk merge)") {
     assert(Bpe.train(Seq("a b c a b").toDF("text"), "text", 5).count() == 0)
     assert(Bpe.train(Seq("").toDF("text"), "text", 5).count() == 0)

@@ -81,4 +81,8 @@ class GoldenOutputSpec extends AnyFunSuite with SparkTestBase {
     // not one SQL statement; the golden pins the full 20-merge table.
     checkGolden("text_bpe_merges")
   }
+
+  test("text_bpe_segments matches its committed sf0.01 golden") {
+    checkGolden("text_bpe_segments")
+  }
 }
