@@ -44,7 +44,10 @@ object Curation {
     *  - `is_near_dup`:    MinHash-LSH candidate verified ≥ `jaccard`,
     *                      and not the cluster's canonical (kept) doc
     *  - `is_contaminated`: shingle overlap with `bench` ≥ `contamination`
-    *  - `split`:          deterministic hash split (train/val/test)
+    *  - `split`:          deterministic hash split (train/val/test),
+    *                      LEAKAGE-REPAIRED: every near-dup cluster lands
+    *                      whole in its canonical member's split
+    *  - `split_moved`:    the row's split changed under the repair
     */
   def curate(docs: DataFrame, bench: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
@@ -68,12 +71,12 @@ object Curation {
       .withColumn("is_exact_dup",
         text.isNotNull && row_number().over(w) =!= 1)
 
-    // Stage 3: near-dup — LSH candidates verified by exact Jaccard,
-    // losers (non-canonical cluster members) tagged via an id-only join.
-    val nearLosers = Dedup.clusterPairs(
+    // Stage 3: near-dup — LSH candidates verified by exact Jaccard;
+    // ONE cluster solve feeds both the loser tags and the split-leakage
+    // repair (stage 6), joined back by id only.
+    val canon = Dedup.clusterPairs(
       Dedup.minhashPairs(docs, textCol, idCol, shingleN, jaccard))
-      .filter(col("id") =!= col("canonical_id"))
-      .select(col("id").as(idCol)).withColumn("__near", lit(true))
+      .withColumnRenamed("id", idCol)
 
     // Stage 4: decontamination — benchmark shingle overlap (bench
     // vocabulary broadcasts; corpus text never reshuffles).
@@ -88,13 +91,27 @@ object Curation {
     // input — the hint would force an executor-memory blowup exactly
     // when the data is worst.
     tagged
-      .join(nearLosers, Seq(idCol), "left")
+      .join(canon, Seq(idCol), "left")
       .join(contaminated, Seq(idCol), "left")
-      .withColumn("is_near_dup", coalesce(col("__near"), lit(false)))
+      .withColumn("is_near_dup",
+        col("canonical_id").isNotNull && col("canonical_id") =!= id)
       .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
-      .drop("__near", "__cont")
-      // Stage 5: reproducible split — pure function of (id, salt).
-      .withColumn("split", Sampling.splitColumn(id, salt, splits))
+      // Stage 5+6: reproducible split WITH leakage repair — every
+      // near-dup cluster lands whole in its canonical member's split
+      // (a test doc whose near-dup sits in train is memorized, not held
+      // out). Because the split is a pure hash of the id, the
+      // canonical's split needs NO extra join: it is recomputed from
+      // canonical_id directly. The repair matters precisely because
+      // this pipeline TAGS rather than drops — a consumer who keeps
+      // tagged near-dups still gets straddle-free splits, and one who
+      // drops them loses nothing (survivors keep their own split).
+      // `split_moved` is the per-row audit of the repair.
+      .withColumn("split",
+        Sampling.splitColumn(coalesce(col("canonical_id"), id), salt, splits))
+      .withColumn("split_moved",
+        col("canonical_id").isNotNull &&
+          Sampling.splitColumn(id, salt, splits) =!= col("split"))
+      .drop("__cont", "canonical_id")
   }
 
   /** The quality gate as a reusable predicate column. */
@@ -123,6 +140,7 @@ object Curation {
       count(when(col("is_exact_dup"), 1)).as("n_exact_dup"),
       count(when(col("is_near_dup"), 1)).as("n_near_dup"),
       count(when(col("is_contaminated"), 1)).as("n_contaminated"),
+      count(when(col("split_moved"), 1)).as("n_split_moved"),
       count(when(col("passed_quality") && !col("is_exact_dup") &&
         !col("is_near_dup") && !col("is_contaminated"), 1)).as("n_kept"))
 }

@@ -44,6 +44,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(ids($"is_contaminated") == Set(6L))
   }
 
+  test("split is leakage-repaired: near-dup pairs share a split, moved rows are flagged") {
+    val byId = curated.select("doc_id", "split", "split_moved")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    // the 3≈4 near-dup cluster must land whole in one split
+    assert(byId(3L)._2 == byId(4L)._2, "near-dup cluster straddles splits")
+    // canonical keeps its own split; only non-canonical members can move
+    val rawSplit = docs.select($"doc_id",
+      graft.ops.Sampling.splitColumn($"doc_id", "curation-v1",
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(!byId(3L)._3 && byId(3L)._2 == rawSplit(3L))
+    byId.values.foreach { case (id, s, moved) =>
+      assert(moved == (s != rawSplit(id)), s"split_moved wrong for $id")
+    }
+    // unclustered docs keep their raw hash split untouched
+    Seq(5L, 6L, 7L).foreach(i => assert(byId(i)._2 == rawSplit(i)))
+  }
+
   test("kept applies the conjunction; split is assigned to every row") {
     assert(Curation.kept(curated).select("doc_id").as[Long].collect().toSet
       == Set(1L, 3L, 7L))
