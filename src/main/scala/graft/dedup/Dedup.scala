@@ -441,6 +441,12 @@ object Dedup {
     val canonSplit = assign.select(col(idCol).as("canonical_id"),
       col(splitCol).as("final_split"))
     withCanon.join(canonSplit, Seq("canonical_id"), "left_outer")
+      // Totality fallback: a pair graph can reference an id absent from
+      // `assign`; if such an id is a cluster minimum, canonSplit has no
+      // row for it and final_split would be NULL — fall back to the
+      // row's own split so every row keeps an assignment.
+      .withColumn("final_split",
+        coalesce(col("final_split"), col(splitCol)))
       .select(col(idCol), col(splitCol), col("canonical_id"),
         col("final_split"),
         (col(splitCol) =!= col("final_split")).as("moved"))

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair-encoding) merge training — the tokenizer-
@@ -14,15 +14,25 @@ import org.apache.spark.sql.functions._
   *      corpus-scale data.
   *   2. Every merge iteration then runs on the WORD-TYPE table
   *      (vocabulary scale — millions of rows no matter how many
-  *      petabytes of text), as (pair-count aggregate → one-row argmax →
-  *      merge rewrite). The argmax collect is a single row per
-  *      iteration; the rewrite is a fold over each word's symbol array
-  *      (words are short — O(word-length) state, no corpus join).
+  *      petabytes of text). The table is vocabulary-scale BY
+  *      CONSTRUCTION, so the shrink-then-solve tier proven in
+  *      [[graft.dedup.Dedup.clusterPairs]] applies: when the type count
+  *      fits `localTypeLimit`, collect it and run classic fast BPE
+  *      driver-side (inverted index + lazy-deletion heap — one pass per
+  *      merge over only the words containing the merged pair, the
+  *      HF-tokenizers algorithm). A real 30k–100k-merge vocabulary is
+  *      then 30k heap pops, not 30k Spark job sets. Above the limit the
+  *      distributed per-iteration loop (pair-count aggregate → one-row
+  *      argmax → merge rewrite) takes over; both tiers are pure
+  *      functions of the corpus and produce IDENTICAL merge tables
+  *      (tie-break below), which BpeSpec pins by running both.
   *
   * Determinism: ties in pair counts break lexicographically on (left,
-  * right), so the merge table is a pure function of the corpus — any
-  * run, partitioning, or engine reproduces it (the property the
-  * spec's hand-computable corpus pins).
+  * right) in CODE-POINT order — Spark's string ordering is UTF-8 binary
+  * order, which equals code-point order, NOT Java's UTF-16 `compareTo`
+  * (they diverge on supplementary-plane characters) — so the merge
+  * table is a pure function of the corpus: any run, partitioning,
+  * tier, or engine reproduces it.
   */
 object Bpe {
 
@@ -38,26 +48,190 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(t))))
 
+  /** UTF-8 binary string order == code-point order — the tie-break
+    * Spark's `orderBy($"a".asc)` applies (UTF8String.compareTo), which
+    * Java's UTF-16 `String.compareTo` does NOT match for supplementary-
+    * plane characters (surrogates 0xD800–0xDFFF sort below 0xE000–0xFFFF
+    * in UTF-16 but encode code points above all of the BMP). The driver
+    * tier must break ties exactly like the distributed argmax. */
+  private[graft] def cpCompare(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  /** One code point per symbol — matches the distributed initializer's
+    * `substr(i, 1)` (Spark character positions are code points). */
+  private def toCodePointSyms(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Greedy left-to-right non-overlapping rewrite — the driver-side twin
+    * of [[mergePair]] (equality argued there: the merged symbol is
+    * strictly longer than `a`, so it can never re-match in-pass). */
+  private def mergeAll(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Classic fast BPE on a collected word-type frequency table — the
+    * driver tier of [[train]]. Incremental pair maintenance: a merge
+    * touches only the words that contain its pair (inverted index,
+    * stale-tolerant), subtracting each touched word's old adjacent-pair
+    * counts and adding the rewritten ones; the argmax is a lazy-deletion
+    * max-heap (an entry is valid iff its count still matches — stale
+    * entries from superseded updates pop and drop). O(merges · affected
+    * words · word length) total, independent of corpus size. Pair counts
+    * count OVERLAPPING adjacencies ("aaa" has two (a,a)s), exactly like
+    * the distributed explode — greedy rewrite then merges
+    * non-overlapping occurrences, on both tiers. */
+  private[graft] def trainLocal(wordFreqs: Array[(String, Long)],
+      numMerges: Int, minCount: Long): Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = mutable.ArrayBuffer.empty[Array[String]]
+    val freqs = mutable.ArrayBuffer.empty[Long]
+    wordFreqs.foreach { case (w, f) =>
+      val s = toCodePointSyms(w)
+      if (s.length >= 2) { syms += s; freqs += f }
+    }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def bump(p: (String, String), d: Long): Unit = {
+      val c = counts.getOrElse(p, 0L) + d
+      if (c == 0L) counts.remove(p) else counts(p) = c
+    }
+    for (wi <- syms.indices) {
+      val s = syms(wi)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        bump(p, freqs(wi))
+        occ.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        j += 1
+      }
+    }
+    // Max-heap: count desc, then (left, right) asc in code-point order —
+    // the distributed `orderBy($"cnt".desc, $"a".asc, $"b".asc)`.
+    val ord: Ordering[(Long, String, String)] =
+      (p: (Long, String, String), q: (Long, String, String)) => {
+        val c = java.lang.Long.compare(p._1, q._1)
+        if (c != 0) c
+        else {
+          val a = cpCompare(p._2, q._2)
+          if (a != 0) -a else -cpCompare(p._3, q._3)
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+    val merges =
+      mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      var best: (Long, String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val top = heap.dequeue()
+        if (counts.getOrElse((top._2, top._3), 0L) == top._1) best = top
+      }
+      if (best == null || best._1 < minCount) done = true
+      else {
+        val (cnt, a, b) = best
+        merges += ((rank, a, b, a + b, cnt))
+        val touched = mutable.HashSet.empty[(String, String)]
+        occ.getOrElse((a, b), mutable.HashSet.empty).toArray.foreach { wi =>
+          val s = syms(wi)
+          // stale-tolerant: an earlier merge may have rewritten the pair
+          // away; such a word's counts already reflect its current state.
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) {
+            has = s(j) == a && s(j + 1) == b; j += 1
+          }
+          if (has) {
+            var k = 0
+            while (k < s.length - 1) {
+              val p = (s(k), s(k + 1)); bump(p, -freqs(wi)); touched += p
+              k += 1
+            }
+            val ns = mergeAll(s, a, b)
+            syms(wi) = ns
+            k = 0
+            while (k < ns.length - 1) {
+              val p = (ns(k), ns(k + 1)); bump(p, freqs(wi)); touched += p
+              occ.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+              k += 1
+            }
+          }
+        }
+        touched.foreach { p =>
+          counts.get(p).foreach(c => heap.enqueue((c, p._1, p._2)))
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Train `numMerges` BPE merges over the whitespace words of `textCol`.
     * Returns (rank, left, right, merged, pair_count) — rank 1 is the
     * first (most frequent) merge learned. Stops early when no adjacent
     * pair occurs at least `minCount` times.
     *
-    * Iteration state is localCheckpointed: each rewrite references the
-    * previous types table once, but k chained HOF rewrites would
+    * Tiering (the clusterPairs pattern): the word-TYPE table is
+    * vocabulary-scale regardless of corpus size; when its cardinality is
+    * ≤ `localTypeLimit` (default 4M types — a few hundred MB of driver
+    * state, the standard tokenizer-training envelope) it is collected
+    * ONCE and [[trainLocal]] solves all merges driver-side. Above the
+    * limit the distributed loop runs one argmax job set per merge, with
+    * localCheckpointed iteration state (k chained HOF rewrites would
     * otherwise stack k aggregate lambdas into one plan and codegen
-    * super-linearly (the clusterPairs lesson, Dedup.scala). */
+    * super-linearly). Both tiers produce the identical merge table. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L, localTypeLimit: Long = 4000000L): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    // Phase 1 — the one corpus-scale pass: word-type frequencies.
+    // Phase 1 — the one corpus-scale pass: word-type frequencies,
+    // pinned so the tier probe (count) and the chosen tier share it.
     val words = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .where($"w" =!= "" && $"w".isNotNull)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-    // Word types as symbol arrays (initially characters).
+      .localCheckpoint()
+    if (words.count() <= localTypeLimit) {
+      val collected = words.as[(String, Long)].collect()
+      trainLocal(collected, numMerges, minCount)
+        .toDF("rank", "left", "right", "merged", "pair_count")
+    } else trainDistributed(words, numMerges, minCount)
+  }
+
+  /** The distributed merge loop — one (pair-count aggregate → one-row
+    * argmax collect → merge rewrite) job set per merge, on the word-type
+    * table. The tier for vocabularies too large to collect. */
+  private def trainDistributed(words: DataFrame, numMerges: Int,
+      minCount: Long): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
     var types = words.select($"freq",
       transform(sequence(lit(1), length($"w")), i => $"w".substr(i, lit(1)))
         .as("syms"))
@@ -93,20 +267,64 @@ object Bpe {
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Above this many merges [[segment]] switches from the chained-HOF
+    * fold to the broadcast rank-map encoder: k chained `aggregate()`
+    * lambdas build a k-deep Catalyst expression tree (plan/codegen cost
+    * grows with the VOCABULARY — a 30k-merge table would be a 30k-deep
+    * tree), while the encoder's plan is O(1) in k. */
+  val HofMergeLimit: Int = 64
+
   /** Segment a word column with a trained merge table, applying merges
-    * in learned rank order (the original subword-nmt apply scheme) — k
-    * chained [[mergePair]] folds over the char array, all inside one
-    * projection: distributed, per-row O(k·len) work, no UDF, no state.
-    * On any well-formed trained table (a merge's operand symbols always
+    * in learned rank order (the original subword-nmt apply scheme).
+    *
+    * Two implementations, switched on `merges.size` vs [[HofMergeLimit]]:
+    * [[segmentChained]] (k folds inside one projection — SQL-traceable,
+    * what the DuckDB oracle replays) for small tables, and
+    * [[segmentEncoded]] (broadcast rank map, plan size independent of
+    * k) for production-size vocabularies. On any well-formed TRAINED
+    * table the two are identical (a merge's operand symbols always
     * originate from strictly earlier merges — guaranteed by training,
-    * since a pair must EXIST to be counted) rank-order application
-    * equals the lowest-rank-first reference [[encodeWord]]; the
-    * equivalence is spec-pinned against the fixture corpus. */
+    * since a pair must EXIST to be counted — so rank-order application
+    * equals lowest-rank-first encoding; BpeSpec pins the equivalence on
+    * the fixture corpus and on a 1,000-merge table). A hand-built table
+    * violating that invariant may diverge between the two — call one
+    * explicitly to pin semantics. */
   def segment(word: Column, merges: Seq[(String, String)]): Column =
+    if (merges.size <= HofMergeLimit) segmentChained(word, merges)
+    else segmentEncoded(word, merges)
+
+  /** The chained-HOF apply: k [[mergePair]] folds over the char array,
+    * all inside one projection — distributed, per-row O(k·len) work, no
+    * UDF, no state. Plan depth grows with k: use only for small merge
+    * tables (see [[segment]]). */
+  def segmentChained(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(
       transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))) {
       case (syms, (a, b)) => mergePair(syms, a, b)
     }
+
+  /** The production apply: ONE broadcast of the (pair → rank) map and a
+    * per-row lowest-rank-first encode ([[encodeWord]]'s order — equal to
+    * rank-order application on trained tables, see [[segment]]). Per-word
+    * cost is O(len²) worst-case in the word length and INDEPENDENT of
+    * vocabulary size k — vs the chained form's O(k·len) work and k-deep
+    * plan. A deliberate UDF: the loop is data-dependent iteration with
+    * early exit, which no fold-shaped HOF expresses without paying k
+    * passes; the broadcast keeps the 30k-entry table off the task
+    * closure. Null word → null (the chained form's null propagation);
+    * empty word → empty array (the chained form's `sequence(1, 0)`
+    * artifact yields ["",""] — callers filter empty words, BpeSpec pins
+    * nonempty equivalence only). */
+  def segmentEncoded(word: Column, merges: Seq[(String, String)]): Column = {
+    val spark = SparkSession.active
+    val bc = spark.sparkContext.broadcast(
+      (merges.toArray, merges.zipWithIndex.toMap))
+    val f = udf { (w: String) =>
+      if (w == null) null
+      else encodeWithRanks(w, bc.value._1, bc.value._2)
+    }
+    f(word)
+  }
 
   /** Encode one word with a learned merge table (driver-side reference
     * implementation, used by specs to validate round-trips): repeatedly
@@ -114,9 +332,13 @@ object Bpe {
     * current segmentation — the standard BPE encode order, which is what
     * makes encoding with a trained table reproduce training's
     * segmentation on the training corpus. */
-  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    val rankOf = merges.zipWithIndex.toMap
-    var syms = word.map(_.toString).toVector
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    encodeWithRanks(word, merges.toArray, merges.zipWithIndex.toMap)
+
+  private def encodeWithRanks(word: String,
+      merges: Array[(String, String)],
+      rankOf: Map[(String, String), Int]): Seq[String] = {
+    var syms = toCodePointSyms(word).toVector
     var continue = syms.size >= 2
     while (continue) {
       val candidates = syms.indices.dropRight(1)
@@ -125,15 +347,7 @@ object Bpe {
       else {
         val (r, _) = candidates.minBy(_._1)
         val (a, b) = merges(r)
-        // merge every non-overlapping occurrence, left to right
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var i = 0
-        while (i < syms.size) {
-          if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
-            out += a + b; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        syms = out.toVector
+        syms = mergeAll(syms.toArray, a, b).toVector
         continue = syms.size >= 2
       }
     }

@@ -14,11 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (floats widened to double before any arithmetic; sequential
   * accumulation; `sqrt(na)*sqrt(nb)` denominator; NULL when either norm is
   * zero; a null ELEMENT poisons the result to NULL like zip_with's null
-  * product under aggregate's `+`) — so it is interchangeable with the HOF
-  * composition and with the DuckDB oracle, but runs as one fused primitive
-  * loop instead of three zip_with/aggregate array traversals with
-  * intermediate array allocations. Compares over the common prefix when
-  * lengths differ (zip_with semantics). The double-element side exists
+  * product under aggregate's `+`) — so on equal-length inputs it is
+  * interchangeable with the HOF composition and with the DuckDB oracle,
+  * but runs as one fused primitive loop instead of three
+  * zip_with/aggregate array traversals with intermediate array
+  * allocations. Unequal-length inputs DIVERGE from the HOF form: this
+  * expression sums over the common prefix, while zip_with pads the
+  * shorter array with NULLs so the HOF cosine returns NULL (same
+  * documented divergence as DotProduct/SquaredDistance). The
+  * double-element side exists
   * for k-means-TRAINED centroid tables, whose means are doubles — the
   * trained assignment path scores (float corpus, double centroid) pairs.
   */

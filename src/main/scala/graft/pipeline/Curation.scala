@@ -55,7 +55,8 @@ object Curation {
       shingleN: Int = 3, jaccard: Double = 0.8,
       contamination: Double = 0.8, salt: String = "curation-v1",
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)): DataFrame = {
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      family: Dedup.MinHashFamily = Dedup.xxFamily): DataFrame = {
     val id = col(idCol)
     val text = col(textCol)
 
@@ -74,8 +75,12 @@ object Curation {
     // Stage 3: near-dup — LSH candidates verified by exact Jaccard;
     // ONE cluster solve feeds both the loser tags and the split-leakage
     // repair (stage 6), joined back by id only.
+    // `family` defaults to the xxhash64 production path; the oracle-gated
+    // pipeline_curation query passes md5AffineFamily so the whole MinHash
+    // stage is DuckDB-replayable (the dedup_minhash_pairs convention).
     val canon = Dedup.clusterPairs(
-      Dedup.minhashPairs(docs, textCol, idCol, shingleN, jaccard))
+      Dedup.minhashPairs(docs, textCol, idCol, shingleN, jaccard,
+        family = family))
       .withColumnRenamed("id", idCol)
 
     // Stage 4: decontamination — benchmark shingle overlap (bench

@@ -82,9 +82,11 @@ object ExtensionQueries extends graft.QueryModule {
     // merges (train at vocabulary scale, then ONE distributed pass of
     // chained per-word merge folds) and report per-doc subword counts —
     // the corpus tokenization step a trained vocabulary exists for.
-    // Oracle-free like text_bpe_merges (training's argmax loop is not
-    // one SQL statement); golden-pinned, and the segment column is
-    // law-tested against the encodeWord reference in BpeSpec.
+    // Oracle-replayed (r7): the DuckDB oracle applies the COMMITTED
+    // golden merge table via wrapped-symbol replace() chains — valid at
+    // sf0.01 where training reproduces the golden exactly. Training
+    // itself (text_bpe_merges) stays golden-pinned, and the segment
+    // column is law-tested against the encodeWord reference in BpeSpec.
     "text_bpe_segments" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -237,6 +239,27 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // The composed flagship under the oracle gate: quality filter →
+    // exact dedup → MinHash near-dup (md5 family, so the LSH stage
+    // replays) → benchmark decontamination (the src0 slice plays the
+    // benchmark) → leakage-repaired hash split. Audit-column output —
+    // every stage TAGS rather than drops (Curation's design), so the
+    // oracle checks every stage's verdict for every document in one
+    // row. The oracle composes the per-stage replays: quality CASE,
+    // fingerprint window, the minhash pair CTEs + recursive-CTE cluster
+    // solve, the shingle-overlap contamination join, and the split CASE
+    // applied to coalesce(canonical_id, doc_id).
+    "pipeline_curation" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("source") === "src0")
+      graft.pipeline.Curation.curate(docs, bench,
+          family = Dedup.md5AffineFamily)
+        .select(col("doc_id"), col("passed_quality"), col("is_exact_dup"),
+          col("is_near_dup"), col("is_contaminated"), col("split"),
+          col("split_moved"))
+        .orderBy(col("doc_id"))
+    },
+
     // Paragraph/unit-level dedup with document reassembly: drop every
     // repeated 10-token chunk (global first occurrence wins, by (doc,
     // position)) and rebuild each document from its surviving chunks —
@@ -331,9 +354,14 @@ object ExtensionQueries extends graft.QueryModule {
     // projection candidates, exact-cosine verify (precision 1.0, LSH
     // recall). Deterministic md5-derived hyperplanes, so the oracle
     // replays plane -> signature -> candidate -> verify end to end.
+    // bits = 6 pinned explicitly: the DuckDB oracle replays a FIXED
+    // B=6 geometry, and the library's auto-sizing default would silently
+    // flip to B=7 the moment the fixture crosses 2048 rows (sf0.1 has
+    // 2000). Auto-sizing stays the library default; the oracle-gated
+    // query pins it (Dedup.embeddingLshPairs doc).
     "dedup_embedding_lsh" -> { (s, dir) =>
       graft.dedup.Dedup.embeddingLshPairs(Tables.embeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.4, dims = 64)
+        "vec_id", "embedding", threshold = 0.4, dims = 64, bits = 6)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -976,26 +1004,124 @@ object ExtensionQueries extends graft.QueryModule {
 
     // The streaming-ingest leg under the bench/oracle watch: four
     // deterministic "daily" batches (doc_id mod 4, in order) through the
-    // EXACT foreachBatch body StreamingIngest runs per micro-batch —
-    // incremental dedup against the persisted fingerprint index, staged
-    // MERGE into a scratch warehouse — then the final docs table read
-    // back. The oracle replays the first-batch-wins-then-min-id rule as
-    // one window; equality pins batch ≡ stream semantics AND gives the
-    // previously spec-only ingest path a round-over-round number.
+    // foreachBatch body's APPEND form (r7) — incremental dedup against
+    // the persisted fingerprint index, then each batch's survivors land
+    // as that batch's own partition (replay-safe overwrite of itself;
+    // valid because deduped survivors are pure inserts). The bench
+    // number now tracks the warehouse-scale path: O(batch) writes, ZERO
+    // table rewrite. r6's full-rewrite ingestBatch stays the correctness
+    // twin for re-keyed update sources, and the hash-bucketed
+    // ingestBatchPartitioned was measured (31.2 s → its buckets cannot
+    // prune hash-scattered ingest) and documented, not adopted.
+    // StreamingIngestSpec pins all forms equal row-for-row. The oracle
+    // replays the first-batch-wins-then-min-id rule as one window;
+    // equality pins batch ≡ stream semantics.
     "stream_ingest_batches" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val wh = java.nio.file.Files
         .createTempDirectory("graft_stream_wh").toString
       (0L until 4L).foreach { b =>
-        graft.streaming.StreamingIngest.ingestBatch(
+        graft.streaming.StreamingIngest.ingestBatchAppend(
           docs.filter(pmod($"doc_id", lit(4L)) === b),
-          wh, "docs_stream", "text", "doc_id")
+          wh, "docs_stream", "text", "doc_id", batchId = b)
       }
-      graft.pipeline.SendoPipeline
-        .readTable(s, wh, "docs_stream", docs.schema)
+      s.read.parquet(s"$wh/docs_stream")
         .select($"doc_id", $"source")
         .orderBy($"doc_id")
+    },
+
+    // The rolling z-score STREAMING leg under the bench/oracle watch
+    // (r7): the events table replayed through the real Structured
+    // Streaming machinery — file source → flatMapGroupsWithState (state
+    // = each user's last-20 value deque in the state store) → memory
+    // sink, Trigger.AvailableNow. Because batch ≡ stream is digit-for-
+    // digit (zScoreOf reproduces the window plan's decimal arithmetic
+    // exactly; RollingZScoreSpec), the STREAM's output shares the BATCH
+    // query's DuckDB oracle — the strongest cross-form pin available.
+    "stream_anomaly" -> { (s, dir) =>
+      import s.implicits._
+      val schema = Tables.events(s, dir).schema
+      // File streaming source needs a DIRECTORY; pathGlobFilter picks
+      // the one table out of the fixture dir.
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tsMicros"),
+          $"value")
+        .as[graft.streaming.EventsOps.ZEvent]
+      val name = "stream_anomaly_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventsOps.rollingZScoreStream(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select($"event_id", $"user_id", $"value", $"z", $"anomaly")
+        .orderBy($"event_id")
+    },
+
+    // Streaming rollup maintenance under the bench/oracle watch (r7):
+    // four deterministic "daily" batches (event_id mod 4) written as
+    // replay-safe delta partitions (StreamingRollup.writeDelta — the
+    // foreachBatch body), COMPACTED to one base delta, then read back
+    // through the merge-law fold. Exact decimal partial sums make
+    // delta-fold ≡ whole-history aggregate, so the oracle is the plain
+    // grouped sum over all events.
+    "stream_rollup_batches" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val rollupDir = java.nio.file.Files
+        .createTempDirectory("graft_rollup").toString
+      def batchAgg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .as("total_value"))
+      val schema = batchAgg(ev.limit(0)).schema
+      (0L until 4L).foreach { b =>
+        graft.streaming.StreamingRollup.writeDelta(
+          batchAgg(ev.filter(pmod($"event_id", lit(4L)) === b)),
+          rollupDir, b)
+      }
+      graft.streaming.StreamingRollup.compact(s, rollupDir,
+        Seq("user_id"), schema)
+      graft.streaming.StreamingRollup.read(s, rollupDir,
+          Seq("user_id"), schema)
+        .withColumn("total_value", $"total_value".cast("double"))
+        .orderBy($"user_id")
+    },
+
+    // The decayed-counter STREAMING leg under the bench watch (r7): the
+    // events table through flatMapGroupsWithState's O(1)-per-key fold
+    // state (Decay.decayedSumStream), Update mode, AvailableNow.
+    // Deliberately NO SQL oracle: the fold applies exp factors in
+    // group-iterator order, which is partition-dependent — the law that
+    // arrival order changes only float rounding (never the math) is
+    // property-pinned against the batch form at a shared horizon
+    // (DecaySpec/LawsProps), and an exact-hash replay would pin an
+    // order the operator does not promise. The driver's rows-only check
+    // still pins |keys|.
+    "stream_decay" -> { (s, dir) =>
+      import s.implicits._
+      val schema = Tables.events(s, dir).schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select($"user_id".as("key"), unix_micros($"ts").as("tsMicros"),
+          $"value")
+        .as[graft.ops.Decay.DecayEvent]
+      val name = "stream_decay_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.ops.Decay.decayedSumStream(src, halfLifeHours = 24.0)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select($"key", $"n_events", $"decayed_sum", $"at_micros")
+        .orderBy($"key")
     },
 
     // Interval (stream-stream) join: clicks attributed to same-user views
@@ -1017,8 +1143,87 @@ object ExtensionQueries extends graft.QueryModule {
     },
   )
 
+  /** The committed sf0.01 BPE merge table (the text_bpe_merges golden,
+    * main classpath) — the FIXED configuration the text_bpe_segments
+    * oracle replays. Reading the golden here keeps the oracle and the
+    * GoldenOutputSpec pin a single source of truth. */
+  private lazy val goldenBpeMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/goldens/text_bpe_merges.sf0.01.tsv")
+    require(in != null, "goldens/text_bpe_merges.sf0.01.tsv missing from classpath")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        .drop(1).filter(_.nonEmpty)
+        .map { l => val f = l.split("\t", -1); (f(1), f(2)) }
+    } finally in.close()
+  }
+
   private val stopwordList =
     TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Rolling z-score replay: exact decimal frame sums cast to double
+    * once, identical IEEE arithmetic, z rounded at 6 after the one sqrt.
+    * Shared by events_anomaly (batch) and stream_anomaly (the streaming
+    * leg) — the batch ≡ stream law makes one replay serve both. */
+  private val rollingZScoreOracle: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id, value,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2,
+      |    CAST(COUNT(value) OVER w AS DOUBLE) AS n
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_id, user_id, value,
+      |    CASE WHEN n >= 8.0 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0.0
+      |      THEN round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 6)
+      |    END AS z
+      |  FROM s)
+      |SELECT event_id, user_id, value, z,
+      |  coalesce(abs(z) > 3.0, false) AS anomaly
+      |FROM z ORDER BY event_id""".stripMargin
+
+  /** The MinHash+LSH pipeline (md5 affine family, 8 bands × 4 rows,
+    * 3-shingles, jaccard ≥ 0.8) as a reusable CTE chain ending in
+    * `mpairs(id_a, id_b, jaccard)` — shared verbatim by the
+    * dedup_minhash_pairs oracle and the pipeline_curation composition
+    * (one definition, so the two replays cannot drift). */
+  private val minhashPairCtes: String = {
+    val sigCols = (0 until 32).map { i =>
+      val a = (2654435761L * (i + 1)) % 1073741824L + 1
+      s"""list_min(list_transform(shset,
+         |      s -> ($a * (('0x' || substr(md5(s), 1, 7))::BIGINT) + $i) % 2147483647)) AS m$i""".stripMargin
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 8).map { b =>
+      val key = (0 until 4).map(r => s"m${b * 4 + r}").mkString("[", ", ", "]")
+      s"SELECT id, $b AS band, $key AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""sets AS (
+       |  SELECT doc_id AS id, list_distinct(
+       |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shset
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |sig AS (
+       |  SELECT id, shset,
+       |    $sigCols
+       |  FROM sets),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.id < y.id),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(a.shset, b.shset)) AS shared,
+       |    len(a.shset) AS na, len(b.shset) AS nb
+       |  FROM cand JOIN sig a ON a.id = id_a JOIN sig b ON b.id = id_b),
+       |mpairs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS jaccard
+       |  FROM j
+       |  WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.8)""".stripMargin
+  }
 
   /** SQL CASE chain replaying [[graft.ops.Sampling.splitColumn]] term for
     * term. Thresholds are generated by the SAME Scala arithmetic as the
@@ -1096,6 +1301,41 @@ object ExtensionQueries extends graft.QueryModule {
         |  substr(w, CAST(i AS INTEGER) + 1, 1) AS b,
         |  CAST(SUM(freq) AS BIGINT) AS cnt
         |FROM pos GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+
+    // Replays the APPLY leg of BPE against the committed sf0.01 merge
+    // table (the text_bpe_merges golden, read from the classpath so the
+    // oracle and the golden cannot drift apart). Training itself stays
+    // golden-pinned — the per-iteration argmax is not one SQL statement
+    // — but segmenting with a FIXED table is: each symbol is wrapped as
+    // chr(1)·sym·chr(2) and the greedy left-to-right non-overlapping
+    // merge of (a, b) is exactly SQL replace() of the wrapped pair (the
+    // wrappers make token boundaries unambiguous, and giving each
+    // symbol its own closing chr(2) means adjacent matches share no
+    // characters — a single shared separator would break the "aaaa" →
+    // [aa, aa] overlap case). Segments per word = chr(2) count. Valid
+    // at sf0.01, where Spark's trained table equals the golden (pinned
+    // by GoldenOutputSpec).
+    "text_bpe_segments" -> {
+      def esc(s: String) = s.replace("'", "''")
+      val state0 = "list_aggregate(list_transform(string_split(w, '')," +
+        " c -> chr(1) || c || chr(2)), 'string_agg', '')"
+      val state = goldenBpeMerges.foldLeft(state0) { case (st, (a, b)) =>
+        s"replace($st, chr(1) || '${esc(a)}' || chr(2) || chr(1) || " +
+          s"'${esc(b)}' || chr(2), chr(1) || '${esc(a)}${esc(b)}' || chr(2))"
+      }
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |  FROM documents),
+         |wt AS (SELECT DISTINCT w FROM words WHERE w <> ''),
+         |seg AS (
+         |  SELECT w, len(st) - len(replace(st, chr(2), '')) AS n_segs
+         |  FROM (SELECT w, $state AS st FROM wt))
+         |SELECT words.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_segs) AS BIGINT) AS n_bpe_tokens
+         |FROM words JOIN seg USING (w)
+         |WHERE w <> ''
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
@@ -1475,41 +1715,84 @@ object ExtensionQueries extends graft.QueryModule {
     // Replays the full md5-family MinHash pipeline: per-doc distinct
     // 3-gram sets, 32 min-hash signature slots, 8 bands of 4 rows joined
     // on the raw signature slice, exact-Jaccard verification.
-    "dedup_minhash_pairs" -> {
-      val sigCols = (0 until 32).map { i =>
-        val a = (2654435761L * (i + 1)) % 1073741824L + 1
-        s"""list_min(list_transform(shset,
-           |      s -> ($a * (('0x' || substr(md5(s), 1, 7))::BIGINT) + $i) % 2147483647)) AS m$i""".stripMargin
-      }.mkString(",\n    ")
-      val bandSelects = (0 until 8).map { b =>
-        val key = (0 until 4).map(r => s"m${b * 4 + r}").mkString("[", ", ", "]")
-        s"SELECT id, $b AS band, $key AS bh FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH sets AS (
-         |  SELECT doc_id AS id, list_distinct(
-         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shset
-         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
-         |  WHERE len(toks) >= 3),
-         |sig AS (
-         |  SELECT id, shset,
-         |    $sigCols
-         |  FROM sets),
-         |banded AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.bh = y.bh AND x.id < y.id),
-         |j AS (
-         |  SELECT id_a, id_b,
-         |    len(list_intersect(a.shset, b.shset)) AS shared,
-         |    len(a.shset) AS na, len(b.shset) AS nb
-         |  FROM cand JOIN sig a ON a.id = id_a JOIN sig b ON b.id = id_b)
-         |SELECT id_a, id_b,
-         |  CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS jaccard
-         |FROM j
-         |WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin
+    "dedup_minhash_pairs" ->
+      s"""WITH $minhashPairCtes
+         |SELECT id_a, id_b, jaccard FROM mpairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The composed curation pipeline: every stage oracle, joined into
+    // one audit row per document. The near-dup/split stages layer the
+    // recursive-CTE cluster solve over the SAME minhash pair CTEs the
+    // dedup_minhash_pairs oracle uses (shared definition — they cannot
+    // drift); quality/fingerprint/contamination replay their stage
+    // oracles with Curation.curate's default thresholds; both split
+    // CASEs come from splitCaseSql (the Sampling.splitColumn replay).
+    "pipeline_curation" -> {
+      val splits = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)
+      val canonSplit =
+        splitCaseSql("coalesce(c.canonical_id, d.doc_id)", "curation-v1", splits)
+      val ownSplit = splitCaseSql("d.doc_id", "curation-v1", splits)
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (
+         |  SELECT id_a AS x, id_b AS y FROM mpairs
+         |  UNION ALL SELECT id_b, id_a FROM mpairs),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |canon AS (
+         |  SELECT x AS id, least(x, min(y)) AS canonical_id
+         |  FROM reach GROUP BY x),
+         |feats AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |qual AS (
+         |  SELECT doc_id,
+         |    coalesce(text IS NOT NULL
+         |      AND len(toks) BETWEEN 10 AND 100000
+         |      AND CAST(len(list_filter(toks,
+         |            t -> list_contains($stopwordList, t))) AS DOUBLE)
+         |        / CAST(greatest(len(toks), 1) AS DOUBLE) >= 0.05
+         |      AND CAST(len(text) - len(toks) + 1 AS DOUBLE)
+         |        / CAST(greatest(len(toks), 1) AS DOUBLE) <= 12.0,
+         |      FALSE) AS passed_quality
+         |  FROM feats),
+         |ex AS (
+         |  SELECT doc_id,
+         |    (text IS NOT NULL) AND (row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) <> 1) AS is_exact_dup
+         |  FROM documents),
+         |csh AS (
+         |  SELECT doc_id AS id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+         |  FROM feats),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+         |  FROM (SELECT string_split(lower(text), ' ') AS toks
+         |        FROM documents WHERE source = 'src0')),
+         |cont AS (
+         |  SELECT id FROM (
+         |    SELECT csh.id, count(*) AS n_sh, count(b.shingle) AS n_hit
+         |    FROM csh LEFT JOIN bsh b ON csh.shingle = b.shingle
+         |    GROUP BY csh.id)
+         |  WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.8)
+         |SELECT d.doc_id,
+         |  q.passed_quality,
+         |  e.is_exact_dup,
+         |  coalesce(c.canonical_id IS NOT NULL
+         |    AND c.canonical_id <> d.doc_id, FALSE) AS is_near_dup,
+         |  (ct.id IS NOT NULL) AS is_contaminated,
+         |  $canonSplit AS split,
+         |  coalesce(c.canonical_id IS NOT NULL
+         |    AND $ownSplit <> $canonSplit, FALSE) AS split_moved
+         |FROM documents d
+         |JOIN qual q USING (doc_id)
+         |JOIN ex e USING (doc_id)
+         |LEFT JOIN canon c ON c.id = d.doc_id
+         |LEFT JOIN cont ct ON ct.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // Replays the md5-family SimHash bit votes: 60 per-bit sign sums
@@ -1968,24 +2251,7 @@ object ExtensionQueries extends graft.QueryModule {
     // Replays rollingZScore term for term: exact decimal frame sums cast
     // to double once, then identical IEEE arithmetic; z rounded at 6
     // right after the one sqrt (the unigram-logprob discipline).
-    "events_anomaly" ->
-      """WITH s AS (
-        |  SELECT event_id, user_id, value,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2,
-        |    CAST(COUNT(value) OVER w AS DOUBLE) AS n
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
-        |z AS (
-        |  SELECT event_id, user_id, value,
-        |    CASE WHEN n >= 8.0 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0.0
-        |      THEN round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 6)
-        |    END AS z
-        |  FROM s)
-        |SELECT event_id, user_id, value, z,
-        |  coalesce(abs(z) > 3.0, false) AS anomaly
-        |FROM z ORDER BY event_id""".stripMargin,
+    "events_anomaly" -> rollingZScoreOracle,
 
     "events_funnel" ->
       """WITH firsts AS (
@@ -2177,6 +2443,18 @@ object ExtensionQueries extends graft.QueryModule {
          |WHERE source <> 'src0' AND doc_id NOT IN (SELECT id FROM dropped)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // The streaming anomaly leg shares the batch form's replay VERBATIM
+    // (the same val) — digit-for-digit batch ≡ stream is the point, and
+    // one definition referenced twice cannot drift.
+    "stream_anomaly" -> rollingZScoreOracle,
+
+    // Delta-fold ≡ whole-history aggregate (exact decimal partials), so
+    // the oracle is the plain grouped sum.
+    "stream_rollup_batches" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_ingest_batches" ->
       """WITH b AS (

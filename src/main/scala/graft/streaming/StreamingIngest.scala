@@ -62,6 +62,81 @@ object StreamingIngest {
     } finally kept.unpersist()
   }
 
+  /** [[ingestBatch]] with PARTITION-SCOPED merges — the warehouse-scale
+    * path: both the docs table and the fingerprint index are hash-
+    * bucketed ([[graft.sink.Upsert.upsertPartitioned]]'s dynamic
+    * partition overwrite), so a batch rewrites only the buckets its rows
+    * land in, not the whole table. At 100 TB with `buckets` sized so a
+    * bucket is a few GB, a daily batch touching b of B buckets costs
+    * b/B of a full rewrite — the full-table [[ingestBatch]] is the
+    * correctness twin whose staged-rename path suits small tables.
+    * Same dedup, same survivors, same final table contents (modulo the
+    * extra bucket column, which readers project away); idempotent under
+    * replay for the same reason ingestBatch is. */
+  def ingestBatchPartitioned(batch: DataFrame, warehouseDir: String,
+      table: String, textCol: String, pk: String, buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val idxPath = s"$warehouseDir/${indexTable(table)}"
+    val idx = SendoPipeline.readTable(spark, warehouseDir,
+      indexTable(table), fpSchema).select(col("fp"))
+    val kept = Dedup.incrementalDedup(batch.dropDuplicates(pk), idx,
+      textCol, pk)
+    kept.persist()
+    try {
+      if (!kept.isEmpty) {
+        graft.sink.Upsert.upsertPartitioned(spark, s"$warehouseDir/$table",
+          kept.withColumn("__bucket", pmod(xxhash64(col(pk)), lit(buckets))),
+          Seq(pk), "__bucket")
+        graft.sink.Upsert.upsertPartitioned(spark, idxPath,
+          Dedup.fingerprintIndex(kept, textCol)
+            .withColumn("__bucket", pmod(xxhash64(col("fp")), lit(buckets))),
+          Seq("fp"), "__bucket")
+      }
+    } finally kept.unpersist()
+  }
+
+  /** The APPEND form — the 100 TB production path for deduped ingest.
+    *
+    * Key observation: after the fingerprint dedup, every surviving row
+    * is NEW — its fingerprint is in neither the index nor the batch's
+    * earlier rows — so when upstream PKs are assign-once (the normal
+    * document/event case; precondition documented below) the MERGE
+    * degenerates to pure insert. Insert-only needs no table rewrite AT
+    * ALL: each batch lands as its own partition
+    * (`<table>/ingest_batch=<id>`), written with overwrite on that one
+    * partition — a replayed batch overwrites itself with identical
+    * content (the [[StreamingRollup.writeDelta]] idempotence scheme).
+    * Cost per batch is O(batch) writes, zero reads of existing table
+    * data beyond the index probe; neither [[ingestBatch]]'s full
+    * rewrite nor [[ingestBatchPartitioned]]'s bucket rewrites can beat
+    * that, and measured at sf0.1 the bucket form is strictly overhead:
+    * hash-bucketing by PK scatters every batch across EVERY bucket, so
+    * nothing prunes and the per-partition commits are pure cost (the
+    * bucket form earns its keep only when batches concentrate in few
+    * partitions — date-partitioned updates, not hash-scattered ingest).
+    *
+    * PRECONDITION: a PK must not re-arrive with DIFFERENT text across
+    * batches (same text re-arrivals are dropped by the fingerprint
+    * dedup). A re-keyed update source needs the MERGE forms above. */
+  def ingestBatchAppend(batch: DataFrame, warehouseDir: String,
+      table: String, textCol: String, pk: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val idx = SendoPipeline.readTable(spark, warehouseDir,
+      indexTable(table), fpSchema).select(org.apache.spark.sql.functions.col("fp"))
+    val kept = Dedup.incrementalDedup(batch.dropDuplicates(pk), idx,
+      textCol, pk)
+    kept.persist()
+    try {
+      if (!kept.isEmpty) {
+        kept.write.mode("overwrite")
+          .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
+        Dedup.fingerprintIndex(kept, textCol).write.mode("overwrite")
+          .parquet(s"$warehouseDir/${indexTable(table)}/ingest_batch=$batchId")
+      }
+    } finally kept.unpersist()
+  }
+
   /** Start the streaming ingestion query over a streaming `docs` frame.
     * Checkpointed; restarts resume from the last committed batch, and a
     * replayed batch re-merges to the identical warehouse state. */

@@ -85,4 +85,71 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(Bpe.train(Seq("a b c a b").toDF("text"), "text", 5).count() == 0)
     assert(Bpe.train(Seq("").toDF("text"), "text", 5).count() == 0)
   }
+
+  test("driver tier and distributed tier train the identical merge table") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val local = Bpe.train(docs, "text", 20) // default limit → driver tier
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val dist = Bpe.train(docs, "text", 20, localTypeLimit = 0L) // force distributed
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(local.nonEmpty)
+    assert(local == dist)
+  }
+
+  test("cpCompare is UTF-8 binary order where UTF-16 compareTo is not") {
+    // U+FFFD (BMP, sorts HIGH in UTF-16) vs U+10400 (supplementary,
+    // encoded as a surrogate pair that sorts LOW in UTF-16 but is the
+    // larger code point). Spark's orderBy uses UTF-8 binary order.
+    val bmp = "�"
+    val supp = new String(Character.toChars(0x10400))
+    assert(bmp.compareTo(supp) > 0) // UTF-16 order: the wrong answer
+    assert(Bpe.cpCompare(bmp, supp) < 0) // code-point order
+    assert(Bpe.cpCompare("ab", "abc") < 0 && Bpe.cpCompare("b", "a") > 0)
+  }
+
+  test("1,000+ merge vocabulary trains and applies without plan blowup") {
+    // 200 distinct 12-char words, each twice → >2,000 learnable merges
+    // with count ≥ 2. Training must stay driver-tier fast; segmentation
+    // must auto-switch to the broadcast encoder (plan size O(1) in k).
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val rng = new scala.util.Random(42)
+    val words = (0 until 600).map { _ =>
+      (0 until 16).map(_ => alpha(rng.nextInt(26))).mkString
+    }.distinct
+    val docs = Seq((words ++ words).mkString(" ")).toDF("text")
+    // minCount = 1: the corpus shares many pairs across words, so the
+    // ≥2-count frontier saturates near 300 merges — count-1 merges are
+    // exactly what a real 30k vocabulary's long tail is made of.
+    val trained = Bpe.train(docs, "text", 1200, minCount = 1L)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    assert(trained.size >= 1000, s"only ${trained.size} merges learned")
+    val seg = Seq(words.head, words(57), "zzqqzzqq").toDF("w")
+      .select($"w", Bpe.segment($"w", trained).as("segs"))
+      .as[(String, Seq[String])].collect()
+    seg.foreach { case (w, segs) =>
+      assert(segs == Bpe.encodeWord(w, trained))
+      assert(segs.mkString == w)
+    }
+    // Every training word collapses to one learned token (merge table
+    // saturates the corpus it was trained on).
+    assert(Bpe.encodeWord(words.head, trained).size == 1)
+  }
+
+  test("segmentChained and segmentEncoded agree on a trained table") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val merges = Bpe.train(docs, "text", 20)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    val words = docs
+      .select(explode(TextFunctions.tokens($"text")).as("w"))
+      .where($"w" =!= "").distinct()
+    val both = words.select($"w",
+      Bpe.segmentChained($"w", merges).as("c"),
+      Bpe.segmentEncoded($"w", merges).as("e"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    assert(both.nonEmpty)
+    val bad = both.filter { case (_, c, e) => c != e }
+    assert(bad.isEmpty, s"chained != encoded for ${bad.take(3).toSeq}")
+  }
 }

@@ -23,7 +23,11 @@ import graft.{SparkEntry, SparkTestBase}
   */
 class GoldenOutputSpec extends AnyFunSuite with SparkTestBase {
 
-  private val goldenDir = "src/test/resources/goldens"
+  // Goldens live on the MAIN classpath: the text_bpe_segments DuckDB
+  // oracle is generated from the committed merge-table golden at
+  // SparkEntry.oracleSql construction time, which runs from `runMain
+  // graft.Verify` (main classpath only).
+  private val goldenDir = "src/main/resources/goldens"
   private val sf001 = "/root/testdata/sf0.01"
 
   /** Canonical text form: one tab-separated line per row in the query's

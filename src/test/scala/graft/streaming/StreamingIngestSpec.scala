@@ -78,6 +78,44 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$wh/docs_fpindex").count() == 2L)
   }
 
+  test("partitioned and append ingest forms equal full-rewrite ingest row-for-row") {
+    val whFull = tmpDir("ingest_full")
+    val whPart = tmpDir("ingest_part")
+    val whApp = tmpDir("ingest_app")
+    val batches = Seq(
+      Seq((1L, "doc one"), (2L, "doc two"), (3L, "DOC  one")),
+      Seq((4L, "doc one"), (5L, "doc three")),
+      Seq((6L, "doc three"), (7L, "doc four")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val b = rows.toDF("doc_id", "text")
+      StreamingIngest.ingestBatch(b, whFull, "docs", "text", "doc_id")
+      StreamingIngest.ingestBatchPartitioned(b, whPart, "docs", "text",
+        "doc_id", buckets = 8)
+      StreamingIngest.ingestBatchAppend(b, whApp, "docs", "text",
+        "doc_id", batchId = i.toLong)
+    }
+    def docsOf(wh: String) = spark.read.parquet(s"$wh/docs")
+      .select("doc_id", "text").orderBy("doc_id").collect().toSeq
+    def idxOf(wh: String) = spark.read.parquet(s"$wh/docs_fpindex")
+      .select("fp").as[String].collect().toSet
+    val full = docsOf(whFull)
+    assert(docsOf(whPart) == full)
+    assert(docsOf(whApp) == full)
+    assert(idxOf(whPart) == idxOf(whFull))
+    assert(idxOf(whApp) == idxOf(whFull))
+    // Replay idempotence holds for both new forms: the partitioned form
+    // by MERGE idempotence, the append form by overwriting the replayed
+    // batch's OWN partition with identical content.
+    StreamingIngest.ingestBatchPartitioned(
+      batches.last.toDF("doc_id", "text"), whPart, "docs", "text",
+      "doc_id", buckets = 8)
+    StreamingIngest.ingestBatchAppend(
+      batches.last.toDF("doc_id", "text"), whApp, "docs", "text",
+      "doc_id", batchId = 2L)
+    assert(docsOf(whPart) == full)
+    assert(docsOf(whApp) == full)
+  }
+
   test("a batch of only duplicates leaves both tables untouched") {
     val wh = tmpDir("ingest_noop")
     StreamingIngest.ingestBatch(
