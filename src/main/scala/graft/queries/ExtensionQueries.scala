@@ -1041,11 +1041,7 @@ object ExtensionQueries extends graft.QueryModule {
     // query's DuckDB oracle — the strongest cross-form pin available.
     "stream_anomaly" -> { (s, dir) =>
       import s.implicits._
-      val schema = Tables.events(s, dir).schema
-      // File streaming source needs a DIRECTORY; pathGlobFilter picks
-      // the one table out of the fixture dir.
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = eventsStream(s, dir)
         .select($"event_id", $"user_id", unix_micros($"ts").as("tsMicros"),
           $"value")
         .as[graft.streaming.EventsOps.ZEvent]
@@ -1105,9 +1101,7 @@ object ExtensionQueries extends graft.QueryModule {
     // still pins |keys|.
     "stream_decay" -> { (s, dir) =>
       import s.implicits._
-      val schema = Tables.events(s, dir).schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src = eventsStream(s, dir)
         .select($"user_id".as("key"), unix_micros($"ts").as("tsMicros"),
           $"value")
         .as[graft.ops.Decay.DecayEvent]
@@ -1155,6 +1149,25 @@ object ExtensionQueries extends graft.QueryModule {
         .drop(1).filter(_.nonEmpty)
         .map { l => val f = l.split("\t", -1); (f(1), f(2)) }
     } finally in.close()
+  }
+
+  /** The events table as a STREAMING frame. The file streaming source
+    * requires a directory basePath, and the table may be either a single
+    * file `events.parquet` (driver testdata) or a directory of part
+    * files of that name (ScaleProbe corpora) — a bare pathGlobFilter
+    * over the sf dir matches only the single-file layout (leaf FILE
+    * names; a directory's part files silently match nothing and the
+    * stream runs empty — caught by the 10x probe). Dispatch on which
+    * layout exists. */
+  private def eventsStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val schema = Tables.events(s, dir).schema
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.getFileStatus(p).isDirectory)
+      s.readStream.schema(schema).parquet(p.toString)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 
   private val stopwordList =

@@ -144,6 +144,23 @@ object LawsProps extends Properties("graft.laws") with SparkTestBase {
   // order independent up to float rounding — any permutation of the same
   // events, folded one by one, yields the same horizon-decayed score.
   // This is what makes late/out-of-order streaming delivery safe.
+  // Small alphabet + short words force heavy pair sharing and count
+  // ties — exactly the argmax tie-break surface where the two training
+  // tiers could diverge. Corpus content is arbitrary; equality must be
+  // exact (rank, pair, merged symbol AND count), per Bpe.train's
+  // pure-function-of-the-corpus contract.
+  property("BPE driver tier == distributed tier on random corpora") =
+    forAll(Gen.listOfN(12,
+      Gen.choose(1, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))) { words =>
+      import graft.functions.Bpe
+      val docs = Seq(words.mkString(" ")).toDF("text")
+      def table(localLimit: Long) =
+        Bpe.train(docs, "text", 6, minCount = 1L, localTypeLimit = localLimit)
+          .as[(Int, String, String, String, Long)].collect().toSeq
+      table(localLimit = 1000000L) == table(localLimit = 0L)
+    }
+
   property("decay fold: any arrival order agrees at a shared horizon") =
     forAll(
       Gen.nonEmptyListOf(for {
