@@ -260,6 +260,17 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // The curation run's per-stage drop accounting (Curation.auditCounts
+    // — the filter-rate monitoring row a 100 TB run dashboards), gated
+    // against the same composed replay aggregated to one row.
+    "pipeline_curation_audit" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("source") === "src0")
+      graft.pipeline.Curation.auditCounts(
+        graft.pipeline.Curation.curate(docs, bench,
+          family = Dedup.md5AffineFamily))
+    },
+
     // Paragraph/unit-level dedup with document reassembly: drop every
     // repeated 10-token chunk (global first occurrence wins, by (doc,
     // position)) and rebuild each document from its surviving chunks —
@@ -1288,6 +1299,78 @@ object ExtensionQueries extends graft.QueryModule {
       |  SELECT x AS id, least(x, min(y)) AS canonical_id
       |  FROM reach GROUP BY x)""".stripMargin
 
+  /** The composed curation pipeline replay — every stage oracle joined
+    * into one audit row per document, sharing the minhash CTE chain with
+    * dedup_minhash_pairs. One definition serves both pipeline_curation
+    * and its aggregate form pipeline_curation_audit. */
+  private val curationCompositionSql: String = {
+    val splits = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)
+    val canonSplit =
+      splitCaseSql("coalesce(c.canonical_id, d.doc_id)", "curation-v1", splits)
+    val ownSplit = splitCaseSql("d.doc_id", "curation-v1", splits)
+    s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (
+         |  SELECT id_a AS x, id_b AS y FROM mpairs
+         |  UNION ALL SELECT id_b, id_a FROM mpairs),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |canon AS (
+         |  SELECT x AS id, least(x, min(y)) AS canonical_id
+         |  FROM reach GROUP BY x),
+         |feats AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |qual AS (
+         |  SELECT doc_id,
+         |    coalesce(text IS NOT NULL
+         |      AND len(toks) BETWEEN 10 AND 100000
+         |      AND CAST(len(list_filter(toks,
+         |            t -> list_contains($stopwordList, t))) AS DOUBLE)
+         |        / CAST(greatest(len(toks), 1) AS DOUBLE) >= 0.05
+         |      AND CAST(len(text) - len(toks) + 1 AS DOUBLE)
+         |        / CAST(greatest(len(toks), 1) AS DOUBLE) <= 12.0,
+         |      FALSE) AS passed_quality
+         |  FROM feats),
+         |ex AS (
+         |  SELECT doc_id,
+         |    (text IS NOT NULL) AND (row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) <> 1) AS is_exact_dup
+         |  FROM documents),
+         |csh AS (
+         |  SELECT doc_id AS id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+         |  FROM feats),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+         |  FROM (SELECT string_split(lower(text), ' ') AS toks
+         |        FROM documents WHERE source = 'src0')),
+         |cont AS (
+         |  SELECT id FROM (
+         |    SELECT csh.id, count(*) AS n_sh, count(b.shingle) AS n_hit
+         |    FROM csh LEFT JOIN bsh b ON csh.shingle = b.shingle
+         |    GROUP BY csh.id)
+         |  WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.8)
+         |SELECT d.doc_id,
+         |  q.passed_quality,
+         |  e.is_exact_dup,
+         |  coalesce(c.canonical_id IS NOT NULL
+         |    AND c.canonical_id <> d.doc_id, FALSE) AS is_near_dup,
+         |  (ct.id IS NOT NULL) AS is_contaminated,
+         |  $canonSplit AS split,
+         |  coalesce(c.canonical_id IS NOT NULL
+         |    AND $ownSplit <> $canonSplit, FALSE) AS split_moved
+         |FROM documents d
+         |JOIN qual q USING (doc_id)
+         |JOIN ex e USING (doc_id)
+         |LEFT JOIN canon c ON c.id = d.doc_id
+         |LEFT JOIN cont ct ON ct.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
   private val baseOracles: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id,
@@ -1740,73 +1823,21 @@ object ExtensionQueries extends graft.QueryModule {
     // drift); quality/fingerprint/contamination replay their stage
     // oracles with Curation.curate's default thresholds; both split
     // CASEs come from splitCaseSql (the Sampling.splitColumn replay).
-    "pipeline_curation" -> {
-      val splits = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)
-      val canonSplit =
-        splitCaseSql("coalesce(c.canonical_id, d.doc_id)", "curation-v1", splits)
-      val ownSplit = splitCaseSql("d.doc_id", "curation-v1", splits)
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |edges AS (
-         |  SELECT id_a AS x, id_b AS y FROM mpairs
-         |  UNION ALL SELECT id_b, id_a FROM mpairs),
-         |reach(x, y) AS (
-         |  SELECT x, y FROM edges
-         |  UNION
-         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
-         |canon AS (
-         |  SELECT x AS id, least(x, min(y)) AS canonical_id
-         |  FROM reach GROUP BY x),
-         |feats AS (
-         |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
-         |  FROM documents),
-         |qual AS (
-         |  SELECT doc_id,
-         |    coalesce(text IS NOT NULL
-         |      AND len(toks) BETWEEN 10 AND 100000
-         |      AND CAST(len(list_filter(toks,
-         |            t -> list_contains($stopwordList, t))) AS DOUBLE)
-         |        / CAST(greatest(len(toks), 1) AS DOUBLE) >= 0.05
-         |      AND CAST(len(text) - len(toks) + 1 AS DOUBLE)
-         |        / CAST(greatest(len(toks), 1) AS DOUBLE) <= 12.0,
-         |      FALSE) AS passed_quality
-         |  FROM feats),
-         |ex AS (
-         |  SELECT doc_id,
-         |    (text IS NOT NULL) AND (row_number() OVER (
-         |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
-         |      ORDER BY doc_id) <> 1) AS is_exact_dup
-         |  FROM documents),
-         |csh AS (
-         |  SELECT doc_id AS id, unnest(list_distinct(
-         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
-         |  FROM feats),
-         |bsh AS (
-         |  SELECT DISTINCT unnest(list_distinct(
-         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
-         |  FROM (SELECT string_split(lower(text), ' ') AS toks
-         |        FROM documents WHERE source = 'src0')),
-         |cont AS (
-         |  SELECT id FROM (
-         |    SELECT csh.id, count(*) AS n_sh, count(b.shingle) AS n_hit
-         |    FROM csh LEFT JOIN bsh b ON csh.shingle = b.shingle
-         |    GROUP BY csh.id)
-         |  WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.8)
-         |SELECT d.doc_id,
-         |  q.passed_quality,
-         |  e.is_exact_dup,
-         |  coalesce(c.canonical_id IS NOT NULL
-         |    AND c.canonical_id <> d.doc_id, FALSE) AS is_near_dup,
-         |  (ct.id IS NOT NULL) AS is_contaminated,
-         |  $canonSplit AS split,
-         |  coalesce(c.canonical_id IS NOT NULL
-         |    AND $ownSplit <> $canonSplit, FALSE) AS split_moved
-         |FROM documents d
-         |JOIN qual q USING (doc_id)
-         |JOIN ex e USING (doc_id)
-         |LEFT JOIN canon c ON c.id = d.doc_id
-         |LEFT JOIN cont ct ON ct.id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "pipeline_curation" -> curationCompositionSql,
+
+    // auditCounts over the same composition: the per-stage drop
+    // accounting (the filter-rate monitoring row) aggregated from the
+    // one shared replay.
+    "pipeline_curation_audit" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN NOT passed_quality THEN 1 END) AS BIGINT) AS n_low_quality,
+         |  CAST(count(CASE WHEN is_exact_dup THEN 1 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(count(CASE WHEN is_near_dup THEN 1 END) AS BIGINT) AS n_near_dup,
+         |  CAST(count(CASE WHEN is_contaminated THEN 1 END) AS BIGINT) AS n_contaminated,
+         |  CAST(count(CASE WHEN split_moved THEN 1 END) AS BIGINT) AS n_split_moved,
+         |  CAST(count(CASE WHEN passed_quality AND NOT is_exact_dup
+         |    AND NOT is_near_dup AND NOT is_contaminated THEN 1 END) AS BIGINT) AS n_kept
+         |FROM ($curationCompositionSql)""".stripMargin,
 
     // Replays the md5-family SimHash bit votes: 60 per-bit sign sums
     // (bits 60-63 of the 60-bit hash are always 0 on both sides).
