@@ -296,11 +296,39 @@ object Bpe {
   /** The chained-HOF apply: k [[mergePair]] folds over the char array,
     * all inside one projection — distributed, per-row O(k·len) work, no
     * UDF, no state. Plan depth grows with k: use only for small merge
-    * tables (see [[segment]]). */
-  def segmentChained(word: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(
-      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))) {
-      case (syms, (a, b)) => mergePair(syms, a, b)
+    * tables (see [[segment]]). The empty word is normalized to an empty
+    * array up front (Spark's `sequence(1, 0)` descends to [1, 0], which
+    * would yield a junk ["",""]), so both apply forms agree on EVERY
+    * input — [[segment]]'s size-based dispatch can never flip a result
+    * because a vocabulary crossed [[HofMergeLimit]]. */
+  def segmentChained(word: Column, merges: Seq[(String, String)]): Column = {
+    val chars = when(length(word) === 0, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
+    merges.foldLeft(chars) { case (syms, (a, b)) => mergePair(syms, a, b) }
+  }
+
+  private type MergeBc = org.apache.spark.broadcast.Broadcast[
+    (Array[(String, String)], Map[(String, String), Int])]
+
+  /** Broadcast handles memoized per (SparkContext, merge table): calling
+    * [[segmentEncoded]] repeatedly with the same trained table — every
+    * re-run of a registered query does — must not accumulate a new
+    * multi-MB broadcast per call for the session's lifetime. Weak on the
+    * context so a restarted session's stale handles are collectable. */
+  private val bcCache = new java.util.WeakHashMap[
+    org.apache.spark.SparkContext,
+    scala.collection.mutable.Map[Seq[(String, String)], MergeBc]]
+
+  private def mergeBroadcast(merges: Seq[(String, String)]): MergeBc =
+    bcCache.synchronized {
+      val sc = SparkSession.active.sparkContext
+      val perCtx = Option(bcCache.get(sc)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[Seq[(String, String)], MergeBc]
+        bcCache.put(sc, m); m
+      }
+      perCtx.getOrElseUpdate(merges,
+        sc.broadcast((merges.toArray, merges.zipWithIndex.toMap)))
     }
 
   /** The production apply: ONE broadcast of the (pair → rank) map and a
@@ -311,14 +339,11 @@ object Bpe {
     * plan. A deliberate UDF: the loop is data-dependent iteration with
     * early exit, which no fold-shaped HOF expresses without paying k
     * passes; the broadcast keeps the 30k-entry table off the task
-    * closure. Null word → null (the chained form's null propagation);
-    * empty word → empty array (the chained form's `sequence(1, 0)`
-    * artifact yields ["",""] — callers filter empty words, BpeSpec pins
-    * nonempty equivalence only). */
+    * closure and is memoized per table ([[mergeBroadcast]]). Null word →
+    * null, empty word → empty array — identical to [[segmentChained]]
+    * on every input. */
   def segmentEncoded(word: Column, merges: Seq[(String, String)]): Column = {
-    val spark = SparkSession.active
-    val bc = spark.sparkContext.broadcast(
-      (merges.toArray, merges.zipWithIndex.toMap))
+    val bc = mergeBroadcast(merges)
     val f = udf { (w: String) =>
       if (w == null) null
       else encodeWithRanks(w, bc.value._1, bc.value._2)

@@ -1112,9 +1112,13 @@ object ExtensionQueries extends graft.QueryModule {
     // still pins |keys|.
     "stream_decay" -> { (s, dir) =>
       import s.implicits._
+      // coalesce(value, 0.0): DecayEvent.value is primitive, and 0.0
+      // reproduces the batch null policy exactly (contributes nothing,
+      // counts as an event — Decay.decayedSumStream's documented
+      // contract for null mapping).
       val src = eventsStream(s, dir)
         .select($"user_id".as("key"), unix_micros($"ts").as("tsMicros"),
-          $"value")
+          coalesce($"value", lit(0.0)).as("value"))
         .as[graft.ops.Decay.DecayEvent]
       val name = "stream_decay_" +
         java.util.UUID.randomUUID().toString.replace("-", "")

@@ -120,9 +120,13 @@ object EventsOps {
         coalesce(abs(col("z")) > lit(threshold), lit(false)))
   }
 
+  /** `value` is boxed so a NULL value row — which the batch form
+    * handles (z = NULL, anomaly = false, and the row never enters any
+    * later frame: SUM/COUNT skip nulls) — flows through the typed
+    * stream instead of crashing the encoder. */
   case class ZEvent(event_id: Long, user_id: Long, tsMicros: Long,
-    value: Double)
-  case class ZFlag(event_id: Long, user_id: Long, value: Double,
+    value: java.lang.Double)
+  case class ZFlag(event_id: Long, user_id: Long, value: java.lang.Double,
     z: Option[Double], anomaly: Boolean)
 
   /** Streaming form of [[rollingZScore]]: the same per-key prior-frame
@@ -153,9 +157,15 @@ object EventsOps {
         (uid: Long, it: Iterator[ZEvent], state: GroupState[Vector[Double]]) =>
           var window = state.getOption.getOrElse(Vector.empty[Double])
           val out = it.toVector.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
-            val (z, anomaly) = zScoreOf(window, e.value, minPrior, threshold)
-            window = (window :+ e.value).takeRight(lookback)
-            ZFlag(e.event_id, uid, e.value, z, anomaly)
+            // NULL value: the batch window plan gives the row z = NULL /
+            // anomaly = false and EXCLUDES it from every later frame
+            // (decimal SUM and COUNT(value) skip nulls) — mirror both.
+            if (e.value == null) ZFlag(e.event_id, uid, null, None, false)
+            else {
+              val (z, anomaly) = zScoreOf(window, e.value, minPrior, threshold)
+              window = (window :+ e.value.doubleValue).takeRight(lookback)
+              ZFlag(e.event_id, uid, e.value, z, anomaly)
+            }
           }
           state.update(window)
           out.iterator

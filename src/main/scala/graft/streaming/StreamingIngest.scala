@@ -37,28 +37,37 @@ object StreamingIngest {
     * batch ≡ stream by construction). Public for direct batch use and
     * replay testing. */
   def ingestBatch(batch: DataFrame, warehouseDir: String, table: String,
-      textCol: String, pk: String): Unit = {
+      textCol: String, pk: String): Unit =
+    withSurvivors(batch, warehouseDir, table, textCol, pk) { (spark, kept) =>
+      SendoPipeline.mergeTable(spark, warehouseDir, table,
+        batch.schema, kept, pk)
+      SendoPipeline.mergeTable(spark, warehouseDir, indexTable(table),
+        fpSchema, Dedup.fingerprintIndex(kept, textCol), "fp")
+    }
+
+  /** The dedup prologue shared by all three ingest forms — the part the
+    * forms MUST agree on for StreamingIngestSpec's row-for-row equality
+    * to hold. Resolves intra-batch PK duplicates BEFORE fingerprint
+    * dedup: the downstream store keeps one row per PK, and indexing
+    * fingerprints of rows the store then discards would poison the
+    * index — a later document with the discarded row's text would be
+    * dropped as "already in corpus" despite the warehouse never storing
+    * it. After the dedup, kept rows and stored rows coincide exactly.
+    * `kept` is persisted across `write` (each form reads it at least
+    * twice) and skipped when empty; `write` only picks the storage
+    * strategy. */
+  private def withSurvivors(batch: DataFrame, warehouseDir: String,
+      table: String, textCol: String, pk: String)(
+      write: (org.apache.spark.sql.SparkSession, DataFrame) => Unit): Unit = {
     val spark = batch.sparkSession
     val idx = SendoPipeline.readTable(spark, warehouseDir,
       indexTable(table), fpSchema)
-    // Resolve intra-batch PK duplicates BEFORE fingerprint dedup: the
-    // downstream MERGE stores one row per PK, and indexing fingerprints
-    // of rows the merge then discards would poison the index — a later
-    // document with the discarded row's text would be dropped as
-    // "already in corpus" despite the warehouse never storing it. After
-    // this line, kept rows and stored rows coincide exactly.
+      .select(org.apache.spark.sql.functions.col("fp"))
     val kept = Dedup.incrementalDedup(batch.dropDuplicates(pk), idx,
       textCol, pk)
-    // The two merges read `kept` twice; persist so the dedup window +
-    // anti join run once per batch, not per merge.
     kept.persist()
     try {
-      if (!kept.isEmpty) {
-        SendoPipeline.mergeTable(spark, warehouseDir, table,
-          batch.schema, kept, pk)
-        SendoPipeline.mergeTable(spark, warehouseDir, indexTable(table),
-          fpSchema, Dedup.fingerprintIndex(kept, textCol), "fp")
-      }
+      if (!kept.isEmpty) write(spark, kept)
     } finally kept.unpersist()
   }
 
@@ -74,27 +83,18 @@ object StreamingIngest {
     * extra bucket column, which readers project away); idempotent under
     * replay for the same reason ingestBatch is. */
   def ingestBatchPartitioned(batch: DataFrame, warehouseDir: String,
-      table: String, textCol: String, pk: String, buckets: Int = 64): Unit = {
-    import org.apache.spark.sql.functions._
-    val spark = batch.sparkSession
-    val idxPath = s"$warehouseDir/${indexTable(table)}"
-    val idx = SendoPipeline.readTable(spark, warehouseDir,
-      indexTable(table), fpSchema).select(col("fp"))
-    val kept = Dedup.incrementalDedup(batch.dropDuplicates(pk), idx,
-      textCol, pk)
-    kept.persist()
-    try {
-      if (!kept.isEmpty) {
-        graft.sink.Upsert.upsertPartitioned(spark, s"$warehouseDir/$table",
-          kept.withColumn("__bucket", pmod(xxhash64(col(pk)), lit(buckets))),
-          Seq(pk), "__bucket")
-        graft.sink.Upsert.upsertPartitioned(spark, idxPath,
-          Dedup.fingerprintIndex(kept, textCol)
-            .withColumn("__bucket", pmod(xxhash64(col("fp")), lit(buckets))),
-          Seq("fp"), "__bucket")
-      }
-    } finally kept.unpersist()
-  }
+      table: String, textCol: String, pk: String, buckets: Int = 64): Unit =
+    withSurvivors(batch, warehouseDir, table, textCol, pk) { (spark, kept) =>
+      import org.apache.spark.sql.functions._
+      graft.sink.Upsert.upsertPartitioned(spark, s"$warehouseDir/$table",
+        kept.withColumn("__bucket", pmod(xxhash64(col(pk)), lit(buckets))),
+        Seq(pk), "__bucket")
+      graft.sink.Upsert.upsertPartitioned(spark,
+        s"$warehouseDir/${indexTable(table)}",
+        Dedup.fingerprintIndex(kept, textCol)
+          .withColumn("__bucket", pmod(xxhash64(col("fp")), lit(buckets))),
+        Seq("fp"), "__bucket")
+    }
 
   /** The APPEND form — the 100 TB production path for deduped ingest.
     *
@@ -120,22 +120,13 @@ object StreamingIngest {
     * batches (same text re-arrivals are dropped by the fingerprint
     * dedup). A re-keyed update source needs the MERGE forms above. */
   def ingestBatchAppend(batch: DataFrame, warehouseDir: String,
-      table: String, textCol: String, pk: String, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val idx = SendoPipeline.readTable(spark, warehouseDir,
-      indexTable(table), fpSchema).select(org.apache.spark.sql.functions.col("fp"))
-    val kept = Dedup.incrementalDedup(batch.dropDuplicates(pk), idx,
-      textCol, pk)
-    kept.persist()
-    try {
-      if (!kept.isEmpty) {
-        kept.write.mode("overwrite")
-          .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
-        Dedup.fingerprintIndex(kept, textCol).write.mode("overwrite")
-          .parquet(s"$warehouseDir/${indexTable(table)}/ingest_batch=$batchId")
-      }
-    } finally kept.unpersist()
-  }
+      table: String, textCol: String, pk: String, batchId: Long): Unit =
+    withSurvivors(batch, warehouseDir, table, textCol, pk) { (_, kept) =>
+      kept.write.mode("overwrite")
+        .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
+      Dedup.fingerprintIndex(kept, textCol).write.mode("overwrite")
+        .parquet(s"$warehouseDir/${indexTable(table)}/ingest_batch=$batchId")
+    }
 
   /** Start the streaming ingestion query over a streaming `docs` frame.
     * Checkpointed; restarts resume from the last committed batch, and a

@@ -151,5 +151,14 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(both.nonEmpty)
     val bad = both.filter { case (_, c, e) => c != e }
     assert(bad.isEmpty, s"chained != encoded for ${bad.take(3).toSeq}")
+    // The degenerate inputs agree too — the size-based dispatch in
+    // segment() can never flip a result when a vocabulary grows past
+    // HofMergeLimit: empty word → empty array, null → null, both forms.
+    val edge = Seq(Some(""), None).toDF("w")
+      .select(Bpe.segmentChained($"w", merges).as("c"),
+        Bpe.segmentEncoded($"w", merges).as("e"))
+      .as[(Option[Seq[String]], Option[Seq[String]])].collect().toSeq
+    assert(edge == Seq((Some(Seq.empty[String]), Some(Seq.empty[String])),
+      (None, None)))
   }
 }

@@ -117,6 +117,43 @@ class RollingZScoreSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed(10L)._2, "spike must be flagged in the streamed run")
   }
 
+  test("a NULL value flows through the stream like the batch form: unflagged, never framed") {
+    // Batch semantics for a null value row: z = NULL, anomaly = false,
+    // and the row never enters any later frame (SUM/COUNT skip nulls).
+    // The boxed ZEvent.value must reproduce that instead of crashing
+    // the encoder.
+    val rows: Seq[EventsOps.ZEvent] =
+      (0L until 5L).map(i => EventsOps.ZEvent(i, 1L, i * 1000000L,
+        if (i % 2 == 0) 9.5 else 10.5)) ++
+      Seq(EventsOps.ZEvent(5L, 1L, 5000000L, null)) ++
+      (6L until 12L).map(i => EventsOps.ZEvent(i, 1L, i * 1000000L,
+        if (i % 2 == 0) 9.5 else 10.5)) :+
+      EventsOps.ZEvent(12L, 1L, 12000000L, 100.0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventsOps.ZEvent]
+    val q = EventsOps.rollingZScoreStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("zscore_null_out").start()
+    val streamed = try {
+      input.addData(rows: _*); q.processAllAvailable()
+      spark.table("zscore_null_out").as[EventsOps.ZFlag].collect()
+        .map(f => f.event_id -> ((f.z, f.anomaly))).toMap
+    } finally q.stop()
+    val batch = rows.map(e =>
+        (e.event_id, e.user_id, Option(e.value).map(_.doubleValue)))
+      .toDF("event_id", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("event_id") * 1000000L))
+      .transform(df => EventsOps.rollingZScore(df, key = $"user_id",
+        order = Seq($"ts", $"event_id"), valueCol = $"value"))
+      .select("event_id", "z", "anomaly")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed == batch)
+    assert(streamed(5L) == ((None, false)))
+    assert(streamed(12L)._2, "spike after the null row must still flag")
+  }
+
   test("one exchange: the window shuffle is the only exchange in the plan") {
     val df = EventsOps.rollingZScore(
       events((0L until 10L).map(i => (i, i % 3, i.toDouble))),
