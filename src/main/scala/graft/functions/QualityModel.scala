@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Learned quality scoring: a linear (logistic) quality classifier
+  * DISTILLED from the heuristic gate — the fasttext-classifier shape of
+  * LLM data curation (train a cheap scorer to mimic expensive
+  * judgments, then score the whole corpus with one projection), with
+  * the labels here produced by the rule gate itself (weak supervision).
+  * The payoff over the rules is a SOFT margin: borderline documents get
+  * a calibrated score instead of a hard cliff, and the score is one
+  * codegen'd expression at corpus scale.
+  *
+  * Training is full-batch gradient descent with a fixed iteration
+  * count — the [[Embeddings.dominantDirection]] determinism recipe
+  * applied to a model: per iteration ONE aggregate job computes the
+  * exact-decimal gradient sums (order-free), the weight update happens
+  * driver-side in the same IEEE expression order the DuckDB oracle
+  * uses, and every libm output (exp) is rounded at a fixed scale
+  * immediately. The whole training run is therefore a pure function of
+  * the corpus — partitioning-invariant and cross-engine replayable,
+  * which puts a LEARNED model under the exact-hash oracle gate.
+  *
+  * Scale shape: O(iterations) jobs, each one partial-aggregable
+  * scan-and-sum over the corpus (no shuffle beyond the single-row
+  * aggregate); driver state is d+1 doubles. Scoring is a pure
+  * projection with literal weights — no broadcast, no join, fully
+  * inside whole-stage codegen.
+  */
+object QualityModel {
+
+  /** The fixed feature map (bias + 4 bounded signals), shared by
+    * training and scoring. Bounded to [0, ~1] so untuned GD is stable.
+    * Expression order is part of the contract — the oracle mirrors it
+    * term for term. */
+  def features(text: Column, nChars: Column): Seq[Column] = {
+    val toks = TextFunctions.tokens(text)
+    val n = size(toks)
+    val hits = size(filter(toks,
+      t => array_contains(array(TextFunctions.EnglishStopwords.map(lit): _*), t)))
+    val mtl = (length(text) - n + lit(1)).cast("double") /
+      greatest(n, lit(1)).cast("double")
+    Seq(
+      lit(1.0),
+      least(n, lit(200)).cast("double") / lit(200.0),
+      hits.cast("double") / greatest(n, lit(1)).cast("double"),
+      least(nChars, lit(1000)).cast("double") / lit(1000.0),
+      mtl / lit(20.0))
+  }
+
+  /** σ(z) with the oracle-exact float recipe: ONE libm call (exp),
+    * rounded at 8 immediately; the division is plain IEEE. */
+  private def sigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + round(exp(-z), 8))
+
+  private def dot(ws: Array[Double], xs: Seq[Column]): Column =
+    xs.zip(ws).map { case (x, w) => x * lit(w) }.reduce(_ + _)
+
+  /** Train weights by `iters` full-batch GD steps at learning rate
+    * `lr`, from w = 0. Returns d+1 weights (bias first), each rounded
+    * at 8 after every update. `label` must be a deterministic 0/1
+    * double column. Rows with null text are excluded (null features
+    * would poison the gradient sums). */
+  def train(docs: DataFrame, textCol: String, nCharsCol: String,
+      label: Column, iters: Int = 8, lr: Double = 2.0): Array[Double] = {
+    require(iters >= 1 && lr > 0, s"need iters >= 1, lr > 0: ($iters, $lr)")
+    val base = docs.filter(col(textCol).isNotNull)
+    val xs = features(col(textCol), col(nCharsCol))
+    val dec = DecimalType(28, 10)
+    var w = Array.fill(xs.size)(0.0)
+    val nRows = base.count().toDouble
+    require(nRows > 0, "empty corpus")
+    for (_ <- 0 until iters) {
+      // err = σ(w·x) − y, rounded at 8 (one more libm-adjacent pin so
+      // the per-term product below starts from identical doubles).
+      val err = round(sigmoid(dot(w, xs)) - label, 8)
+      val sums = base
+        .select(xs.zipWithIndex.map { case (x, j) =>
+          sum(round(err * x, 8).cast(dec)).as(s"g$j")
+        }: _*)
+        .collect().head
+      w = w.indices.map { j =>
+        val g = sums.getDecimal(j).doubleValue / nRows
+        BigDecimal(w(j) - lr * g)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toArray
+    }
+    w
+  }
+
+  /** Score a corpus with trained weights: σ(w·x) rounded at 6 — one
+    * codegen'd projection, literal weights. */
+  def score(docs: DataFrame, textCol: String, nCharsCol: String,
+      w: Array[Double]): Column =
+    round(sigmoid(dot(w, features(col(textCol), col(nCharsCol)))), 6)
+}

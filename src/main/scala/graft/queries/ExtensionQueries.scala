@@ -196,6 +196,34 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Learned quality scoring (r7): a logistic classifier DISTILLED
+    // from the heuristic gate (weak supervision — the fasttext-scorer
+    // shape of LLM curation), trained with the deterministic
+    // decimal-GD recipe so the LEARNED WEIGHTS themselves are under
+    // the exact-hash oracle gate: the oracle replays all 8 gradient
+    // steps as chained CTEs.
+    "docs_quality_model" -> { (s, dir) =>
+      import s.implicits._
+      val w = trainQualityModel(s, dir)
+      w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("dim_idx", "weight").orderBy($"dim_idx")
+    },
+
+    // The corpus scored with the trained model — one codegen'd
+    // projection with literal weights (no broadcast, no join), the
+    // 100 TB scoring path a learned filter exists for.
+    "docs_quality_scored" -> { (s, dir) =>
+      import s.implicits._
+      val w = trainQualityModel(s, dir)
+      val sc = graft.functions.QualityModel.score(
+        Tables.documents(s, dir), "text", "n_chars", w)
+      Tables.documents(s, dir)
+        .filter($"text".isNotNull)
+        .select($"doc_id", sc.as("score"))
+        .withColumn("predicted", $"score" >= 0.5)
+        .orderBy($"doc_id")
+    },
+
     // Exact dedup groups by normalized-text fingerprint.
     "dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
@@ -1188,6 +1216,68 @@ object ExtensionQueries extends graft.QueryModule {
   private val stopwordList =
     TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shared trainer for the two quality-model queries: logistic GD
+    * distilled from the rule gate (curate()'s default thresholds as the
+    * weak label). Deliberately NOT memoized — training IS the measured
+    * work of docs_quality_model, and a cache would make the warmed
+    * bench report a no-op. */
+  private def trainQualityModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Double] =
+    graft.functions.QualityModel.train(Tables.documents(s, dir),
+      "text", "n_chars",
+      graft.pipeline.Curation.qualityPredicate(col("text"),
+        graft.pipeline.Curation.QualityThresholds()).cast("double"))
+
+  /** w·x with the weight row aliased `w` — the exact left-associative
+    * term order QualityModel.features/dot produce. */
+  private val qmZ: String = (0 until 5).map(j => s"f$j * w.w$j").mkString(" + ")
+
+  /** The quality-model replay: base features + label CTE, then one
+    * (gradient, weight-update) CTE pair per GD iteration — the learned
+    * weights computed INSIDE DuckDB with the identical IEEE expression
+    * order, decimal gradient sums, and fixed-scale rounds as
+    * [[graft.functions.QualityModel.train]]. */
+  private val qualityModelIters = 8
+  private val qualityModelCtes: String = {
+    val toks = "string_split(lower(text), ' ')"
+    val sr = s"CAST(len(list_filter($toks, t -> list_contains($stopwordList, t))) AS DOUBLE)" +
+      s" / CAST(greatest(len($toks), 1) AS DOUBLE)"
+    val mtl = s"CAST(len(text) - len($toks) + 1 AS DOUBLE)" +
+      s" / CAST(greatest(len($toks), 1) AS DOUBLE)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""base AS (
+         |  SELECT doc_id,
+         |    1.0 AS f0,
+         |    CAST(least(len($toks), 200) AS DOUBLE) / 200.0 AS f1,
+         |    $sr AS f2,
+         |    CAST(least(n_chars, 1000) AS DOUBLE) / 1000.0 AS f3,
+         |    ($mtl) / 20.0 AS f4,
+         |    CASE WHEN len($toks) BETWEEN 10 AND 100000
+         |      AND $sr >= 0.05 AND $mtl <= 12.0 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents WHERE text IS NOT NULL),
+         |w0 AS (SELECT """.stripMargin)
+    sb.append((0 until 5).map(j => s"0.0 AS w$j").mkString(", ")).append(")")
+    for (k <- 1 to qualityModelIters) {
+      val err = s"round(1.0 / (1.0 + round(exp(-($qmZ)), 8)) - y, 8)"
+      val gsums = (0 until 5).map(j =>
+        s"CAST(SUM(CAST(round($err * f$j, 8) AS DECIMAL(28,10))) AS DOUBLE) AS gs$j")
+        .mkString(",\n    ")
+      sb.append(
+        s""",
+           |g$k AS (
+           |  SELECT $gsums,
+           |    CAST(count(*) AS DOUBLE) AS n
+           |  FROM base, w${k - 1} w),
+           |w$k AS (SELECT """.stripMargin)
+      sb.append((0 until 5).map(j =>
+        s"round(w.w$j - 2.0 * (g.gs$j / g.n), 8) AS w$j").mkString(", "))
+      sb.append(s" FROM w${k - 1} w, g$k g)")
+    }
+    sb.toString
+  }
+
+
   /** Rolling z-score replay: exact decimal frame sums cast to double
     * once, identical IEEE arithmetic, z rounded at 6 after the one sqrt.
     * Shared by events_anomaly (batch) and stream_anomaly (the streaming
@@ -1497,6 +1587,24 @@ object ExtensionQueries extends graft.QueryModule {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS canonical_id, count(*) AS n_members
         |FROM documents GROUP BY fp ORDER BY canonical_id""".stripMargin,
+
+    // The learned weights themselves, replayed through all 8 GD steps.
+    "docs_quality_model" -> {
+      val rows = (0 until 5).map(j =>
+        s"SELECT $j AS dim_idx, w$j AS weight FROM w$qualityModelIters")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $qualityModelCtes
+         |SELECT dim_idx, weight FROM (
+         |  $rows)
+         |ORDER BY dim_idx""".stripMargin
+    },
+
+    "docs_quality_scored" ->
+      s"""WITH $qualityModelCtes
+         |SELECT doc_id,
+         |  round(1.0 / (1.0 + round(exp(-($qmZ)), 8)), 6) AS score,
+         |  (round(1.0 / (1.0 + round(exp(-($qmZ)), 8)), 6) >= 0.5) AS predicted
+         |FROM base, w$qualityModelIters w ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH sh AS (
