@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions
+
+/** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling"): score every raw-corpus
+  * document by how target-like its HASHED N-GRAM distribution is — the
+  * log likelihood ratio between bag-of-hashed-bigram unigram models of
+  * the target and raw slices — then resample raw documents with
+  * probability ∝ exp(weight) via the Gumbel-max trick. The published
+  * method's shape exactly, made engine-replayable:
+  *
+  *  - hashed features: bigrams → md5-prefix buckets (B buckets), so the
+  *    feature space is fixed-width whatever the vocabulary;
+  *  - both bucket models are ONE aggregate each over their slice
+  *    (add-1 smoothing), B rows total — the ratio table broadcasts;
+  *  - per-doc weight = Σ_b count_b(doc) · ratio_b as an exact decimal
+  *    sum of fixed-scale-rounded terms (order-free);
+  *  - Gumbel-max resampling IS the "sample ∝ weights without
+  *    replacement" primitive, and with md5-derived uniforms it is a
+  *    pure function of (doc_id, salt) — the same draw on any engine,
+  *    any partitioning, any run. Top-k of (weight + gumbel) ≡ weighted
+  *    sampling without replacement (Efraimidis–Spirakis via Gumbel).
+  *
+  * Float discipline (the repo's oracle-exact recipe): every ln() output
+  * is rounded at 8 immediately; products are rounded at 8 before the
+  * decimal cast; the final score rounds at 6.
+  *
+  * Scale shape: two slice aggregates (B-row outputs), one exploded
+  * bigram count per doc (the only corpus-scale exchange, keyed by
+  * (id, bucket)), one broadcast join of the B-row ratio table, one
+  * grouped decimal sum. The raw corpus text is exchanged never; only
+  * (id, bucket, cnt) rows move.
+  */
+object Dsir {
+
+  /** md5-prefix bucket of one n-gram — 28 bits folded mod `buckets`;
+    * the oracle replays ('0x' || substr(md5(g),1,7))::BIGINT % B. */
+  private def bucketOf(gram: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(gram), 1, 7), 16, 10).cast("long"), lit(buckets))
+
+  /** (id, bucket, cnt) hashed-bigram counts per document — repeats
+    * count (a frequency model, not a set model). Null/short texts yield
+    * no rows. */
+  def bucketCounts(docs: DataFrame, textCol: String, idCol: String,
+      buckets: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        explode(TextFunctions.bigramsFromTokens(col("__t"))).as("g"))
+      .groupBy(col("id"), bucketOf(col("g"), buckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The B-row log-likelihood-ratio table between two corpus slices:
+    * ratio_b = round(round(ln p_target(b), 8) − round(ln p_raw(b), 8), 8)
+    * with add-1 smoothing over `buckets` cells. Every bucket gets a row
+    * (a spine join), so unseen buckets carry the smoothed floor. */
+  def logRatioTable(target: DataFrame, raw: DataFrame, textCol: String,
+      idCol: String, buckets: Int): DataFrame = {
+    def slice(df: DataFrame): DataFrame =
+      bucketCounts(df, textCol, idCol, buckets)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("c"))
+    val t = slice(target)
+    val r = slice(raw)
+    val spark = target.sparkSession
+    val spine = spark.range(0, buckets).select(col("id").as("bucket"))
+    def logp(c: Column, total: Column): Column =
+      round(log((c + lit(1.0)) / (total + lit(buckets.toDouble))), 8)
+    val tTot = t.agg(sum(col("c")).as("t_total"))
+    val rTot = r.agg(sum(col("c")).as("r_total"))
+    spine
+      .join(t.withColumnRenamed("c", "tc"), Seq("bucket"), "left_outer")
+      .join(r.withColumnRenamed("c", "rc"), Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        round(
+          logp(coalesce(col("tc"), lit(0L)).cast("double"),
+            col("t_total").cast("double")) -
+          logp(coalesce(col("rc"), lit(0L)).cast("double"),
+            col("r_total").cast("double")), 8).as("ratio"))
+  }
+
+  /** Per-document importance log-weight over the raw slice: the exact
+    * decimal sum of round(cnt · ratio_b, 8) terms, rounded at 6. Docs
+    * with no bigrams (null/short text) get no row — they carry no
+    * evidence either way. */
+  def importanceWeights(raw: DataFrame, ratios: DataFrame, textCol: String,
+      idCol: String, buckets: Int): DataFrame =
+    bucketCounts(raw, textCol, idCol, buckets)
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(round(
+        sum(round(col("cnt") * col("ratio"), 8).cast(DecimalType(28, 10)))
+          .cast("double"), 6).as("logw"))
+
+  /** Gumbel-max weighted resampling without replacement: k docs drawn
+    * ∝ exp(logw) via score = logw + Gumbel(doc_id, salt), global top-k
+    * by (score desc, id) — deterministic (md5 uniforms), so epochs
+    * re-salt and any engine replays the identical sample. Deliberately
+    * `orderBy().limit(k)` and NOT a global row_number window: Spark
+    * plans the former as TakeOrderedAndProject (per-partition bounded
+    * heaps merged on the driver — the scalable global top-k), while an
+    * unpartitioned window collapses the corpus to one task. */
+  def gumbelResample(weights: DataFrame, k: Int, salt: String): DataFrame = {
+    // u ∈ (0, 1]: (h + 1) / 2^52 over the 52-bit md5 prefix — never 0,
+    // so ln(u) is finite; g = −ln(−ln u), each ln rounded at 8.
+    val u = (conv(substring(md5(concat(col("id").cast("string"),
+        lit(":" + salt))), 1, 13), 16, 10).cast("double") + lit(1.0)) /
+      lit(4503599627370496.0)
+    val lnU = round(log(u), 8)
+    val g = -round(log(-lnU), 8)
+    weights
+      .withColumn("score", round(col("logw") + g, 6))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -224,6 +224,38 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // DSIR-style importance re-weighting (r7): hashed-bigram
+    // log-likelihood ratios between the target slice (src0 plays the
+    // target domain) and the raw corpus — the published importance-
+    // resampling selection method, fully oracle-replayed (every ln
+    // rounded at 8, decimal term sums).
+    "docs_dsir_weights" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(col("source") === "src0")
+      val raw = docs.filter(col("source") =!= "src0")
+      val ratios = graft.ops.Dsir.logRatioTable(target, raw,
+        "text", "doc_id", 256)
+      graft.ops.Dsir.importanceWeights(raw, ratios, "text", "doc_id", 256)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // The resampling leg: 50 raw docs drawn ∝ exp(logw) via the
+    // deterministic Gumbel-max trick (md5 uniforms — any engine replays
+    // the identical sample; epochs re-salt). TakeOrderedAndProject
+    // global top-k, never a single-partition window.
+    "docs_dsir_sample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(col("source") === "src0")
+      val raw = docs.filter(col("source") =!= "src0")
+      val ratios = graft.ops.Dsir.logRatioTable(target, raw,
+        "text", "doc_id", 256)
+      val wts = graft.ops.Dsir.importanceWeights(raw, ratios,
+        "text", "doc_id", 256)
+      graft.ops.Dsir.gumbelResample(wts, 50, "dsir-v1")
+        .select(col("id").as("doc_id"), col("logw"), col("score"))
+    },
+
     // Exact dedup groups by normalized-text fingerprint.
     "dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
@@ -1232,6 +1264,40 @@ object ExtensionQueries extends graft.QueryModule {
     * term order QualityModel.features/dot produce. */
   private val qmZ: String = (0 until 5).map(j => s"f$j * w.w$j").mkString(" + ")
 
+  /** The DSIR replay through per-doc importance weights: hashed-bigram
+    * bucket counts, the add-1-smoothed B-row log-ratio table (every ln
+    * rounded at 8, spine-joined so unseen buckets carry the floor), and
+    * the exact decimal term sum — mirrors [[graft.ops.Dsir]] expression
+    * for expression. Shared by the weights and sample oracles. */
+  private val dsirWeightCtes: String =
+    """bg AS (
+      |  SELECT doc_id, source,
+      |    unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
+      |  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+      |        FROM documents)),
+      |bc AS (
+      |  SELECT doc_id, source,
+      |    (('0x' || substr(md5(g), 1, 7))::BIGINT % 256) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM bg GROUP BY 1, 2, 3),
+      |tb AS (SELECT bucket, SUM(cnt) AS c FROM bc WHERE source = 'src0' GROUP BY bucket),
+      |rb AS (SELECT bucket, SUM(cnt) AS c FROM bc WHERE source <> 'src0' GROUP BY bucket),
+      |tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM tb),
+      |rt AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM rb),
+      |ratios AS (
+      |  SELECT s.bucket,
+      |    round(round(ln((coalesce(CAST(tb.c AS DOUBLE), 0.0) + 1.0) / (tt.total + 256.0)), 8)
+      |        - round(ln((coalesce(CAST(rb.c AS DOUBLE), 0.0) + 1.0) / (rt.total + 256.0)), 8), 8) AS ratio
+      |  FROM (SELECT unnest(range(256)) AS bucket) s
+      |  LEFT JOIN tb ON tb.bucket = s.bucket
+      |  LEFT JOIN rb ON rb.bucket = s.bucket, tt, rt),
+      |wts AS (
+      |  SELECT doc_id,
+      |    round(CAST(SUM(CAST(round(cnt * ratio, 8) AS DECIMAL(28,10))) AS DOUBLE), 6) AS logw
+      |  FROM bc JOIN ratios USING (bucket)
+      |  WHERE source <> 'src0'
+      |  GROUP BY doc_id)""".stripMargin
+
   /** The quality-model replay: base features + label CTE, then one
     * (gradient, weight-update) CTE pair per GD iteration — the learned
     * weights computed INSIDE DuckDB with the identical IEEE expression
@@ -1587,6 +1653,19 @@ object ExtensionQueries extends graft.QueryModule {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS canonical_id, count(*) AS n_members
         |FROM documents GROUP BY fp ORDER BY canonical_id""".stripMargin,
+
+    "docs_dsir_weights" ->
+      s"""WITH $dsirWeightCtes
+         |SELECT doc_id, logw FROM wts ORDER BY doc_id""".stripMargin,
+
+    "docs_dsir_sample" ->
+      s"""WITH $dsirWeightCtes
+         |SELECT doc_id, logw,
+         |  round(logw - round(ln(-round(ln(
+         |    (CAST(('0x' || substr(md5(doc_id::VARCHAR || ':dsir-v1'), 1, 13))::BIGINT AS DOUBLE) + 1.0)
+         |      / 4503599627370496.0), 8)), 8), 6) AS score
+         |FROM wts
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
 
     // The learned weights themselves, replayed through all 8 GD steps.
     "docs_quality_model" -> {
