@@ -188,6 +188,28 @@ object TextFunctions {
         concat(t, lit(" "), element_at(toks, i + 2)))),
       x => x.isNotNull)
 
+  /** Word n-grams WITH repeats (frequency-analysis unit — the
+    * [[shinglesFromTokens]] shape without the distinct; generalizes
+    * [[bigramsFromTokens]]). `toks` must be materialized (same caveat). */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
+    filter(
+      transform(toks, (_, i) => when(
+        i <= size(toks) - n,
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
+      x => x.isNotNull)
+
+  /** Fixed-size token chunks of a token array (1-based slices, space
+    * re-joined) — the line-proxy unit for repetition signals on text
+    * without newlines. A non-empty token array yields ⌈len/k⌉ chunks;
+    * empty yields none. */
+  def chunksFromTokens(toks: Column, k: Int): Column =
+    when(size(toks) > 0,
+      transform(
+        sequence(lit(0),
+          ceil(size(toks) / lit(k.toDouble)).cast("int") - 1),
+        i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Shannon entropy (bits/char) over the character distribution — the
     * classic gibberish/boilerplate quality signal: low for repeated
     * filler, high for random noise; natural text sits in between.

@@ -224,6 +224,17 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Gopher repetition rules (r7): within-document self-similarity —
+    // top-bigram coverage, duplicate-trigram coverage, duplicate
+    // 10-token-chunk (line proxy) coverage, each thresholded at the
+    // published cutoffs. One exploded exchange feeds all three signals.
+    "docs_repetition_rules" -> { (s, dir) =>
+      graft.ops.Repetition.repetitionStats(
+        Tables.documents(s, dir), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR-style importance re-weighting (r7): hashed-bigram
     // log-likelihood ratios between the target slice (src0 plays the
     // target domain) and the raw corpus — the published importance-
@@ -1653,6 +1664,44 @@ object ExtensionQueries extends graft.QueryModule {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS canonical_id, count(*) AS n_members
         |FROM documents GROUP BY fp ORDER BY canonical_id""".stripMargin,
+
+    "docs_repetition_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |gr AS (
+        |  SELECT doc_id, 2 AS n,
+        |    unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 3,
+        |    unnest([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 0,
+        |    unnest([array_to_string(toks[(k*10+1):(k*10+10)], ' ')
+        |            FOR k IN range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))])
+        |  FROM base WHERE len(toks) > 0),
+        |cnts AS (
+        |  SELECT doc_id, n, g, count(*) AS cnt FROM gr GROUP BY 1, 2, 3),
+        |st AS (
+        |  SELECT doc_id, n, SUM(cnt) AS total, MAX(cnt) AS top,
+        |    SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
+        |  FROM cnts GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END) AS top_bigram_frac,
+        |    MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END) AS dup_trigram_frac,
+        |    MAX(CASE WHEN n = 0 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END) AS dup_chunk_frac
+        |  FROM st GROUP BY doc_id)
+        |SELECT doc_id, top_bigram_frac, dup_trigram_frac, dup_chunk_frac,
+        |  coalesce(top_bigram_frac <= 0.20, TRUE) AS r_top_bigram,
+        |  coalesce(dup_trigram_frac <= 0.29, TRUE) AS r_dup_trigram,
+        |  coalesce(dup_chunk_frac <= 0.30, TRUE) AS r_dup_chunk,
+        |  coalesce(top_bigram_frac <= 0.20, TRUE)
+        |    AND coalesce(dup_trigram_frac <= 0.29, TRUE)
+        |    AND coalesce(dup_chunk_frac <= 0.30, TRUE) AS keep
+        |FROM fr ORDER BY doc_id""".stripMargin,
 
     "docs_dsir_weights" ->
       s"""WITH $dsirWeightCtes
