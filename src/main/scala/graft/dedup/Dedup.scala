@@ -458,15 +458,8 @@ object Dedup {
     * Empty text yields one empty chunk (split("", " ") = [""] — pinned
     * by DedupSpec); null text yields an EMPTY array (no units), which is
     * what makes null-text docs disappear from [[unitDedup]] output. */
-  def tokenChunks(text: Column, chunkTokens: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) > 0,
-      transform(
-        sequence(lit(0),
-          ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int") - 1),
-        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  def tokenChunks(text: Column, chunkTokens: Int): Column =
+    graft.functions.TextFunctions.chunksFromTokens(split(text, " "), chunkTokens)
 
   /** Paragraph/unit-level dedup (the paragraph-dedup shape of crawl
     * pipelines): split each document into units with `unitsFn` (real

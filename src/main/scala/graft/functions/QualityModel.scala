@@ -36,18 +36,16 @@ object QualityModel {
     * Expression order is part of the contract — the oracle mirrors it
     * term for term. */
   def features(text: Column, nChars: Column): Seq[Column] = {
-    val toks = TextFunctions.tokens(text)
-    val n = size(toks)
-    val hits = size(filter(toks,
-      t => array_contains(array(TextFunctions.EnglishStopwords.map(lit): _*), t)))
-    val mtl = (length(text) - n + lit(1)).cast("double") /
-      greatest(n, lit(1)).cast("double")
+    val n = TextFunctions.tokenCount(text)
     Seq(
       lit(1.0),
       least(n, lit(200)).cast("double") / lit(200.0),
-      hits.cast("double") / greatest(n, lit(1)).cast("double"),
+      // The SAME TextFunctions expressions the rule gate (the label)
+      // uses — one definition, so the distilled model and its teacher
+      // cannot drift.
+      TextFunctions.stopwordRatio(text),
       least(nChars, lit(1000)).cast("double") / lit(1000.0),
-      mtl / lit(20.0))
+      TextFunctions.meanTokenLength(text) / lit(20.0))
   }
 
   /** σ(z) with the oracle-exact float recipe: ONE libm call (exp),
@@ -66,7 +64,10 @@ object QualityModel {
   def train(docs: DataFrame, textCol: String, nCharsCol: String,
       label: Column, iters: Int = 8, lr: Double = 2.0): Array[Double] = {
     require(iters >= 1 && lr > 0, s"need iters >= 1, lr > 0: ($iters, $lr)")
-    val base = docs.filter(col(textCol).isNotNull)
+    // Null text OR null n_chars would null that row's whole gradient
+    // term — silently excluded from the sums while still counted in
+    // nRows. Filter both so "excluded" and "counted" coincide.
+    val base = docs.filter(col(textCol).isNotNull && col(nCharsCol).isNotNull)
     val xs = features(col(textCol), col(nCharsCol))
     val dec = DecimalType(28, 10)
     var w = Array.fill(xs.size)(0.0)
@@ -82,6 +83,8 @@ object QualityModel {
         }: _*)
         .collect().head
       w = w.indices.map { j =>
+        require(!sums.isNullAt(j),
+          s"gradient sum $j is null — label or a feature is null on every row")
         val g = sums.getDecimal(j).doubleValue / nRows
         BigDecimal(w(j) - lr * g)
           .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -90,9 +93,9 @@ object QualityModel {
     w
   }
 
-  /** Score a corpus with trained weights: σ(w·x) rounded at 6 — one
-    * codegen'd projection, literal weights. */
-  def score(docs: DataFrame, textCol: String, nCharsCol: String,
-      w: Array[Double]): Column =
+  /** Score with trained weights: σ(w·x) rounded at 6 — a pure Column
+    * over (textCol, nCharsCol), one codegen'd projection with literal
+    * weights, applicable to any frame carrying those columns. */
+  def score(textCol: String, nCharsCol: String, w: Array[Double]): Column =
     round(sigmoid(dot(w, features(col(textCol), col(nCharsCol)))), 6)
 }

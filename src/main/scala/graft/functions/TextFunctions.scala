@@ -29,14 +29,8 @@ object TextFunctions {
     * splits per row, a measured 10× slowdown at 5k docs. Catalyst's
     * CollapseProject keeps a two-step projection two-step because the
     * duplicated expression is non-cheap. */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
-    val grams = filter(
-      transform(toks, (_, i) => when(
-        i <= size(toks) - n,
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
-      x => x.isNotNull)
-    array_distinct(grams)
-  }
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    array_distinct(ngramsFromTokens(toks, n))
 
   /** Convenience form over raw text — only for one-shot expressions where
     * the quadratic-split cost cannot bite (tiny arrays, tests). */
@@ -182,11 +176,7 @@ object TextFunctions {
   /** Adjacent word bigrams (with repeats — frequency-analysis unit, unlike
     * the distinct [[shinglesFromTokens]]). `toks` must be a materialized
     * array column (same O(n²) re-evaluation caveat). */
-  def bigramsFromTokens(toks: Column): Column =
-    filter(
-      transform(toks, (t, i) => when(i < size(toks) - 1,
-        concat(t, lit(" "), element_at(toks, i + 2)))),
-      x => x.isNotNull)
+  def bigramsFromTokens(toks: Column): Column = ngramsFromTokens(toks, 2)
 
   /** Word n-grams WITH repeats (frequency-analysis unit — the
     * [[shinglesFromTokens]] shape without the distinct; generalizes

@@ -60,13 +60,20 @@ object Dsir {
     * with add-1 smoothing over `buckets` cells. Every bucket gets a row
     * (a spine join), so unseen buckets carry the smoothed floor. */
   def logRatioTable(target: DataFrame, raw: DataFrame, textCol: String,
-      idCol: String, buckets: Int): DataFrame = {
+      idCol: String, buckets: Int): DataFrame =
+    logRatioFromCounts(bucketCounts(target, textCol, idCol, buckets),
+      bucketCounts(raw, textCol, idCol, buckets), buckets)
+
+  /** [[logRatioTable]] over precomputed (id, bucket, cnt) tables — the
+    * entry point [[dsirWeights]] uses so ONE raw-corpus bucket pass
+    * feeds both the raw model and the per-doc weights. */
+  def logRatioFromCounts(targetCounts: DataFrame, rawCounts: DataFrame,
+      buckets: Int): DataFrame = {
     def slice(df: DataFrame): DataFrame =
-      bucketCounts(df, textCol, idCol, buckets)
-        .groupBy(col("bucket")).agg(sum(col("cnt")).as("c"))
-    val t = slice(target)
-    val r = slice(raw)
-    val spark = target.sparkSession
+      df.groupBy(col("bucket")).agg(sum(col("cnt")).as("c"))
+    val t = slice(targetCounts)
+    val r = slice(rawCounts)
+    val spark = targetCounts.sparkSession
     val spine = spark.range(0, buckets).select(col("id").as("bucket"))
     def logp(c: Column, total: Column): Column =
       round(log((c + lit(1.0)) / (total + lit(buckets.toDouble))), 8)
@@ -90,12 +97,36 @@ object Dsir {
     * evidence either way. */
   def importanceWeights(raw: DataFrame, ratios: DataFrame, textCol: String,
       idCol: String, buckets: Int): DataFrame =
-    bucketCounts(raw, textCol, idCol, buckets)
+    importanceFromCounts(bucketCounts(raw, textCol, idCol, buckets), ratios)
+
+  /** [[importanceWeights]] over a precomputed raw-count table. */
+  def importanceFromCounts(rawCounts: DataFrame,
+      ratios: DataFrame): DataFrame =
+    rawCounts
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(col("id"))
       .agg(round(
         sum(round(col("cnt") * col("ratio"), 8).cast(DecimalType(28, 10)))
           .cast("double"), 6).as("logw"))
+
+  /** The composed weights pipeline: the raw corpus is bucket-counted
+    * ONCE (pinned with a localCheckpoint so the ratio aggregate and the
+    * weight join cannot recompute the corpus-scale explode), both slice
+    * models are checked non-degenerate — an empty/bigram-free slice
+    * would otherwise null every ratio and silently reduce the "weighted"
+    * sample to an id-ordered head — and the B-row ratio table feeds the
+    * per-doc sum. */
+  def dsirWeights(target: DataFrame, raw: DataFrame, textCol: String,
+      idCol: String, buckets: Int): DataFrame = {
+    val rawCounts = bucketCounts(raw, textCol, idCol, buckets)
+      .localCheckpoint()
+    val targetCounts = bucketCounts(target, textCol, idCol, buckets)
+      .localCheckpoint()
+    require(!targetCounts.isEmpty, "DSIR target slice has no bigrams")
+    require(!rawCounts.isEmpty, "DSIR raw slice has no bigrams")
+    importanceFromCounts(rawCounts,
+      logRatioFromCounts(targetCounts, rawCounts, buckets))
+  }
 
   /** Gumbel-max weighted resampling without replacement: k docs drawn
     * ∝ exp(logw) via score = logw + Gumbel(doc_id, salt), global top-k
@@ -111,7 +142,12 @@ object Dsir {
     val u = (conv(substring(md5(concat(col("id").cast("string"),
         lit(":" + salt))), 1, 13), 16, 10).cast("double") + lit(1.0)) /
       lit(4503599627370496.0)
-    val lnU = round(log(u), 8)
+    // Clamp lnU away from 0: a uniform within ~5e-9 of 1 (or exactly 1
+    // — reachable, u = (h+1)/2^52) rounds ln(u) to 0, and ln(0) is NULL
+    // on Spark but -inf on DuckDB — a doc that would sort last on one
+    // engine and FIRST on the other. The clamp caps the Gumbel at
+    // -ln(1e-8) ≈ 18.4, far above any real draw's influence.
+    val lnU = least(round(log(u), 8), lit(-1.0e-8))
     val g = -round(log(-lnU), 8)
     weights
       .withColumn("score", round(col("logw") + g, 6))

@@ -215,10 +215,9 @@ object ExtensionQueries extends graft.QueryModule {
     "docs_quality_scored" -> { (s, dir) =>
       import s.implicits._
       val w = trainQualityModel(s, dir)
-      val sc = graft.functions.QualityModel.score(
-        Tables.documents(s, dir), "text", "n_chars", w)
+      val sc = graft.functions.QualityModel.score("text", "n_chars", w)
       Tables.documents(s, dir)
-        .filter($"text".isNotNull)
+        .filter($"text".isNotNull && $"n_chars".isNotNull)
         .select($"doc_id", sc.as("score"))
         .withColumn("predicted", $"score" >= 0.5)
         .orderBy($"doc_id")
@@ -242,11 +241,8 @@ object ExtensionQueries extends graft.QueryModule {
     // rounded at 8, decimal term sums).
     "docs_dsir_weights" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val target = docs.filter(col("source") === "src0")
-      val raw = docs.filter(col("source") =!= "src0")
-      val ratios = graft.ops.Dsir.logRatioTable(target, raw,
-        "text", "doc_id", 256)
-      graft.ops.Dsir.importanceWeights(raw, ratios, "text", "doc_id", 256)
+      graft.ops.Dsir.dsirWeights(docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"), "text", "doc_id", 256)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
@@ -257,12 +253,9 @@ object ExtensionQueries extends graft.QueryModule {
     // global top-k, never a single-partition window.
     "docs_dsir_sample" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val target = docs.filter(col("source") === "src0")
-      val raw = docs.filter(col("source") =!= "src0")
-      val ratios = graft.ops.Dsir.logRatioTable(target, raw,
-        "text", "doc_id", 256)
-      val wts = graft.ops.Dsir.importanceWeights(raw, ratios,
-        "text", "doc_id", 256)
+      val wts = graft.ops.Dsir.dsirWeights(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), "text", "doc_id", 256)
       graft.ops.Dsir.gumbelResample(wts, 50, "dsir-v1")
         .select(col("id").as("doc_id"), col("logw"), col("score"))
     },
@@ -1332,7 +1325,7 @@ object ExtensionQueries extends graft.QueryModule {
          |    ($mtl) / 20.0 AS f4,
          |    CASE WHEN len($toks) BETWEEN 10 AND 100000
          |      AND $sr >= 0.05 AND $mtl <= 12.0 THEN 1.0 ELSE 0.0 END AS y
-         |  FROM documents WHERE text IS NOT NULL),
+         |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
          |w0 AS (SELECT """.stripMargin)
     sb.append((0 until 5).map(j => s"0.0 AS w$j").mkString(", ")).append(")")
     for (k <- 1 to qualityModelIters) {
@@ -1710,9 +1703,9 @@ object ExtensionQueries extends graft.QueryModule {
     "docs_dsir_sample" ->
       s"""WITH $dsirWeightCtes
          |SELECT doc_id, logw,
-         |  round(logw - round(ln(-round(ln(
+         |  round(logw - round(ln(-least(round(ln(
          |    (CAST(('0x' || substr(md5(doc_id::VARCHAR || ':dsir-v1'), 1, 13))::BIGINT AS DOUBLE) + 1.0)
-         |      / 4503599627370496.0), 8)), 8), 6) AS score
+         |      / 4503599627370496.0), 8), -1.0e-8)), 8), 6) AS score
          |FROM wts
          |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
 

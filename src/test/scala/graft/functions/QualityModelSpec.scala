@@ -28,7 +28,7 @@ class QualityModelSpec extends AnyFunSuite with SparkTestBase {
       .filter($"text".isNotNull)
     val w = QualityModel.train(docs, "text", "n_chars", fixtureLabel)
     val scored = docs.select(fixtureLabel.as("y"),
-      QualityModel.score(docs, "text", "n_chars", w).as("s"))
+      QualityModel.score("text", "n_chars", w).as("s"))
       .as[(Double, Double)].collect()
     val pos = scored.filter(_._1 == 1.0).map(_._2)
     val neg = scored.filter(_._1 == 0.0).map(_._2)
@@ -52,7 +52,7 @@ class QualityModelSpec extends AnyFunSuite with SparkTestBase {
       .withColumn("n_chars", length($"text"))
     val w = QualityModel.train(docs, "text", "n_chars", fixtureLabel)
     val scored = docs.select($"doc_id",
-      QualityModel.score(docs, "text", "n_chars", w).as("s"))
+      QualityModel.score("text", "n_chars", w).as("s"))
       .as[(Long, Double)].collect().toMap
     val worstGood = good.map(g => scored(g._1)).min
     val bestBad = bad.map(b => scored(b._1)).max
@@ -67,7 +67,7 @@ class QualityModelSpec extends AnyFunSuite with SparkTestBase {
       .withColumn("n_chars", coalesce(length($"text"), lit(0)))
     val w = QualityModel.train(docs, "text", "n_chars", fixtureLabel)
     val s2 = docs.select($"doc_id",
-      QualityModel.score(docs, "text", "n_chars", w).as("s"))
+      QualityModel.score("text", "n_chars", w).as("s"))
       .as[(Long, Option[Double])].collect().toMap
     assert(s2(1L).isDefined)
     assert(s2(2L).isEmpty, "null text must score null, not a default")
