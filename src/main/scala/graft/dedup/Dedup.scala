@@ -486,12 +486,19 @@ object Dedup {
     units.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .groupBy(col("id"))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
-            e => e.getField("unit")), joiner).as("text_deduped"),
+      .agg(joinInOrder("pos", "unit", joiner).as("text_deduped"),
         count(lit(1)).as("n_units_kept"))
   }
+
+  /** Reassemble surviving (pos, piece) rows of a document back into one
+    * string, in position order — the reassembly step [[unitDedup]] and
+    * [[removeDuplicatedSpans]] share (an aggregate column for a
+    * groupBy(id).agg(...)). */
+  private def joinInOrder(posCol: String, pieceCol: String,
+      joiner: String): Column =
+    array_join(
+      transform(array_sort(collect_list(struct(col(posCol), col(pieceCol)))),
+        e => e.getField(pieceCol)), joiner)
 
   /** Substring-level duplication profile (the token-granular form of
     * exact-substring training-data dedup, cf. Lee et al. 2022, "Deduplicating
@@ -537,6 +544,74 @@ object Dedup {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("__occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+  }
+
+  /** Exact-substring REMOVAL — the repair [[duplicatedSpans]] only
+    * profiles, completing Lee et al. 2022: every NON-FIRST occurrence
+    * of a duplicated `windowTokens`-token span is cut from its document
+    * and the remainder survives, so boilerplate repeated across the
+    * corpus is kept exactly once (in its globally first document) while
+    * the unique prose around it is preserved — the reason production
+    * pipelines prefer substring removal over whole-document dropping.
+    *
+    * Semantics: a span occurrence at (id, pos) is REMOVED iff another
+    * occurrence of its normalized form (lowercase, whitespace
+    * collapsed — [[TextFunctions.fingerprint]]'s normalization) sorts
+    * strictly earlier by (id, pos) anywhere in the corpus, including
+    * within the same document. Removal marks the occurrence's
+    * `windowTokens` token slots; overlapping marked spans union their
+    * slots; the surviving tokens reassemble in order (the [[unitDedup]]
+    * reassembly helper). Returns (id, text_cleaned, n_tokens_kept,
+    * n_tokens_removed) for every non-null-text document — docs shorter
+    * than the window have no spans and pass through unchanged; a doc
+    * that is entirely duplicated text keeps its row with an empty
+    * string (removal is a repair, not a drop — the caller decides on
+    * empty survivors). Null-text docs carry no tokens and emit no row
+    * ([[duplicatedSpans]]' convention).
+    *
+    * Scale shape: tokens and spans explode (rows ∝ corpus tokens); ONE
+    * digest-keyed window finds first occurrences (same
+    * xxhash64 ∥ murmur3 pair as [[duplicatedSpans]] — 96 bits below
+    * the exchange, collision odds documented there); marked spans fan
+    * out ×windowTokens (duplication-proportional, not corpus-
+    * proportional); one (id, idx) anti-join filters tokens and one
+    * id-keyed aggregate reassembles. Never a corpus self-join, never a
+    * per-doc quadratic scan. */
+  def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val toks = split(col(textCol), " ")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), toks.as("tk"))
+    val tokens = base.select(col("id"),
+      posexplode(col("tk")).as(Seq("pos", "tok")))
+    val spans = base
+      .select(col("id"), col("tk"),
+        explode(when(size(col("tk")) >= windowTokens,
+          sequence(lit(0), size(col("tk")) - windowTokens))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("id"), col("pos"), regexp_replace(trim(lower(array_join(
+        slice(col("tk"), col("pos") + 1, lit(windowTokens)), " "))),
+        "\\s+", " ").as("__norm"))
+    val w = Window.partitionBy(xxhash64(col("__norm")), hash(col("__norm")))
+      .orderBy(col("id"), col("pos"))
+    val removed = spans
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(windowTokens - 1)))
+          .as("pos"))
+      .distinct()
+    tokens.join(removed, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(joinInOrder("pos", "tok", " ").as("text_cleaned"),
+        count(lit(1)).as("n_tokens_kept"))
+      .join(base.select(col("id"), size(col("tk")).cast("long").as("__n")),
+        Seq("id"), "right_outer")
+      .select(col("id"), coalesce(col("text_cleaned"), lit("")).as("text_cleaned"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__n") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .as("n_tokens_removed"))
   }
 
   /** Benchmark-contamination ratio: for every corpus document, the

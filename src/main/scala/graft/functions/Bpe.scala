@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   *      merge over only the words containing the merged pair, the
   *      HF-tokenizers algorithm). A real 30k–100k-merge vocabulary is
   *      then 30k heap pops, not 30k Spark job sets. Above the limit the
-  *      distributed per-iteration loop (pair-count aggregate → one-row
-  *      argmax → merge rewrite) takes over; both tiers are pure
-  *      functions of the corpus and produce IDENTICAL merge tables
-  *      (tie-break below), which BpeSpec pins by running both.
+  *      BATCHED distributed loop takes over (pair-count aggregate →
+  *      top-k collect → safe-prefix batch of merges per rewrite pass,
+  *      so k merges need k/|batch| job sets — see [[safePrefix]]'s
+  *      equality argument); all tiers are pure functions of the corpus
+  *      and produce IDENTICAL merge tables (tie-break below), which
+  *      BpeSpec/LawsProps pin by running both.
   *
   * Determinism: ties in pair counts break lexicographically on (left,
   * right) in CODE-POINT order — Spark's string ordering is UTF-8 binary
@@ -202,7 +204,8 @@ object Bpe {
     * ≤ `localTypeLimit` (default 4M types — a few hundred MB of driver
     * state, the standard tokenizer-training envelope) it is collected
     * ONCE and [[trainLocal]] solves all merges driver-side. Above the
-    * limit the distributed loop runs one argmax job set per merge, with
+    * limit the BATCHED distributed loop runs one job set per safe batch
+    * of merges (not per merge — [[trainDistributed]]), with
     * localCheckpointed iteration state (k chained HOF rewrites would
     * otherwise stack k aggregate lambdas into one plan and codegen
     * super-linearly). Both tiers produce the identical merge table. */
@@ -225,9 +228,42 @@ object Bpe {
     } else trainDistributed(words, numMerges, minCount)
   }
 
-  /** The distributed merge loop — one (pair-count aggregate → one-row
-    * argmax collect → merge rewrite) job set per merge, on the word-type
-    * table. The tier for vocabularies too large to collect. */
+  /** Top-k candidates fetched per distributed iteration — bounds both
+    * the collect (k small rows) and the largest possible batch. */
+  private[graft] val DistributedBatchCandidates = 64
+
+  /** BATCHED distributed merge loop (r8) — the tier for vocabularies too
+    * large to collect. Instead of one job set per merge, each iteration
+    * fetches the top-[[DistributedBatchCandidates]] pairs and applies
+    * the longest SAFE prefix of them in ONE rewrite pass, so a k-merge
+    * vocabulary needs k/|batch| job sets while producing the IDENTICAL
+    * merge table the sequential argmax would (the tier-equality law in
+    * LawsProps/BpeSpec runs THIS path via localTypeLimit = 0).
+    *
+    * Safe prefix, and why it preserves sequential semantics exactly:
+    * accept candidates in (cnt desc, a asc, b asc) order while
+    *
+    *  1. SYMBOL-DISJOINT: the candidate's {left, right, merged} strings
+    *     share no symbol with any earlier accepted candidate's set.
+    *     Rewrites of disjoint pairs touch disjoint symbol positions, so
+    *     applying them in one pass equals applying them sequentially,
+    *     and no accepted pair's count is changed by another's rewrite.
+    *  2. STRICTLY ABOVE THE HORIZON: every accepted count stays > the
+    *     "horizon" = the count of the first rejected (symbol-sharing)
+    *     candidate, or of the (k+1)-ranked fetch boundary when nothing
+    *     in the fetched window was rejected. Any pair NOT in the
+    *     accepted prefix that could beat a later accepted merge in the
+    *     true sequential run — a symbol-sharing pair whose count a
+    *     rewrite changes, or a NEW pair created by a rewrite (its count
+    *     is bounded by its parent symbol-sharing pair's) — has count ≤
+    *     that horizon, hence strictly below every accepted merge: the
+    *     sequential argmax at step j provably picks accepted[j].
+    *
+    * The first candidate is always applied even when the safe prefix is
+    * empty past it (rule 2 can trim to nothing on count ties at the
+    * horizon) — that is exactly one sequential step, always sound — so
+    * the loop can never stall. Iteration state stays localCheckpointed
+    * (chained HOF rewrites would stack lambdas into one plan). */
   private def trainDistributed(words: DataFrame, numMerges: Int,
       minCount: Long): DataFrame = {
     val spark = words.sparkSession
@@ -242,8 +278,9 @@ object Bpe {
     var done = false
     while (rank <= numMerges && !done) {
       // Pair counts at vocabulary scale: explode adjacent symbol pairs,
-      // weight by word frequency.
-      val best = types
+      // weight by word frequency; fetch the top-k window.
+      val fetch = DistributedBatchCandidates + 1
+      val top = types
         .where(size($"syms") >= 2)
         .select($"freq", $"syms",
           explode(sequence(lit(1), size($"syms") - 1)).as("i"))
@@ -251,20 +288,53 @@ object Bpe {
           element_at($"syms", $"i".cast("int") + 1).as("b"))
         .agg(sum($"freq").as("cnt"))
         .orderBy($"cnt".desc, $"a".asc, $"b".asc)
-        .limit(1)
+        .limit(fetch)
         .as[(String, String, Long)].collect()
-      best.headOption.filter(_._3 >= minCount) match {
-        case None => done = true
-        case Some((a, b, cnt)) =>
-          merges += ((rank, a, b, a + b, cnt))
-          types = types
-            .select($"freq", mergePair($"syms", a, b).as("syms"))
-            .localCheckpoint()
-          rank += 1
+      if (top.isEmpty || top.head._3 < minCount) done = true
+      else {
+        val prefix = safePrefix(top, fetch).take(numMerges - rank + 1)
+        val batch = prefix.takeWhile(_._3 >= minCount)
+        batch.foreach { case (a, b, cnt) =>
+          merges += ((rank, a, b, a + b, cnt)); rank += 1
+        }
+        // minCount stop: by the safety proof the sequential argmax at
+        // the first trimmed step IS the trimmed candidate, whose count
+        // is below the floor — sequential training would stop here.
+        if (batch.size < prefix.size) done = true
+        types = types
+          .select($"freq", batch.foldLeft($"syms".as("syms")) {
+            case (s, (a, b, _)) => mergePair(s, a, b)
+          }.as("syms"))
+          .localCheckpoint()
       }
     }
     merges.toSeq
       .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** The safe batch prefix of a ranked candidate window (see
+    * [[trainDistributed]]): symbol-disjoint prefix, trimmed strictly
+    * above the first-rejection/window-boundary horizon; never empty —
+    * falls back to the single top candidate (one sequential step). */
+  private[graft] def safePrefix(top: Array[(String, String, Long)],
+      fetch: Int): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    val used = scala.collection.mutable.HashSet.empty[String]
+    var horizon = // nothing rejected yet: the fetch-window boundary
+      if (top.length >= fetch) top.last._3 else Long.MinValue
+    var i = 0
+    var open = true
+    while (open && i < math.min(top.length, fetch - 1)) {
+      val (a, b, cnt) = top(i)
+      if (!used(a) && !used(b) && !used(a + b)) {
+        accepted += ((a, b, cnt))
+        used += a; used += b; used += a + b
+        i += 1
+      } else { horizon = math.max(horizon, cnt); open = false }
+    }
+    val safe = accepted.takeWhile(_._3 > horizon)
+    if (safe.nonEmpty) safe.toSeq else Seq(top.head)
   }
 
   /** Above this many merges [[segment]] switches from the chained-HOF
@@ -315,20 +385,42 @@ object Bpe {
     * [[segmentEncoded]] repeatedly with the same trained table — every
     * re-run of a registered query does — must not accumulate a new
     * multi-MB broadcast per call for the session's lifetime. Weak on the
-    * context so a restarted session's stale handles are collectable. */
+    * context so a restarted session's stale handles are collectable.
+    *
+    * BOUNDED (r8): a long-lived session that RETRAINS periodically
+    * yields a new distinct table per retrain; without eviction each
+    * leaves a multi-MB broadcast pinned forever. Per context the map is
+    * an access-order LRU of [[BcCacheSize]] tables whose evictees are
+    * destroyed — eviction means the 9th distinct
+    * vocabulary in one session, by which point no job still references
+    * the oldest one (a query holds its broadcast only while its own
+    * plan executes, and re-requesting an evicted table just re-broadcasts). */
+  private[graft] val BcCacheSize = 8
+
   private val bcCache = new java.util.WeakHashMap[
     org.apache.spark.SparkContext,
-    scala.collection.mutable.Map[Seq[(String, String)], MergeBc]]
+    java.util.LinkedHashMap[Seq[(String, String)], MergeBc]]
 
   private def mergeBroadcast(merges: Seq[(String, String)]): MergeBc =
     bcCache.synchronized {
       val sc = SparkSession.active.sparkContext
       val perCtx = Option(bcCache.get(sc)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[Seq[(String, String)], MergeBc]
+        val m = new java.util.LinkedHashMap[Seq[(String, String)], MergeBc](
+          16, 0.75f, /* accessOrder = */ true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[Seq[(String, String)], MergeBc]): Boolean =
+            size() > BcCacheSize && {
+              try e.getValue.destroy()
+              catch { case _: Throwable => () } // already destroyed/stopped ctx
+              true
+            }
+        }
         bcCache.put(sc, m); m
       }
-      perCtx.getOrElseUpdate(merges,
-        sc.broadcast((merges.toArray, merges.zipWithIndex.toMap)))
+      Option(perCtx.get(merges)).getOrElse {
+        val bc = sc.broadcast((merges.toArray, merges.zipWithIndex.toMap))
+        perCtx.put(merges, bc); bc
+      }
     }
 
   /** The production apply: ONE broadcast of the (pair → rank) map and a

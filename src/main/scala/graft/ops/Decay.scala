@@ -48,7 +48,8 @@ object Decay {
         round(sum(col("__dv")).cast(DoubleType), 4).as("decayed_sum"))
   }
 
-  case class DecayEvent(key: Long, tsMicros: Long, value: Double)
+  case class DecayEvent(key: Long, tsMicros: Long, value: Double,
+      eventId: Long = 0L)
   case class DecayScore(key: Long, n_events: Long, decayed_sum: Double,
       at_micros: Long)
 
@@ -74,7 +75,18 @@ object Decay {
     * keys with a timeout, kept out of scope here to keep the fold law
     * the whole story. The same call runs on a batch Dataset unchanged
     * (one pass per key — batch ≡ stream, like EventsOps.runningTotals).
-    */
+    *
+    * Determinism (r8): each batch's group folds in (tsMicros, eventId)
+    * order — the iterator is materialized and sorted per key per batch,
+    * bounded state since a grouped iterator is per-key-per-batch anyway
+    * — and [[fold]] rounds its one libm call (pow) at 8 decimals, so
+    * the result is a PURE FUNCTION of the data whenever batches arrive
+    * time-ordered (trivially true for the single-batch AvailableNow
+    * replay the registered query runs, and for time-partitioned file
+    * arrival). That is what lets stream_decay be oracle-exact: DuckDB
+    * replays the identical chain with list_reduce over the same sort.
+    * Out-of-order BATCHES still obey the weaker law (arrival order
+    * changes only float rounding, never the math — LawsProps). */
   def decayedSumStream(events: Dataset[DecayEvent],
       halfLifeHours: Double): Dataset[DecayScore] = {
     require(halfLifeHours > 0, s"halfLifeHours must be positive: $halfLifeHours")
@@ -85,8 +97,8 @@ object Decay {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[DecayEvent],
             state: GroupState[(Double, Long, Long)]) =>
-          val folded = it.foldLeft(
-            state.getOption.getOrElse(emptyState))(
+          val folded = it.toArray.sortBy(e => (e.tsMicros, e.eventId))
+            .foldLeft(state.getOption.getOrElse(emptyState))(
             (st, e) => fold(st, e.tsMicros, e.value, hlMicros))
           state.update(folded)
           Iterator(DecayScore(key, folded._2, folded._1, folded._3))
@@ -98,16 +110,31 @@ object Decay {
 
   /** One arrival folded into (sum, n, lastMicros) — the pure core of
     * [[decayedSumStream]], factored out so the order-independence law is
-    * testable without a streaming harness (LawsProps). */
+    * testable without a streaming harness (LawsProps).
+    *
+    * The decay factor (the step's ONE libm call) is rounded at 8
+    * decimals immediately — the repo's standard rounded-libm recipe —
+    * via the same Double.toString-based BigDecimal path Spark's own
+    * `round` takes, so a DuckDB `round(pow(2.0, x), 8)` replay of the
+    * sorted chain reproduces the fold bit-for-bit (the remaining
+    * multiply and add are single IEEE ops, identical on both engines;
+    * multiplication/addition commutativity keeps operand order
+    * irrelevant). */
   private[graft] def fold(state: (Double, Long, Long), tsMicros: Long,
       value: Double, hlMicros: Double): (Double, Long, Long) = {
     val (sum, n, last) = state
     if (last == Long.MinValue) (value, n + 1, tsMicros)
     else if (tsMicros >= last)
-      (sum * math.pow(2.0, -(tsMicros - last) / hlMicros) + value,
+      (sum * pow2r8(-(tsMicros - last) / hlMicros) + value,
         n + 1, tsMicros)
     else
-      (sum + value * math.pow(2.0, -(last - tsMicros) / hlMicros),
+      (sum + value * pow2r8(-(last - tsMicros) / hlMicros),
         n + 1, last)
   }
+
+  /** 2^x rounded at 8 decimals (HALF_UP on the shortest decimal
+    * representation — Spark's round semantics, matching DuckDB's). */
+  private def pow2r8(x: Double): Double =
+    java.math.BigDecimal.valueOf(math.pow(2.0, x))
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
 }

@@ -20,7 +20,11 @@ import graft.functions.TextFunctions
   *    [[graft.dedup.Dedup.tokenChunks]] convention).
   *
   * Null fractions (too few tokens to form the unit) keep the document:
-  * no evidence is not evidence of spam. A doc with exactly ONE unit of
+  * no evidence is not evidence of spam. That policy is TOTAL (r8):
+  * null-text documents — which produce no grams at all — still get a
+  * row (null fractions, every rule true, keep=true) via a union of the
+  * filtered subset, so a caller composing the gate with an inner join
+  * on id cannot silently discard them. A doc with exactly ONE unit of
   * a kind is maximally concentrated by construction (frac 1.0 → rule
   * fires) — deliberate: Gopher composes these rules after the
   * minimum-length gate (docs_gopher_rules' r_word_count), which is
@@ -58,7 +62,7 @@ object Repetition {
       .groupBy(col("id"), col("n"))
       .agg(sum(col("cnt")).as("total"), max(col("cnt")).as("top"),
         sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup"))
-    st.groupBy(col("id"))
+    val scored = st.groupBy(col("id"))
       .agg(
         max(when(col("n") === 2, frac(col("top"), col("total"))))
           .as("top_bigram_frac"),
@@ -76,6 +80,19 @@ object Repetition {
           .as("r_dup_chunk"))
       .withColumn("keep",
         col("r_top_bigram") && col("r_dup_trigram") && col("r_dup_chunk"))
+    // Null-text docs produced no grams — re-attach them with the
+    // documented no-evidence verdict instead of dropping the row. A
+    // cheap union of the tiny filtered subset, not a corpus-wide join:
+    // every non-null text yields at least one 10-token chunk, so only
+    // the null-text filter above removes documents.
+    val kept = docs.filter(col(textCol).isNull)
+      .select(col(idCol).as("id"),
+        lit(null).cast("double").as("top_bigram_frac"),
+        lit(null).cast("double").as("dup_trigram_frac"),
+        lit(null).cast("double").as("dup_chunk_frac"),
+        lit(true).as("r_top_bigram"), lit(true).as("r_dup_trigram"),
+        lit(true).as("r_dup_chunk"), lit(true).as("keep"))
+    scored.unionByName(kept)
   }
 
   private def tag(n: Int, grams: Column): Column =

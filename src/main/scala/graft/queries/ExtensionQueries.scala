@@ -68,38 +68,41 @@ object ExtensionQueries extends graft.QueryModule {
 
     // Distributed BPE merge training (Sennrich 2016): 20 merges learned
     // from the corpus — ONE corpus pass to word frequencies, then every
-    // iteration runs at vocabulary scale. Deliberately oracle-free: the
-    // per-iteration data-dependent argmax is not replayable as one SQL
-    // statement — so the FULL sf0.01 merge table is pinned by a
-    // committed golden (GoldenOutputSpec), and the iteration-0 pair
-    // counts are oracle-checked via text_bpe_pair_counts below.
+    // iteration runs at vocabulary scale. Oracle-exact (r8): the DuckDB
+    // oracle replays all 20 data-dependent (pair-count → argmax →
+    // rewrite) iterations as chained CTEs over the wrapped-symbol word
+    // state — the docs_quality_model chained-CTE recipe applied to the
+    // training loop itself, valid at ANY scale because the oracle
+    // trains on the same corpus. The sf0.01 merge table additionally
+    // stays pinned by a committed golden (GoldenOutputSpec) because it
+    // is the FIXED configuration the text_bpe_segments query applies.
     "text_bpe_merges" -> { (s, dir) =>
       graft.functions.Bpe.train(Tables.documents(s, dir), "text", 20)
         .orderBy(col("rank"))
     },
 
-    // The apply leg of BPE: segment every document with the 20 trained
-    // merges (train at vocabulary scale, then ONE distributed pass of
-    // chained per-word merge folds) and report per-doc subword counts —
-    // the corpus tokenization step a trained vocabulary exists for.
-    // Oracle-replayed (r7): the DuckDB oracle applies the COMMITTED
-    // golden merge table via wrapped-symbol replace() chains — valid at
-    // sf0.01 where training reproduces the golden exactly. Training
-    // itself (text_bpe_merges) stays golden-pinned, and the segment
-    // column is law-tested against the encodeWord reference in BpeSpec.
+    // The apply leg of BPE: segment every document with a FIXED trained
+    // merge table (the committed sf0.01 golden) and report per-doc
+    // subword counts — the corpus tokenization step a trained
+    // vocabulary exists for, which in production applies a table
+    // trained ONCE to any later corpus. Both sides apply the SAME
+    // committed table (r8 — the Spark side no longer retrains live, so
+    // the query is valid at any scale instead of only where training
+    // happens to reproduce the golden): the DuckDB oracle applies it
+    // via wrapped-symbol replace() chains, training itself is pinned
+    // oracle-exact by text_bpe_merges, and the segment column is
+    // law-tested against the encodeWord reference in BpeSpec.
     "text_bpe_segments" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val merges = graft.functions.Bpe.train(docs, "text", 20)
-        .orderBy($"rank").select($"left", $"right")
-        .as[(String, String)].collect().toSeq // <= 20 rows of driver state
+      val merges = goldenBpeMerges // <= 20 rows of committed config
       // Segment WORD TYPES, not instances: the k chained merge folds are
       // interpreted (HOFs don't codegen), so running them per word
       // INSTANCE cost 30 s at sf0.1 — per distinct word it is vocabulary
       // -scale work and the instances get their counts via a join the
-      // optimizer broadcasts (5.2 s total, 2.9 of which is the training
-      // loop; same results). The same split is what scales: 100 TB of
-      // text has millions of word types, not trillions of instances.
+      // optimizer broadcasts (same results). The same split is what
+      // scales: 100 TB of text has millions of word types, not
+      // trillions of instances.
       val wordsOf = (d: org.apache.spark.sql.DataFrame) => d
         .select($"doc_id", explode(TextFunctions.tokens($"text")).as("w"))
         .where($"w" =!= "")
@@ -149,6 +152,24 @@ object ExtensionQueries extends graft.QueryModule {
       Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
         .orderBy($"doc_id")
         .select($"doc_id", $"lang", TextFunctions.langId($"text").as("lang_pred"))
+    },
+
+    // LEARNED language-ID (r8): multinomial Naive Bayes over hashed
+    // char-bigram buckets (the fasttext-langid shape; LangModel),
+    // trained on the corpus's own lang labels and classifying the same
+    // corpus. Counting-based training makes the WHOLE model
+    // oracle-replayable without iteration: bucket log-probs, priors,
+    // decimal score sums and the (score desc, lang desc) argmax all
+    // replay in one SQL statement. Accuracy on real multi-language
+    // prose and on the corpus labels is pinned by LangModelSpec.
+    "text_langid_model" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      docs.select($"doc_id", $"lang")
+        .join(graft.functions.LangModel
+          .selfClassify(docs, "text", "lang", "doc_id", 256)
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+        .orderBy($"doc_id")
     },
 
     // Repetition quality signal: distinct-token fraction and the top
@@ -343,6 +364,19 @@ object ExtensionQueries extends graft.QueryModule {
     "dedup_paragraphs" -> { (s, dir) =>
       Dedup.unitDedup(Tables.documents(s, dir), "text", "doc_id",
         t => Dedup.tokenChunks(t, 10))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact-substring REMOVAL (r8), completing Lee et al. 2022: every
+    // non-first occurrence of a duplicated 10-token span is cut and the
+    // remainder reassembled — the repair dedup_spans only profiles.
+    // First occurrence is global (id, pos) order; overlapping removals
+    // union; sub-window docs pass through; fully-duplicated docs keep
+    // an empty-string row.
+    "dedup_span_removal" -> { (s, dir) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, dir), "text",
+        "doc_id", 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
@@ -1167,13 +1201,12 @@ object ExtensionQueries extends graft.QueryModule {
     // The decayed-counter STREAMING leg under the bench watch (r7): the
     // events table through flatMapGroupsWithState's O(1)-per-key fold
     // state (Decay.decayedSumStream), Update mode, AvailableNow.
-    // Deliberately NO SQL oracle: the fold applies exp factors in
-    // group-iterator order, which is partition-dependent — the law that
-    // arrival order changes only float rounding (never the math) is
-    // property-pinned against the batch form at a shared horizon
-    // (DecaySpec/LawsProps), and an exact-hash replay would pin an
-    // order the operator does not promise. The driver's rows-only check
-    // still pins |keys|.
+    // Oracle-exact (r8): the fold now sorts each key's batch by
+    // (tsMicros, eventId) and rounds its one libm call (pow) at 8
+    // decimals, so the result is a pure function of the data — DuckDB
+    // replays the identical per-key chain with list_reduce over the
+    // same sort. The weaker arrival-order law stays property-pinned
+    // for out-of-order batches (DecaySpec/LawsProps).
     "stream_decay" -> { (s, dir) =>
       import s.implicits._
       // coalesce(value, 0.0): DecayEvent.value is primitive, and 0.0
@@ -1182,7 +1215,8 @@ object ExtensionQueries extends graft.QueryModule {
       // contract for null mapping).
       val src = eventsStream(s, dir)
         .select($"user_id".as("key"), unix_micros($"ts").as("tsMicros"),
-          coalesce($"value", lit(0.0)).as("value"))
+          coalesce($"value", lit(0.0)).as("value"),
+          $"event_id".as("eventId"))
         .as[graft.ops.Decay.DecayEvent]
       val name = "stream_decay_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -1562,19 +1596,74 @@ object ExtensionQueries extends graft.QueryModule {
         |  CAST(SUM(freq) AS BIGINT) AS cnt
         |FROM pos GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
 
+    // Replays ALL 20 BPE training iterations as chained CTEs — the
+    // docs_quality_model recipe (k data-dependent steps, each one CTE
+    // layer) applied to the training loop, disproving r7's "the
+    // per-iteration argmax is not one SQL statement". Word state is the
+    // wrapped-symbol string of the segments oracle (chr(1)·sym·chr(2)
+    // per symbol); each iteration derives the symbol list by splitting
+    // on the chr(2)chr(1) boundary, counts OVERLAPPING adjacent pairs
+    // weighted by word frequency (exactly the distributed explode),
+    // argmaxes with the engine's tie-break (cnt DESC, then (a, b) ASC
+    // in binary = code-point order — DuckDB's default VARCHAR order,
+    // the same order Spark's UTF8String gives), and rewrites via the
+    // non-overlapping left-to-right replace(). Early stop (best pair
+    // under min_count) is faithful: the filtered f{i} CTE goes empty,
+    // the LEFT JOIN keeps the state unchanged, and every later
+    // iteration filters to empty too. Scale-independent — the oracle
+    // trains on whatever corpus the gate runs.
+    // MATERIALIZED on every iteration CTE is load-bearing: w{i+1} and
+    // p{i} each reference w{i}, so DuckDB's default inlining would
+    // expand the base scan 2^20 times (observed as fd exhaustion).
+    "text_bpe_merges" -> {
+      val iters = 20
+      val minCount = 2
+      val sb = new StringBuilder
+      sb ++= """WITH words AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE w <> '' AND w IS NOT NULL GROUP BY w),
+        |w1 AS MATERIALIZED (
+        |  SELECT freq, list_aggregate(list_transform(string_split(w, ''),
+        |    c -> chr(1) || c || chr(2)), 'string_agg', '') AS st
+        |  FROM words)""".stripMargin
+      for (i <- 1 to iters) {
+        sb ++= s""",
+          |p$i AS MATERIALIZED (
+          |  SELECT ss[j] AS a, ss[j + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+          |  FROM (
+          |    SELECT freq, ss, unnest(range(1, len(ss))) AS j
+          |    FROM (SELECT freq, string_split(trim(st, chr(1) || chr(2)),
+          |                  chr(2) || chr(1)) AS ss FROM w$i))
+          |  GROUP BY 1, 2),
+          |f$i AS MATERIALIZED (
+          |  SELECT a, b, cnt FROM (
+          |    SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)
+          |  WHERE cnt >= $minCount),
+          |w${i + 1} AS MATERIALIZED (
+          |  SELECT w.freq, CASE WHEN f.a IS NULL THEN w.st
+          |    ELSE replace(w.st, chr(1) || f.a || chr(2) || chr(1) || f.b || chr(2),
+          |                 chr(1) || f.a || f.b || chr(2)) END AS st
+          |  FROM w$i w LEFT JOIN f$i f ON true)""".stripMargin
+      }
+      sb ++= (1 to iters).map(i =>
+        s"""SELECT CAST($i AS INTEGER) AS rank, a AS "left", b AS "right",
+           |  a || b AS merged, cnt AS pair_count FROM f$i""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+      sb.toString
+    },
+
     // Replays the APPLY leg of BPE against the committed sf0.01 merge
     // table (the text_bpe_merges golden, read from the classpath so the
-    // oracle and the golden cannot drift apart). Training itself stays
-    // golden-pinned — the per-iteration argmax is not one SQL statement
-    // — but segmenting with a FIXED table is: each symbol is wrapped as
+    // oracle and the golden cannot drift apart — the SAME fixed table
+    // the Spark side applies, so the check is valid at any scale).
+    // Segmenting with a fixed table is pure SQL: each symbol is wrapped as
     // chr(1)·sym·chr(2) and the greedy left-to-right non-overlapping
     // merge of (a, b) is exactly SQL replace() of the wrapped pair (the
     // wrappers make token boundaries unambiguous, and giving each
     // symbol its own closing chr(2) means adjacent matches share no
     // characters — a single shared separator would break the "aaaa" →
-    // [aa, aa] overlap case). Segments per word = chr(2) count. Valid
-    // at sf0.01, where Spark's trained table equals the golden (pinned
-    // by GoldenOutputSpec).
+    // [aa, aa] overlap case). Segments per word = chr(2) count.
     "text_bpe_segments" -> {
       def esc(s: String) = s.replace("'", "''")
       val state0 = "list_aggregate(list_transform(string_split(w, '')," +
@@ -1694,7 +1783,12 @@ object ExtensionQueries extends graft.QueryModule {
         |  coalesce(top_bigram_frac <= 0.20, TRUE)
         |    AND coalesce(dup_trigram_frac <= 0.29, TRUE)
         |    AND coalesce(dup_chunk_frac <= 0.30, TRUE) AS keep
-        |FROM fr ORDER BY doc_id""".stripMargin,
+        |FROM fr
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), TRUE, TRUE, TRUE, TRUE
+        |FROM documents WHERE text IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "docs_dsir_weights" ->
       s"""WITH $dsirWeightCtes
@@ -2041,6 +2135,51 @@ object ExtensionQueries extends graft.QueryModule {
         |  count(*) AS n_units_kept
         |FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Replays removeDuplicatedSpans string-keyed: sliding 10-token
+    // spans, first occurrence by global (id, pos) per normalized span
+    // (the digest partition ≡ string partition absent 96-bit
+    // collisions — duplicatedSpans' documented bound), non-first
+    // occurrences fan out to their token slots, surviving tokens
+    // reassemble in order; the doc spine restores sub-window and
+    // fully-removed docs.
+    "dedup_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) - 1 AS idx,
+        |    tk[CAST(j AS INTEGER)] AS tok
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS j
+        |        FROM toks)),
+        |spans AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) - 1 AS pos,
+        |    regexp_replace(trim(lower(array_to_string(
+        |      tk[CAST(p AS INTEGER) : CAST(p AS INTEGER) + 9], ' '))),
+        |      '\s+', ' ', 'g') AS norm
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 10 + 2)) AS p
+        |        FROM toks WHERE len(tk) >= 10)),
+        |marked AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+        |    FROM spans) WHERE rn > 1),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, pos + CAST(o AS BIGINT) AS idx
+        |  FROM (SELECT doc_id, pos, unnest(range(0, 10)) AS o FROM marked)),
+        |agg AS (
+        |  SELECT t.doc_id,
+        |    array_to_string(list(t.tok ORDER BY t.idx), ' ') AS text_cleaned,
+        |    CAST(count(*) AS BIGINT) AS n_tokens_kept
+        |  FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.idx = r.idx
+        |  WHERE r.doc_id IS NULL GROUP BY t.doc_id)
+        |SELECT b.doc_id,
+        |  COALESCE(a.text_cleaned, '') AS text_cleaned,
+        |  COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+        |  CAST(len(b.tk) AS BIGINT) - COALESCE(a.n_tokens_kept, 0)
+        |    AS n_tokens_removed
+        |FROM toks b LEFT JOIN agg a ON b.doc_id = a.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
     // Replays the full md5-family MinHash pipeline: per-doc distinct
     // 3-gram sets, 32 min-hash signature slots, 8 bands of 4 rows joined
     // on the raw signature slice, exact-Jaccard verification.
@@ -2293,6 +2432,57 @@ object ExtensionQueries extends graft.QueryModule {
          |  CASE WHEN hits > 0 THEN cand ELSE 'und' END AS lang_pred
          |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
     },
+
+    // Replays the LEARNED langid end-to-end: char-bigram extraction →
+    // md5 buckets → add-1-smoothed per-lang log-probs over the full
+    // lang×bucket spine → priors → decimal score sums → (score desc,
+    // lang desc) argmax, with the no-evidence docs re-attached as
+    // 'und'. Every ln rounded at 8, terms rounded at 8 before the
+    // DECIMAL(28,10) sum, final score rounded at 6 — LangModel's float
+    // discipline verbatim.
+    "text_langid_model" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang, substr(lt, CAST(j AS INTEGER), 2) AS g
+        |  FROM (
+        |    SELECT doc_id, lang, lt, unnest(range(1, length(lt))) AS j
+        |    FROM (SELECT doc_id, lang, lower(text) AS lt FROM documents))),
+        |bg AS (
+        |  SELECT doc_id, ('0x' || substr(md5(g), 1, 7))::BIGINT % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM grams GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT lang, ('0x' || substr(md5(g), 1, 7))::BIGINT % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM grams WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS total FROM tr GROUP BY lang),
+        |spine AS (
+        |  SELECT lang, unnest(range(256)) AS bucket
+        |  FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)),
+        |model AS (
+        |  SELECT s.lang, s.bucket,
+        |    round(ln((COALESCE(tr.c, 0) + 1.0) / (COALESCE(tot.total, 0) + 256.0)), 8) AS logp
+        |  FROM spine s
+        |  LEFT JOIN tr ON s.lang = tr.lang AND s.bucket = tr.bucket
+        |  LEFT JOIN tot ON s.lang = tot.lang),
+        |pr AS (
+        |  SELECT lang, round(ln(CAST(count(*) AS DOUBLE) /
+        |    CAST((SELECT count(*) FROM documents WHERE lang IS NOT NULL) AS DOUBLE)), 8) AS prior
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |sc AS (
+        |  SELECT b.doc_id, m.lang,
+        |    round(CAST(SUM(CAST(round(b.cnt * m.logp, 8) AS DECIMAL(28,10))) AS DOUBLE)
+        |      + ANY_VALUE(pr.prior), 6) AS score
+        |  FROM bg b JOIN model m ON b.bucket = m.bucket
+        |  JOIN pr ON m.lang = pr.lang
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, lang AS pred, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+        |  FROM sc)
+        |SELECT d.doc_id, d.lang, COALESCE(b.pred, 'und') AS lang_pred, b.score
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_embedding_pairs" ->
       """SELECT id_a, id_b, cosine FROM (
@@ -2732,6 +2922,31 @@ object ExtensionQueries extends graft.QueryModule {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Replays Decay.decayedSumStream's deterministic fold: each key's
+    // events sorted by (ts, event_id), list_reduce's first element as
+    // the init state (exactly the fold's first-event case: (value, ts)),
+    // then per step ONE rounded libm call — round(pow(2, -Δµs/hl), 8) —
+    // times the running sum plus the value. The remaining multiply and
+    // add are single IEEE ops, bit-identical across engines given
+    // identical operands, so the raw double chain hash-matches.
+    "stream_decay" ->
+      """WITH ev AS (
+        |  SELECT user_id AS key, epoch_us(ts) AS t,
+        |    COALESCE(value, 0.0) AS v, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    max(t) AS at_micros,
+        |    list(struct_pack(s := v, last := t) ORDER BY t, event_id) AS evs
+        |  FROM ev GROUP BY key)
+        |SELECT key, n_events,
+        |  list_reduce(evs, (acc, x) -> struct_pack(
+        |    s := round(pow(2.0, -CAST(x.last - acc.last AS DOUBLE)
+        |                    / 86400000000.0), 8) * acc.s + x.s,
+        |    last := x.last)).s AS decayed_sum,
+        |  at_micros
+        |FROM g ORDER BY key""".stripMargin,
 
     "stream_ingest_batches" ->
       """WITH b AS (

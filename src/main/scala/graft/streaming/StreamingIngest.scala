@@ -116,9 +116,15 @@ object StreamingIngest {
     * bucket form earns its keep only when batches concentrate in few
     * partitions — date-partitioned updates, not hash-scattered ingest).
     *
-    * PRECONDITION: a PK must not re-arrive with DIFFERENT text across
-    * batches (same text re-arrivals are dropped by the fingerprint
-    * dedup). A re-keyed update source needs the MERGE forms above. */
+    * PRECONDITION: a PK must not re-arrive across batches EXCEPT with
+    * identical non-null text (such re-arrivals are dropped by the
+    * fingerprint dedup). This is strictly stronger than "no different
+    * text": a NULL-text row has a null fingerprint, indexes nothing,
+    * and so would be appended AGAIN if its PK re-arrived with null text
+    * — the MERGE forms collapse that on PK, the append form cannot
+    * without an O(table) PK probe (the read this form exists to avoid).
+    * A source that re-delivers null-text rows, or re-keys documents,
+    * needs the MERGE forms above. */
   def ingestBatchAppend(batch: DataFrame, warehouseDir: String,
       table: String, textCol: String, pk: String, batchId: Long): Unit =
     withSurvivors(batch, warehouseDir, table, textCol, pk) { (_, kept) =>

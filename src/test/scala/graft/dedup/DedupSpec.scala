@@ -468,6 +468,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, 1L, 1L), (2L, 1L, 1L)))
   }
 
+  test("removeDuplicatedSpans cuts non-first occurrences, keeps the remainder") {
+    val span = (1 to 10).map(i => s"w$i").mkString(" ") // 10 shared tokens
+    val docs = Seq(
+      (1L, s"$span unique tail here"),   // first occurrence: intact
+      (2L, s"prefix own words $span"),   // non-first: span cut, prefix kept
+      (3L, "short doc"),                 // sub-window: unchanged
+      (4L, span),                        // exact copy: fully removed
+      (5L, null.asInstanceOf[String]),   // null text: no row
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "text", "doc_id", 10)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == s"$span unique tail here" && out(1L)._4 == 0)
+    assert(out(2L)._2 == "prefix own words" && out(2L)._3 == 3 && out(2L)._4 == 10)
+    assert(out(3L)._2 == "short doc" && out(3L)._4 == 0)
+    assert(out(4L)._2 == "" && out(4L)._3 == 0 && out(4L)._4 == 10,
+      "an entirely-duplicated doc keeps an empty-string row, not no row")
+    assert(!out.contains(5L))
+  }
+
+  test("removeDuplicatedSpans dedupes in-doc repeats and unions overlaps") {
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, s"$span $span")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "text", "doc_id", 10)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(out._2 == span, "second in-doc occurrence is cut, first kept")
+    assert(out._3 == 10 && out._4 == 10)
+  }
+
   test("embeddingLshPairs: precision 1.0 (subset of exact pairs) and recall floor") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val exact = graft.functions.Knn

@@ -161,4 +161,46 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(edge == Seq((Some(Seq.empty[String]), Some(Seq.empty[String])),
       (None, None)))
   }
+
+  test("batched distributed tier equals driver tier on a batch-friendly corpus") {
+    // Many mutually-disjoint frequent pairs with distinct counts — the
+    // shape where safePrefix actually batches (multiple merges per job
+    // set) instead of degrading to one sequential step per iteration.
+    val text = (('a' to 'z').grouped(2).zipWithIndex.flatMap {
+      case (Seq(x, y), i) => Seq.fill(26 - i)(s"$x$y")
+    }).mkString(" ")
+    val docs = Seq(text, text).toDF("text")
+    def table(lim: Long) =
+      Bpe.train(docs, "text", 10, minCount = 1L, localTypeLimit = lim)
+        .as[(Int, String, String, String, Long)].collect().toSeq
+    val driver = table(1000000L)
+    assert(driver.size == 10)
+    assert(table(0L) == driver, "batched tier must equal the driver tier")
+  }
+
+  test("safePrefix accepts disjoint counts above the horizon, trims ties, never stalls") {
+    // Third candidate shares 'b' -> rejected, horizon 8; both accepted
+    // counts are strictly above it -> batch of 2.
+    assert(Bpe.safePrefix(
+      Array(("a", "b", 10L), ("c", "d", 9L), ("b", "c", 8L)), 65) ==
+      Seq(("a", "b", 10L), ("c", "d", 9L)))
+    // Accepted tie WITH the horizon is unsafe (the rejected pair could
+    // win the sequential tie-break after counts shift) -> trimmed.
+    assert(Bpe.safePrefix(
+      Array(("a", "b", 10L), ("c", "d", 8L), ("b", "c", 8L)), 65) ==
+      Seq(("a", "b", 10L)))
+    // Trim-to-empty falls back to the single top candidate (one plain
+    // sequential step) so the loop can never stall.
+    assert(Bpe.safePrefix(
+      Array(("a", "b", 10L), ("b", "c", 10L)), 65) == Seq(("a", "b", 10L)))
+    // A merged symbol colliding with a later candidate's operand is a
+    // rejection too ("xy" created, then ("xy","z") must wait).
+    assert(Bpe.safePrefix(
+      Array(("x", "y", 10L), ("xy", "z", 9L)), 65) == Seq(("x", "y", 10L)))
+    // Full fetch window with no rejection: horizon is the window
+    // boundary — everything strictly above it survives.
+    assert(Bpe.safePrefix(
+      Array(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 9L)), 3) ==
+      Seq(("a", "b", 10L)))
+  }
 }

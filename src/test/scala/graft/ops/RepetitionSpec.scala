@@ -48,6 +48,14 @@ class RepetitionSpec extends AnyFunSuite with SparkTestBase {
     assert(!out(2L)._8)
   }
 
+  test("null-text docs keep a row: null fractions, keep=true (total policy)") {
+    val out = stats(Seq((1L, null), (2L, "two words")))
+    assert(out.contains(1L), "null-text doc must not vanish from the output")
+    assert(out(1L)._2.isEmpty && out(1L)._3.isEmpty && out(1L)._4.isEmpty)
+    assert(out(1L)._5 && out(1L)._6 && out(1L)._7 && out(1L)._8,
+      "no evidence is not evidence of spam — an inner-join caller sees keep=true")
+  }
+
   test("fractions are exact integer ratios and bounded in (0, 1]") {
     val docs = graft.model.Tables.documents(spark, sf)
     val out = Repetition.repetitionStats(docs, "text", "doc_id")

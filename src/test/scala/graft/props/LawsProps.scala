@@ -178,6 +178,11 @@ object LawsProps extends Properties("graft.laws") with SparkTestBase {
         sum * math.pow(2.0, -(horizon - last) / hlMicros)
       }
       val shuffled = new scala.util.Random(seed).shuffle(events)
-      math.abs(scoreAtHorizon(events) - scoreAtHorizon(shuffled)) < 1e-9
+      // Tolerance: the fold rounds each decay factor at 8 decimals
+      // (the r8 oracle-exactness recipe), so two orders may diverge by
+      // up to ~n · 5e-9 · |running sum| — bounded well under 1e-4 at
+      // this generator's scale. Exact equality is the SORTED fold's
+      // contract (stream_decay's oracle), not any-order's.
+      math.abs(scoreAtHorizon(events) - scoreAtHorizon(shuffled)) < 1e-4
     }
 }
