@@ -687,9 +687,11 @@ object Dedup {
   def semanticDedupTrained(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Int, iterations: Int, threshold: Double,
       pairScoreFn: (Column, Column) => Column =
-        graft.functions.VectorFunctions.cosine): DataFrame = {
+        graft.functions.VectorFunctions.cosine,
+      replayable: Boolean = false): DataFrame = {
     val cents = graft.functions.Knn
-      .kmeans(corpus, idCol, vecCol, centroids, iterations)
+      .kmeans(corpus, idCol, vecCol, centroids, iterations,
+        replayable = replayable)
     semanticDedupAssigned(
       graft.functions.Knn.assignWith(corpus, idCol, vecCol, cents),
       threshold, pairScoreFn)

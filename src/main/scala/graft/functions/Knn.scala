@@ -130,22 +130,34 @@ object Knn {
     * full-corpus Lloyd's). */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Int, iterations: Int,
-      trainPerCentroid: Int = 256): DataFrame = {
+      trainPerCentroid: Int = 256,
+      replayable: Boolean = false): DataFrame = {
     val dims = VectorFunctions.toDouble(col(vecCol))
     val all = corpus.select(col(idCol).as("vid"), dims.as("v"))
     val cap = trainPerCentroid.toLong * centroids
+    val hash52 =
+      if (replayable) md5Sample52 _
+      else (vid: Column) => pmod(xxhash64(vid), lit(1L << 52))
     val vecs = if (trainPerCentroid > 0) {
       val n = all.count()
       if (cap >= n) all.localCheckpoint()
       else {
-        val sampled = trainSample(all, cap, n).localCheckpoint()
+        val sampled = trainSample(all, cap, n, hash52).localCheckpoint()
         if (sampled.count() < centroids) all.localCheckpoint() else sampled
       }
     } else all.localCheckpoint()
     val init = vecs.orderBy(col("vid")).limit(centroids)
       .select(col("vid").as("centroid_id"), col("v").as("centv"))
-    trainLoop(vecs, init, iterations)
+    trainLoop(vecs, init, iterations, replayable)
   }
+
+  /** The 52-bit md5-prefix sample hash of the REPLAYABLE k-means tier
+    * (the repo's hash52 convention — DuckDB replays
+    * ('0x'||substr(md5(vid||':km-v1'),1,13))::BIGINT); xxhash64 stays
+    * the production default. */
+  private[graft] def md5Sample52(vid: Column): Column =
+    conv(substring(md5(concat(vid.cast("string"), lit(":km-v1"))), 1, 13),
+      16, 10).cast("long")
 
   /** The lazy bounded Bernoulli training sample of [[kmeans]]: keep a
     * row iff xxhash64(vid) lands under ~cap/n of a 2⁵² hash range — a
@@ -164,16 +176,17 @@ object Knn {
     * overflow. Ceil keeps the EXPECTED size ≥ cap (the draw itself is
     * binomial, so the realized size wobbles around it either way); the
     * degenerate-draw fallback in [[kmeans]] covers an unlucky tail. */
-  private[graft] def trainSample(all: DataFrame, cap: Long,
-      n: Long): DataFrame = {
+  private[graft] def trainSample(all: DataFrame, cap: Long, n: Long,
+      hash52: Column => Column =
+        vid => pmod(xxhash64(vid), lit(1L << 52))): DataFrame = {
     val range = 1L << 52
     val keep = math.max(1L,
       ((BigInt(cap) * range + n - 1) / n).toLong) // ceil(cap·range/n)
-    all.where(pmod(xxhash64(col("vid")), lit(range)) < lit(keep))
+    all.where(hash52(col("vid")) < lit(keep))
   }
 
   private def trainLoop(vecs: DataFrame, init: DataFrame,
-      iterations: Int): DataFrame = {
+      iterations: Int, replayable: Boolean = false): DataFrame = {
     val spark = vecs.sparkSession
     val rowSchema = init.schema // (centroid_id: T, centv: array<double>)
     // Centroid state lives on the DRIVER between iterations, as plain
@@ -211,14 +224,25 @@ object Knn {
             VectorFunctions.l2sqNative(col("v"), c.getField("centv")).as("d2"),
             c.getField("centroid_id").as("cid")))).as("__best"))
         .select(col("__best.cid").as("centroid_id"), col("v"))
-      // Elementwise mean via position explode + avg — no whole-vector
-      // collect; decimal not needed (means are engine-internal). The
-      // collect is the iteration's single action AND the next
-      // iteration's input, so plans never nest across iterations.
+      // Elementwise mean via position explode. Production: plain avg()
+      // (means are engine-internal, reduction order free). Replayable:
+      // the repo's exact recipe — DECIMAL(28,10) term sums (order-free)
+      // cast to double ONCE, one IEEE division by the count, round at
+      // 8 — making every centroid coordinate a pure function of the
+      // data, which is what lets the dedup_semantic_trained oracle
+      // replay all of Lloyd's iterations as chained CTEs. The collect
+      // is the iteration's single action AND the next iteration's
+      // input, so plans never nest across iterations.
+      val meanExpr =
+        if (replayable)
+          round(sum(col("x").cast(
+              org.apache.spark.sql.types.DecimalType(28, 10))).cast("double")
+            / count(lit(1)).cast("double"), 8)
+        else avg(col("x"))
       cents = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(meanExpr.as("m"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),

@@ -504,16 +504,20 @@ object ExtensionQueries extends graft.QueryModule {
 
     // SemDeDup on the TRAINED path (the production/bench setting):
     // √N k-means centroids keep buckets balanced so the within-bucket
-    // quadratic stays ~N^1.5 total. No oracle SQL — float k-means means
-    // are reduction-order-dependent — so the driver records the weaker
-    // rows-only check; structural correctness is pinned in DedupSpec.
+    // quadratic stays ~N^1.5 total. Oracle-exact (r8) via the
+    // REPLAYABLE k-means tier: md5-52bit training sample, bit-exact
+    // left-to-right l2 argmin (DuckDB list_reduce replays the native
+    // fold), and decimal-sum centroid means rounded at 8 — every
+    // Lloyd's iteration replays as one chained CTE layer, the
+    // docs_quality_model recipe applied to clustering. The xxhash64 +
+    // float-avg production path stays the library default, spec-pinned.
     "dedup_semantic_trained" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val k = math.max(16,
         math.ceil(math.sqrt(emb.count().toDouble)).toInt)
       Dedup.semanticDedupTrained(emb, "vec_id", "embedding",
         centroids = k, iterations = 3, threshold = 0.4,
-        graft.GraftFunctions.cosineSim)
+        graft.GraftFunctions.cosineSim, replayable = true)
         .orderBy(col("vid"))
     },
 
@@ -2590,6 +2594,90 @@ object ExtensionQueries extends graft.QueryModule {
         |SELECT vid, bucket FROM assigned
         |WHERE vid NOT IN (SELECT vid FROM dropped)
         |ORDER BY vid""".stripMargin,
+
+    // Replays the TRAINED SemDeDup end-to-end — the r8 replayable
+    // k-means tier: md5-52bit Bernoulli sample (ceil(cap·2^52/n)
+    // cutoff in HUGEINT, degenerate-draw fallback included), smallest-
+    // vid init, then each Lloyd's iteration as one chained CTE layer —
+    // the l2 argmin replayed BIT-EXACT via list_reduce (the same
+    // left-to-right acc += d² fold as the native SquaredDistance
+    // kernel, ties on centroid_id), the centroid means as
+    // DECIMAL(28,10) sums / count rounded at 8 — and finally the
+    // dedup_semantic assignment + pair-drop tail against the trained
+    // centroids. MATERIALIZED is load-bearing (chained CTEs inline
+    // exponentially otherwise — see text_bpe_merges).
+    "dedup_semantic_trained" -> {
+      val iters = 3
+      def l2(v: String, c: String) =
+        s"""list_reduce(list_prepend(0.0, list_transform(
+           |        range(1, len($v) + 1),
+           |        j -> ($v[j] - $c[j]) * ($v[j] - $c[j]))),
+           |        (acc, x) -> acc + x)""".stripMargin
+      val sb = new StringBuilder
+      sb ++= """WITH corpus AS MATERIALIZED (
+        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+        |  FROM embeddings),
+        |params AS MATERIALIZED (
+        |  SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM corpus),
+        |samp0 AS MATERIALIZED (
+        |  SELECT c.vid, c.v FROM corpus c CROSS JOIN params p
+        |  WHERE 256 * p.k >= p.n
+        |     OR ('0x' || substr(md5(c.vid::VARCHAR || ':km-v1'), 1, 13))::BIGINT
+        |        < (CAST(256 * p.k AS HUGEINT) * 4503599627370496 + p.n - 1) // p.n),
+        |samp AS MATERIALIZED (
+        |  SELECT vid, v FROM samp0
+        |  WHERE (SELECT count(*) FROM samp0) >= (SELECT k FROM params)
+        |  UNION ALL
+        |  SELECT vid, v FROM corpus
+        |  WHERE (SELECT count(*) FROM samp0) < (SELECT k FROM params)),
+        |c0 AS MATERIALIZED (
+        |  SELECT vid AS centroid_id, v AS centv FROM (
+        |    SELECT vid, v, row_number() OVER (ORDER BY vid) AS rn FROM samp)
+        |  WHERE rn <= (SELECT k FROM params))""".stripMargin
+      for (i <- 1 to iters) {
+        sb ++= s""",
+          |a$i AS MATERIALIZED (
+          |  SELECT vid, v, centroid_id FROM (
+          |    SELECT s.vid, s.v, c.centroid_id,
+          |      row_number() OVER (PARTITION BY s.vid ORDER BY
+          |        ${l2("s.v", "c.centv")} ASC, c.centroid_id ASC) AS rk
+          |    FROM samp s CROSS JOIN c${i - 1} c)
+          |  WHERE rk = 1),
+          |c$i AS MATERIALIZED (
+          |  SELECT centroid_id, list(m ORDER BY pos) AS centv FROM (
+          |    SELECT centroid_id, pos,
+          |      round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+          |            / CAST(COUNT(*) AS DOUBLE), 8) AS m
+          |    FROM (SELECT centroid_id, unnest(v) AS x,
+          |                 unnest(range(1, len(v) + 1)) AS pos FROM a$i)
+          |    GROUP BY 1, 2)
+          |  GROUP BY centroid_id)""".stripMargin
+      }
+      sb ++= s"""
+        |, cents AS MATERIALIZED (
+        |  SELECT centroid_id, centv,
+        |    sqrt(list_dot_product(centv, centv)) AS nc FROM c$iters),
+        |assigned AS MATERIALIZED (
+        |  SELECT vid, v, nv, bucket FROM (
+        |    SELECT vid, v, nv, centroid_id AS bucket,
+        |      row_number() OVER (PARTITION BY vid ORDER BY
+        |        CASE WHEN nv * nc > 0 THEN list_dot_product(v, centv) / (nv * nc) END
+        |          DESC, centroid_id) AS rk
+        |    FROM corpus CROSS JOIN cents)
+        |  WHERE rk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vid FROM assigned a JOIN assigned b
+        |    ON a.bucket = b.bucket AND a.vid < b.vid
+        |  WHERE CASE WHEN a.nv * b.nv > 0
+        |    THEN list_dot_product(a.v, b.v) / (a.nv * b.nv) END >= 0.4)
+        |SELECT vid, bucket FROM assigned
+        |WHERE vid NOT IN (SELECT vid FROM dropped)
+        |ORDER BY vid""".stripMargin
+      sb.toString
+    },
 
     "docs_pack_chunks" ->
       """WITH counts AS (

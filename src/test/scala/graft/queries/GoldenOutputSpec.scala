@@ -8,14 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, SparkTestBase}
 
-/** Golden-output regression pins for the two deliberately oracle-free
-  * queries. The driver's DuckDB gate cannot replay them —
-  * `dedup_semantic_trained` because float k-means is reduction-order-
-  * dependent, `dedup_minhash_fast` because the xxhash64 family has no
-  * DuckDB twin — so it records only a rows-only check, which a silent
-  * semantic drift could hide behind. These goldens close that gap: the
-  * full sf0.01 result is pinned line by line against a committed
-  * fixture.
+/** Golden-output regression pins. Originally for the deliberately
+  * oracle-free queries (the driver's DuckDB gate recorded only a
+  * rows-only check for them, which a silent semantic drift could hide
+  * behind); as of r8 only `dedup_minhash_fast` remains oracle-free
+  * (the xxhash64 family has no DuckDB twin) — `text_bpe_merges`,
+  * `text_bpe_segments` and `dedup_semantic_trained` graduated to
+  * oracle-exact, and their goldens stay as a second, offline pin (the
+  * bpe merge golden is also the FIXED config table the segments oracle
+  * applies). The full sf0.01 result is pinned line by line against a
+  * committed fixture.
   *
   * Regeneration (ONLY after an intended semantic change, with the new
   * output reviewed): re-run with GRAFT_REGEN_GOLDENS=1 in the
