@@ -119,6 +119,81 @@ object Curation {
       .drop("__cont", "canonical_id")
   }
 
+  /** [[curate]] extended with the round-8 curation operators — the
+    * full modern pretraining gate, still tag-don't-drop:
+    *
+    *  - `passed_repetition`: the Gopher within-document repetition
+    *    rules ([[graft.ops.Repetition.repetitionStats]] keep flag;
+    *    no-evidence docs keep — the total policy);
+    *  - `lang_pred` / `lang_agrees`: the LEARNED char-bigram langid
+    *    ([[graft.functions.LangModel.selfClassify]]); `lang_agrees`
+    *    gates on prediction-vs-metadata consistency, with the
+    *    no-evidence 'und' prediction keeping the doc (no evidence is
+    *    not evidence of mislabeling);
+    *  - `n_span_tokens_removed`: the exact-substring REPAIR signal
+    *    ([[graft.dedup.Dedup.removeDuplicatedSpans]]) — how many of
+    *    the doc's tokens sit in non-first duplicated 10-token spans
+    *    (0 for clean docs and for null-text docs, which have no
+    *    tokens).
+    *
+    * Scale shape: all three additions join back on the id only — the
+    * document payload never re-shuffles beyond each stage's own
+    * internal exchanges. */
+  def curateV2(docs: DataFrame, bench: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      quality: QualityThresholds = QualityThresholds(),
+      shingleN: Int = 3, jaccard: Double = 0.8,
+      contamination: Double = 0.8, salt: String = "curation-v1",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      family: Dedup.MinHashFamily = Dedup.xxFamily,
+      spanWindowTokens: Int = 10): DataFrame = {
+    val v1 = curate(docs, bench, idCol, textCol, quality, shingleN, jaccard,
+      contamination, salt, splits, family)
+    val rep = graft.ops.Repetition.repetitionStats(docs, textCol, idCol)
+      .select(col("id").as(idCol), col("keep").as("__rep_keep"))
+    val lid = graft.functions.LangModel
+      .selfClassify(docs, textCol, langCol, idCol)
+      .select(col("id").as(idCol), col("lang_pred"))
+    val srem = Dedup.removeDuplicatedSpans(docs, textCol, idCol,
+        spanWindowTokens)
+      .select(col("id").as(idCol),
+        col("n_tokens_removed").as("__n_removed"))
+    v1
+      .join(rep, Seq(idCol), "left")
+      .join(lid, Seq(idCol), "left")
+      .join(srem, Seq(idCol), "left")
+      .withColumn("passed_repetition", coalesce(col("__rep_keep"), lit(true)))
+      .withColumn("lang_agrees",
+        col(langCol).isNull || col("lang_pred") === "und" ||
+          col("lang_pred") === col(langCol))
+      .withColumn("n_span_tokens_removed", coalesce(col("__n_removed"), lit(0L)))
+      .drop("__rep_keep", "__n_removed")
+  }
+
+  /** The documents a V2 curation run keeps: [[kept]]'s conjunction plus
+    * the repetition and langid gates. Span removal REPAIRS rather than
+    * drops, so it never excludes a document. */
+  def keptV2(curated: DataFrame): DataFrame =
+    kept(curated).filter(col("passed_repetition") && col("lang_agrees"))
+
+  /** [[auditCounts]] for the V2 pipeline — the extended filter-rate
+    * monitoring row. */
+  def auditCountsV2(curated: DataFrame): DataFrame =
+    curated.select(
+      count(lit(1)).as("n_docs"),
+      count(when(!col("passed_quality"), 1)).as("n_low_quality"),
+      count(when(col("is_exact_dup"), 1)).as("n_exact_dup"),
+      count(when(col("is_near_dup"), 1)).as("n_near_dup"),
+      count(when(col("is_contaminated"), 1)).as("n_contaminated"),
+      count(when(!col("passed_repetition"), 1)).as("n_repetitive"),
+      count(when(!col("lang_agrees"), 1)).as("n_lang_mismatch"),
+      count(when(col("n_span_tokens_removed") > 0, 1)).as("n_span_repaired"),
+      count(when(col("split_moved"), 1)).as("n_split_moved"),
+      count(when(col("passed_quality") && !col("is_exact_dup") &&
+        !col("is_near_dup") && !col("is_contaminated") &&
+        col("passed_repetition") && col("lang_agrees"), 1)).as("n_kept"))
+
   /** The quality gate as a reusable predicate column. */
   def qualityPredicate(text: Column, t: QualityThresholds): Column = {
     val n = TextFunctions.tokenCount(text)

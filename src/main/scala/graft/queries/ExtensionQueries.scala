@@ -356,6 +356,33 @@ object ExtensionQueries extends graft.QueryModule {
           family = Dedup.md5AffineFamily))
     },
 
+    // The V2 composed pipeline (r8): the flagship plus this round's
+    // curation operators — Gopher repetition rules, learned langid
+    // agreement, exact-substring repair accounting — every stage
+    // TAGGING, the whole composition hash-exact against one DuckDB
+    // replay that shares each stage's CTE chain with its standalone
+    // oracle (cannot drift).
+    "pipeline_curation_v2" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("source") === "src0")
+      graft.pipeline.Curation.curateV2(docs, bench,
+          family = Dedup.md5AffineFamily)
+        .select(col("doc_id"), col("passed_quality"), col("is_exact_dup"),
+          col("is_near_dup"), col("is_contaminated"), col("split"),
+          col("split_moved"), col("passed_repetition"), col("lang_pred"),
+          col("lang_agrees"), col("n_span_tokens_removed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // V2 drop accounting: auditCountsV2 with the three new counters.
+    "pipeline_curation_v2_audit" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("source") === "src0")
+      graft.pipeline.Curation.auditCountsV2(
+        graft.pipeline.Curation.curateV2(docs, bench,
+          family = Dedup.md5AffineFamily))
+    },
+
     // Paragraph/unit-level dedup with document reassembly: drop every
     // repeated 10-token chunk (global first occurrence wins, by (doc,
     // position)) and rebuild each document from its surviving chunks —
@@ -1501,77 +1528,234 @@ object ExtensionQueries extends graft.QueryModule {
       |  SELECT x AS id, least(x, min(y)) AS canonical_id
       |  FROM reach GROUP BY x)""".stripMargin
 
+  /** The Gopher repetition-signal CTE chain (per-doc gram fractions) —
+    * ONE definition shared by the docs_repetition_rules oracle and the
+    * pipeline_curation_v2 composition (cannot drift). */
+  private val repetitionFracCtes: String =
+    """base AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |gr AS (
+      |  SELECT doc_id, 2 AS n,
+      |    unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+      |  FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 3,
+      |    unnest([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+      |  FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 0,
+      |    unnest([array_to_string(toks[(k*10+1):(k*10+10)], ' ')
+      |            FOR k IN range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))])
+      |  FROM base WHERE len(toks) > 0),
+      |cnts AS (
+      |  SELECT doc_id, n, g, count(*) AS cnt FROM gr GROUP BY 1, 2, 3),
+      |st AS (
+      |  SELECT doc_id, n, SUM(cnt) AS total, MAX(cnt) AS top,
+      |    SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
+      |  FROM cnts GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END) AS top_bigram_frac,
+      |    MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END) AS dup_trigram_frac,
+      |    MAX(CASE WHEN n = 0 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END) AS dup_chunk_frac
+      |  FROM st GROUP BY doc_id)""".stripMargin
+
+  /** The learned-langid CTE chain (train → priors → score → ranked
+    * predictions, `best` filtered at rk = 1 for the winner) — ONE
+    * definition shared by the text_langid_model oracle and the
+    * pipeline_curation_v2 composition. */
+  private val langidCtes: String =
+    """grams AS (
+      |  SELECT doc_id, lang, substr(lt, CAST(j AS INTEGER), 2) AS g
+      |  FROM (
+      |    SELECT doc_id, lang, lt, unnest(range(1, length(lt))) AS j
+      |    FROM (SELECT doc_id, lang, lower(text) AS lt FROM documents))),
+      |bg AS (
+      |  SELECT doc_id, ('0x' || substr(md5(g), 1, 7))::BIGINT % 256 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM grams GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT lang, ('0x' || substr(md5(g), 1, 7))::BIGINT % 256 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM grams WHERE lang IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS total FROM tr GROUP BY lang),
+      |spine AS (
+      |  SELECT lang, unnest(range(256)) AS bucket
+      |  FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)),
+      |model AS (
+      |  SELECT s.lang, s.bucket,
+      |    round(ln((COALESCE(tr.c, 0) + 1.0) / (COALESCE(tot.total, 0) + 256.0)), 8) AS logp
+      |  FROM spine s
+      |  LEFT JOIN tr ON s.lang = tr.lang AND s.bucket = tr.bucket
+      |  LEFT JOIN tot ON s.lang = tot.lang),
+      |pr AS (
+      |  SELECT lang, round(ln(CAST(count(*) AS DOUBLE) /
+      |    CAST((SELECT count(*) FROM documents WHERE lang IS NOT NULL) AS DOUBLE)), 8) AS prior
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+      |sc AS (
+      |  SELECT b.doc_id, m.lang,
+      |    round(CAST(SUM(CAST(round(b.cnt * m.logp, 8) AS DECIMAL(28,10))) AS DOUBLE)
+      |      + ANY_VALUE(pr.prior), 6) AS score
+      |  FROM bg b JOIN model m ON b.bucket = m.bucket
+      |  JOIN pr ON m.lang = pr.lang
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT doc_id, lang AS pred, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+      |  FROM sc)""".stripMargin
+
+  /** The exact-substring-removal CTE chain ending in per-doc kept-token
+    * aggregates (`agg`) plus the non-null-text doc spine (`toks`) — ONE
+    * definition shared by the dedup_span_removal oracle and the
+    * pipeline_curation_v2 composition. */
+  private val spanRemovalCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |tok AS (
+      |  SELECT doc_id, CAST(j AS BIGINT) - 1 AS idx,
+      |    tk[CAST(j AS INTEGER)] AS tok
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS j
+      |        FROM toks)),
+      |spans AS (
+      |  SELECT doc_id, CAST(p AS BIGINT) - 1 AS pos,
+      |    regexp_replace(trim(lower(array_to_string(
+      |      tk[CAST(p AS INTEGER) : CAST(p AS INTEGER) + 9], ' '))),
+      |      '\s+', ' ', 'g') AS norm
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 10 + 2)) AS p
+      |        FROM toks WHERE len(tk) >= 10)),
+      |marked AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |      row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+      |    FROM spans) WHERE rn > 1),
+      |rem AS (
+      |  SELECT DISTINCT doc_id, pos + CAST(o AS BIGINT) AS idx
+      |  FROM (SELECT doc_id, pos, unnest(range(0, 10)) AS o FROM marked)),
+      |agg AS (
+      |  SELECT t.doc_id,
+      |    array_to_string(list(t.tok ORDER BY t.idx), ' ') AS text_cleaned,
+      |    CAST(count(*) AS BIGINT) AS n_tokens_kept
+      |  FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.idx = r.idx
+      |  WHERE r.doc_id IS NULL GROUP BY t.doc_id)""".stripMargin
+
+  private val curationSplits = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)
+  private lazy val curationCanonSplit = splitCaseSql(
+    "coalesce(c.canonical_id, d.doc_id)", "curation-v1", curationSplits)
+  private lazy val curationOwnSplit =
+    splitCaseSql("d.doc_id", "curation-v1", curationSplits)
+
+  /** The V1 curation stage CTEs (cluster solve over the shared minhash
+    * chain, quality, exact-dup, contamination) — shared by the
+    * pipeline_curation and pipeline_curation_v2 compositions. */
+  private val curationCoreCtes: String =
+    s"""edges AS (
+       |  SELECT id_a AS x, id_b AS y FROM mpairs
+       |  UNION ALL SELECT id_b, id_a FROM mpairs),
+       |reach(x, y) AS (
+       |  SELECT x, y FROM edges
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+       |canon AS (
+       |  SELECT x AS id, least(x, min(y)) AS canonical_id
+       |  FROM reach GROUP BY x),
+       |feats AS (
+       |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |qual AS (
+       |  SELECT doc_id,
+       |    coalesce(text IS NOT NULL
+       |      AND len(toks) BETWEEN 10 AND 100000
+       |      AND CAST(len(list_filter(toks,
+       |            t -> list_contains($stopwordList, t))) AS DOUBLE)
+       |        / CAST(greatest(len(toks), 1) AS DOUBLE) >= 0.05
+       |      AND CAST(len(text) - len(toks) + 1 AS DOUBLE)
+       |        / CAST(greatest(len(toks), 1) AS DOUBLE) <= 12.0,
+       |      FALSE) AS passed_quality
+       |  FROM feats),
+       |ex AS (
+       |  SELECT doc_id,
+       |    (text IS NOT NULL) AND (row_number() OVER (
+       |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) <> 1) AS is_exact_dup
+       |  FROM documents),
+       |csh AS (
+       |  SELECT doc_id AS id, unnest(list_distinct(
+       |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+       |  FROM feats),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(list_distinct(
+       |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+       |  FROM (SELECT string_split(lower(text), ' ') AS toks
+       |        FROM documents WHERE source = 'src0')),
+       |cont AS (
+       |  SELECT id FROM (
+       |    SELECT csh.id, count(*) AS n_sh, count(b.shingle) AS n_hit
+       |    FROM csh LEFT JOIN bsh b ON csh.shingle = b.shingle
+       |    GROUP BY csh.id)
+       |  WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.8)""".stripMargin
+
+  /** The V1 audit column expressions and join spine — shared verbatim
+    * by both compositions (one definition cannot drift). */
+  private lazy val curationV1Cols: String =
+    s"""q.passed_quality,
+       |  e.is_exact_dup,
+       |  coalesce(c.canonical_id IS NOT NULL
+       |    AND c.canonical_id <> d.doc_id, FALSE) AS is_near_dup,
+       |  (ct.id IS NOT NULL) AS is_contaminated,
+       |  $curationCanonSplit AS split,
+       |  coalesce(c.canonical_id IS NOT NULL
+       |    AND $curationOwnSplit <> $curationCanonSplit, FALSE) AS split_moved""".stripMargin
+
+  private val curationV1Joins: String =
+    """FROM documents d
+      |JOIN qual q USING (doc_id)
+      |JOIN ex e USING (doc_id)
+      |LEFT JOIN canon c ON c.id = d.doc_id
+      |LEFT JOIN cont ct ON ct.id = d.doc_id""".stripMargin
+
   /** The composed curation pipeline replay — every stage oracle joined
     * into one audit row per document, sharing the minhash CTE chain with
     * dedup_minhash_pairs. One definition serves both pipeline_curation
     * and its aggregate form pipeline_curation_audit. */
-  private val curationCompositionSql: String = {
-    val splits = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)
-    val canonSplit =
-      splitCaseSql("coalesce(c.canonical_id, d.doc_id)", "curation-v1", splits)
-    val ownSplit = splitCaseSql("d.doc_id", "curation-v1", splits)
+  private lazy val curationCompositionSql: String =
     s"""WITH RECURSIVE $minhashPairCtes,
-         |edges AS (
-         |  SELECT id_a AS x, id_b AS y FROM mpairs
-         |  UNION ALL SELECT id_b, id_a FROM mpairs),
-         |reach(x, y) AS (
-         |  SELECT x, y FROM edges
-         |  UNION
-         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
-         |canon AS (
-         |  SELECT x AS id, least(x, min(y)) AS canonical_id
-         |  FROM reach GROUP BY x),
-         |feats AS (
-         |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
-         |  FROM documents),
-         |qual AS (
-         |  SELECT doc_id,
-         |    coalesce(text IS NOT NULL
-         |      AND len(toks) BETWEEN 10 AND 100000
-         |      AND CAST(len(list_filter(toks,
-         |            t -> list_contains($stopwordList, t))) AS DOUBLE)
-         |        / CAST(greatest(len(toks), 1) AS DOUBLE) >= 0.05
-         |      AND CAST(len(text) - len(toks) + 1 AS DOUBLE)
-         |        / CAST(greatest(len(toks), 1) AS DOUBLE) <= 12.0,
-         |      FALSE) AS passed_quality
-         |  FROM feats),
-         |ex AS (
-         |  SELECT doc_id,
-         |    (text IS NOT NULL) AND (row_number() OVER (
-         |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
-         |      ORDER BY doc_id) <> 1) AS is_exact_dup
-         |  FROM documents),
-         |csh AS (
-         |  SELECT doc_id AS id, unnest(list_distinct(
-         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
-         |  FROM feats),
-         |bsh AS (
-         |  SELECT DISTINCT unnest(list_distinct(
-         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
-         |  FROM (SELECT string_split(lower(text), ' ') AS toks
-         |        FROM documents WHERE source = 'src0')),
-         |cont AS (
-         |  SELECT id FROM (
-         |    SELECT csh.id, count(*) AS n_sh, count(b.shingle) AS n_hit
-         |    FROM csh LEFT JOIN bsh b ON csh.shingle = b.shingle
-         |    GROUP BY csh.id)
-         |  WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.8)
-         |SELECT d.doc_id,
-         |  q.passed_quality,
-         |  e.is_exact_dup,
-         |  coalesce(c.canonical_id IS NOT NULL
-         |    AND c.canonical_id <> d.doc_id, FALSE) AS is_near_dup,
-         |  (ct.id IS NOT NULL) AS is_contaminated,
-         |  $canonSplit AS split,
-         |  coalesce(c.canonical_id IS NOT NULL
-         |    AND $ownSplit <> $canonSplit, FALSE) AS split_moved
-         |FROM documents d
-         |JOIN qual q USING (doc_id)
-         |JOIN ex e USING (doc_id)
-         |LEFT JOIN canon c ON c.id = d.doc_id
-         |LEFT JOIN cont ct ON ct.id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-  }
+       |$curationCoreCtes
+       |SELECT d.doc_id,
+       |  $curationV1Cols
+       |$curationV1Joins
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The V2 composition (r8): V1 plus the repetition gate, the learned
+    * langid agreement, and the exact-substring repair accounting — each
+    * new stage's CTE chain is the SAME val its standalone oracle uses
+    * (repetitionFracCtes / langidCtes / spanRemovalCtes). */
+  private lazy val curationCompositionSqlV2: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |$curationCoreCtes,
+       |$repetitionFracCtes,
+       |$langidCtes,
+       |$spanRemovalCtes
+       |SELECT d.doc_id,
+       |  $curationV1Cols,
+       |  coalesce(rp.keep, TRUE) AS passed_repetition,
+       |  COALESCE(lb.pred, 'und') AS lang_pred,
+       |  (d.lang IS NULL OR COALESCE(lb.pred, 'und') = 'und'
+       |    OR COALESCE(lb.pred, 'und') = d.lang) AS lang_agrees,
+       |  COALESCE(CAST(len(tk2.tk) AS BIGINT)
+       |    - COALESCE(sra.n_tokens_kept, 0), 0) AS n_span_tokens_removed
+       |$curationV1Joins
+       |LEFT JOIN (
+       |  SELECT doc_id,
+       |    coalesce(top_bigram_frac <= 0.20, TRUE)
+       |      AND coalesce(dup_trigram_frac <= 0.29, TRUE)
+       |      AND coalesce(dup_chunk_frac <= 0.30, TRUE) AS keep
+       |  FROM fr) rp ON rp.doc_id = d.doc_id
+       |LEFT JOIN (SELECT * FROM best WHERE rk = 1) lb ON lb.doc_id = d.doc_id
+       |LEFT JOIN toks tk2 ON tk2.doc_id = d.doc_id
+       |LEFT JOIN agg sra ON sra.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
     "text_stats" ->
@@ -1752,34 +1936,7 @@ object ExtensionQueries extends graft.QueryModule {
         |FROM documents GROUP BY fp ORDER BY canonical_id""".stripMargin,
 
     "docs_repetition_rules" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |gr AS (
-        |  SELECT doc_id, 2 AS n,
-        |    unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
-        |  FROM base
-        |  UNION ALL
-        |  SELECT doc_id, 3,
-        |    unnest([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
-        |  FROM base
-        |  UNION ALL
-        |  SELECT doc_id, 0,
-        |    unnest([array_to_string(toks[(k*10+1):(k*10+10)], ' ')
-        |            FOR k IN range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))])
-        |  FROM base WHERE len(toks) > 0),
-        |cnts AS (
-        |  SELECT doc_id, n, g, count(*) AS cnt FROM gr GROUP BY 1, 2, 3),
-        |st AS (
-        |  SELECT doc_id, n, SUM(cnt) AS total, MAX(cnt) AS top,
-        |    SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
-        |  FROM cnts GROUP BY 1, 2),
-        |fr AS (
-        |  SELECT doc_id,
-        |    MAX(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END) AS top_bigram_frac,
-        |    MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END) AS dup_trigram_frac,
-        |    MAX(CASE WHEN n = 0 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END) AS dup_chunk_frac
-        |  FROM st GROUP BY doc_id)
+      s"""WITH $repetitionFracCtes
         |SELECT doc_id, top_bigram_frac, dup_trigram_frac, dup_chunk_frac,
         |  coalesce(top_bigram_frac <= 0.20, TRUE) AS r_top_bigram,
         |  coalesce(dup_trigram_frac <= 0.29, TRUE) AS r_dup_trigram,
@@ -2147,35 +2304,7 @@ object ExtensionQueries extends graft.QueryModule {
     // reassemble in order; the doc spine restores sub-window and
     // fully-removed docs.
     "dedup_span_removal" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk
-        |  FROM documents WHERE text IS NOT NULL),
-        |tok AS (
-        |  SELECT doc_id, CAST(j AS BIGINT) - 1 AS idx,
-        |    tk[CAST(j AS INTEGER)] AS tok
-        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS j
-        |        FROM toks)),
-        |spans AS (
-        |  SELECT doc_id, CAST(p AS BIGINT) - 1 AS pos,
-        |    regexp_replace(trim(lower(array_to_string(
-        |      tk[CAST(p AS INTEGER) : CAST(p AS INTEGER) + 9], ' '))),
-        |      '\s+', ' ', 'g') AS norm
-        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 10 + 2)) AS p
-        |        FROM toks WHERE len(tk) >= 10)),
-        |marked AS (
-        |  SELECT doc_id, pos FROM (
-        |    SELECT doc_id, pos,
-        |      row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
-        |    FROM spans) WHERE rn > 1),
-        |rem AS (
-        |  SELECT DISTINCT doc_id, pos + CAST(o AS BIGINT) AS idx
-        |  FROM (SELECT doc_id, pos, unnest(range(0, 10)) AS o FROM marked)),
-        |agg AS (
-        |  SELECT t.doc_id,
-        |    array_to_string(list(t.tok ORDER BY t.idx), ' ') AS text_cleaned,
-        |    CAST(count(*) AS BIGINT) AS n_tokens_kept
-        |  FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.idx = r.idx
-        |  WHERE r.doc_id IS NULL GROUP BY t.doc_id)
+      s"""WITH $spanRemovalCtes
         |SELECT b.doc_id,
         |  COALESCE(a.text_cleaned, '') AS text_cleaned,
         |  COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
@@ -2214,6 +2343,25 @@ object ExtensionQueries extends graft.QueryModule {
          |  CAST(count(CASE WHEN passed_quality AND NOT is_exact_dup
          |    AND NOT is_near_dup AND NOT is_contaminated THEN 1 END) AS BIGINT) AS n_kept
          |FROM ($curationCompositionSql)""".stripMargin,
+
+    // The V2 composition — the same shared-CTE discipline, extended
+    // with the three r8 stages.
+    "pipeline_curation_v2" -> curationCompositionSqlV2,
+
+    "pipeline_curation_v2_audit" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN NOT passed_quality THEN 1 END) AS BIGINT) AS n_low_quality,
+         |  CAST(count(CASE WHEN is_exact_dup THEN 1 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(count(CASE WHEN is_near_dup THEN 1 END) AS BIGINT) AS n_near_dup,
+         |  CAST(count(CASE WHEN is_contaminated THEN 1 END) AS BIGINT) AS n_contaminated,
+         |  CAST(count(CASE WHEN NOT passed_repetition THEN 1 END) AS BIGINT) AS n_repetitive,
+         |  CAST(count(CASE WHEN NOT lang_agrees THEN 1 END) AS BIGINT) AS n_lang_mismatch,
+         |  CAST(count(CASE WHEN n_span_tokens_removed > 0 THEN 1 END) AS BIGINT) AS n_span_repaired,
+         |  CAST(count(CASE WHEN split_moved THEN 1 END) AS BIGINT) AS n_split_moved,
+         |  CAST(count(CASE WHEN passed_quality AND NOT is_exact_dup
+         |    AND NOT is_near_dup AND NOT is_contaminated
+         |    AND passed_repetition AND lang_agrees THEN 1 END) AS BIGINT) AS n_kept
+         |FROM ($curationCompositionSqlV2)""".stripMargin,
 
     // Replays the md5-family SimHash bit votes: 60 per-bit sign sums
     // (bits 60-63 of the 60-bit hash are always 0 on both sides).
@@ -2445,44 +2593,7 @@ object ExtensionQueries extends graft.QueryModule {
     // DECIMAL(28,10) sum, final score rounded at 6 — LangModel's float
     // discipline verbatim.
     "text_langid_model" ->
-      """WITH grams AS (
-        |  SELECT doc_id, lang, substr(lt, CAST(j AS INTEGER), 2) AS g
-        |  FROM (
-        |    SELECT doc_id, lang, lt, unnest(range(1, length(lt))) AS j
-        |    FROM (SELECT doc_id, lang, lower(text) AS lt FROM documents))),
-        |bg AS (
-        |  SELECT doc_id, ('0x' || substr(md5(g), 1, 7))::BIGINT % 256 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM grams GROUP BY 1, 2),
-        |tr AS (
-        |  SELECT lang, ('0x' || substr(md5(g), 1, 7))::BIGINT % 256 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM grams WHERE lang IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS total FROM tr GROUP BY lang),
-        |spine AS (
-        |  SELECT lang, unnest(range(256)) AS bucket
-        |  FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)),
-        |model AS (
-        |  SELECT s.lang, s.bucket,
-        |    round(ln((COALESCE(tr.c, 0) + 1.0) / (COALESCE(tot.total, 0) + 256.0)), 8) AS logp
-        |  FROM spine s
-        |  LEFT JOIN tr ON s.lang = tr.lang AND s.bucket = tr.bucket
-        |  LEFT JOIN tot ON s.lang = tot.lang),
-        |pr AS (
-        |  SELECT lang, round(ln(CAST(count(*) AS DOUBLE) /
-        |    CAST((SELECT count(*) FROM documents WHERE lang IS NOT NULL) AS DOUBLE)), 8) AS prior
-        |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
-        |sc AS (
-        |  SELECT b.doc_id, m.lang,
-        |    round(CAST(SUM(CAST(round(b.cnt * m.logp, 8) AS DECIMAL(28,10))) AS DOUBLE)
-        |      + ANY_VALUE(pr.prior), 6) AS score
-        |  FROM bg b JOIN model m ON b.bucket = m.bucket
-        |  JOIN pr ON m.lang = pr.lang
-        |  GROUP BY 1, 2),
-        |best AS (
-        |  SELECT doc_id, lang AS pred, score,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
-        |  FROM sc)
+      s"""WITH $langidCtes
         |SELECT d.doc_id, d.lang, COALESCE(b.pred, 'und') AS lang_pred, b.score
         |FROM documents d
         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id

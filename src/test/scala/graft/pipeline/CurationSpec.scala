@@ -87,4 +87,48 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Long]("n_contaminated") == 1L)
     assert(row.getAs[Long]("n_kept") == 3L)
   }
+
+  test("curateV2 adds the r8 gates and repairs; keptV2/auditCountsV2 reconcile") {
+    val spam = (8L,
+      Seq.fill(30)("click here now").mkString(" "), "en")
+    // 9 repeats doc 7's full text (>= one 10-token span) plus unique
+    // words: the non-first span occurrences are CUT, the remainder kept.
+    val copier = (9L,
+      "a completely different story about the sea and all the ships " +
+        "sailing on it plus some fresh words", "en")
+    val v2docs = docs.withColumn("lang", lit("en"))
+      .unionByName(Seq(spam, copier).toDF("doc_id", "text", "lang"))
+    val v2 = Curation.curateV2(v2docs, bench,
+      quality = Curation.QualityThresholds(minTokens = 5)).cache()
+    try {
+      val byId = v2.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byId.size == 9)
+      // The spam doc trips the repetition gate; ordinary prose passes.
+      assert(!byId(8L).getAs[Boolean]("passed_repetition"))
+      assert(byId(7L).getAs[Boolean]("passed_repetition"))
+      // Doc 9 loses its copied span tokens; the FIRST occurrence (7)
+      // keeps everything.
+      assert(byId(9L).getAs[Long]("n_span_tokens_removed") >= 10L)
+      assert(byId(7L).getAs[Long]("n_span_tokens_removed") == 0L)
+      // Single-language corpus + self-trained model: predictions agree
+      // with the uniform label, so the langid gate drops nothing here.
+      assert(v2.filter(!$"lang_agrees").count() == 0)
+      // keptV2 is exactly kept ∧ repetition ∧ langid.
+      val keptIds = Curation.keptV2(v2).select($"doc_id").as[Long]
+        .collect().toSet
+      val expected = v2.filter($"passed_quality" && !$"is_exact_dup" &&
+        !$"is_near_dup" && !$"is_contaminated" &&
+        $"passed_repetition" && $"lang_agrees")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(keptIds == expected)
+      // The audit row reconciles against direct counts.
+      val row = Curation.auditCountsV2(v2).head()
+      assert(row.getAs[Long]("n_docs") == 9L)
+      assert(row.getAs[Long]("n_repetitive") ==
+        v2.filter(!$"passed_repetition").count())
+      assert(row.getAs[Long]("n_span_repaired") ==
+        v2.filter($"n_span_tokens_removed" > 0).count())
+      assert(row.getAs[Long]("n_kept") == keptIds.size)
+    } finally v2.unpersist()
+  }
 }
