@@ -264,8 +264,8 @@ object Bpe {
     * horizon) — that is exactly one sequential step, always sound — so
     * the loop can never stall. Iteration state stays localCheckpointed
     * (chained HOF rewrites would stack lambdas into one plan). */
-  private def trainDistributed(words: DataFrame, numMerges: Int,
-      minCount: Long): DataFrame = {
+  private[graft] def trainDistributed(words: DataFrame, numMerges: Int,
+      minCount: Long, onBatch: Int => Unit = _ => ()): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
     var types = words.select($"freq",
@@ -294,6 +294,7 @@ object Bpe {
       else {
         val prefix = safePrefix(top, fetch).take(numMerges - rank + 1)
         val batch = prefix.takeWhile(_._3 >= minCount)
+        onBatch(batch.size) // probe hook: merges applied this job set
         batch.foreach { case (a, b, cnt) =>
           merges += ((rank, a, b, a + b, cnt)); rank += 1
         }

@@ -235,10 +235,26 @@ object AnalyticsQueries extends graft.QueryModule {
           explode(split($"text", "")).as("ch"))
         .groupBy($"doc_id", $"n", $"ch").agg(count(lit(1)).as("cnt"))
         .groupBy($"doc_id", $"n")
-        .agg(sum($"cnt".cast("double") * log2($"cnt".cast("double"))).as("__s"))
+        // Each term rounds its one libm call (log2) at 8, then the
+        // cnt-weighted product again at 8 before the DECIMAL cast, so
+        // the sum is order-free AND ulp-divergence-free across engines
+        // (the langid `round(cnt * logp, 8)` pattern; the unrounded
+        // double sum here was the same latent class as the
+        // docs_*_logprob sf0.1 miss, r8).
+        // (9,0)×(18,8) exact-decimal product of the integer count and
+        // the 8-dp-rounded log2 — a double product near a rounding
+        // boundary is the docs_unigram_logprob divergence class.
+        .agg(sum($"cnt".cast(DecimalType(9, 0)) *
+            round(log2($"cnt".cast("double")), 8).cast(DecimalType(18, 8)))
+          .as("__s"))
+        // entropy = round(log2r8(n) − S/n, 4) = round((a·n − S)/n, 4)
+        // with a = log2r8(n) exact at 8 dp — evaluated tie-free by the
+        // exact-integer mean (see docs_unigram_logprob).
         .select($"doc_id",
-          round(log2($"n".cast("double")) - $"__s" / $"n".cast("double"), 4)
-            .as("char_entropy"))
+          Parity.exactMeanRound4(
+            round(log2($"n".cast("double")), 8).cast(DecimalType(18, 8)) *
+              $"n".cast(DecimalType(9, 0)) - $"__s",
+            $"n").as("char_entropy"))
         .orderBy($"doc_id")
     },
 
@@ -261,12 +277,27 @@ object AnalyticsQueries extends graft.QueryModule {
       tf.join(broadcast(vocab), Seq("tok"))
         .crossJoin(broadcast(totals))
         .select($"doc_id", $"tf",
-          (log2($"c".cast("double")) - log2($"total".cast("double")))
+          // round at 8 right after the libm calls (the repo's rounded-
+          // transcendental recipe): unrounded, a 1-ulp Spark-vs-DuckDB
+          // log2 divergence on some corpus count surfaces in the 4th
+          // decimal of the mean — caught live at sf0.1 (r8).
+          round(log2($"c".cast("double")) - log2($"total".cast("double")), 8)
             .cast(DecimalType(28, 10)).as("lp"))
         .groupBy($"doc_id")
+        // (18,8)×(9,0) → (28,8): an unconstrained lp(28,10)×tf(20,0)
+        // ideal type is (49,10) > 38, and Spark's allowPrecisionLoss
+        // silently CLAMPS the product scale to 6 — each term loses its
+        // 7th/8th decimal and the per-doc sum drifts ~1e-6 off the
+        // oracle, flipping docs near a 4-dp boundary (the sf0.1 root
+        // cause, r8: 6/5000 rows off by exactly 1e-4).
         .agg(sum($"tf").as("n_tokens"),
-          round(sum($"lp" * $"tf").cast("double") /
-            sum($"tf").cast("double"), 4).as("avg_logprob"))
+          sum($"lp".cast(DecimalType(18, 8)) *
+            $"tf".cast(DecimalType(9, 0))).as("__S"))
+        // Exact-integer HALF_UP mean: the quotient CAN land on a
+        // .00005 tie, where round(double, 4) diverges across engines —
+        // see Parity.exactMeanRound4.
+        .select($"doc_id", $"n_tokens",
+          Parity.exactMeanRound4($"__S", $"n_tokens").as("avg_logprob"))
         .orderBy($"doc_id")
     },
 
@@ -296,13 +327,18 @@ object AnalyticsQueries extends graft.QueryModule {
       // prefix join never touches instance-scale data.
       val voc = c2.join(c1, Seq("w1"))
         .select($"bg",
-          (log2($"c2".cast("double")) - log2($"c1".cast("double")))
+          // rounded-libm recipe — see docs_unigram_logprob.
+          round(log2($"c2".cast("double")) - log2($"c1".cast("double")), 8)
             .cast(DecimalType(28, 10)).as("lp"))
       tf.join(voc, Seq("bg"))
         .groupBy($"doc_id")
+        // Precision-safe product + tie-free exact mean — see
+        // docs_unigram_logprob.
         .agg(sum($"tf").as("n_bigrams"),
-          round(sum($"lp" * $"tf").cast("double") /
-            sum($"tf").cast("double"), 4).as("avg_logprob"))
+          sum($"lp".cast(DecimalType(18, 8)) *
+            $"tf".cast(DecimalType(9, 0))).as("__S"))
+        .select($"doc_id", $"n_bigrams",
+          Parity.exactMeanRound4($"__S", $"n_bigrams").as("avg_logprob"))
         .orderBy($"doc_id")
     },
 
@@ -670,23 +706,27 @@ object AnalyticsQueries extends graft.QueryModule {
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "docs_unigram_logprob" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
-        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-        |tot AS (SELECT SUM(c) AS total FROM vocab),
-        |scored AS (
-        |  SELECT doc_id,
-        |    CAST(log2(CAST(c AS DOUBLE)) - log2(CAST(total AS DOUBLE)) AS DECIMAL(28,10)) AS lp
-        |  FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
-        |SELECT doc_id, COUNT(*) AS n_tokens,
-        |  round(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_logprob
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         |tot AS (SELECT SUM(c) AS total FROM vocab),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(round(log2(CAST(c AS DOUBLE)) - log2(CAST(total AS DOUBLE)), 8)
+         |      AS DECIMAL(28,10)) AS lp
+         |  FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+         |m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    SUM(CAST(lp AS DECIMAL(18,8))) AS s
+         |  FROM scored GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  ${Parity.exactMeanRound4Sql("s", "n_tokens")} AS avg_logprob
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     // Replays docs_bigram_logprob: adjacent-token pairs (1-based list
     // slicing), corpus bigram and prefix counts, log2 MLE conditional per
     // instance decimal-cast before the tf-weighted mean.
     "docs_bigram_logprob" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         |bg AS (
         |  SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
@@ -698,25 +738,31 @@ object AnalyticsQueries extends graft.QueryModule {
         |  FROM c2 GROUP BY w1),
         |scored AS (
         |  SELECT tf.doc_id, tf.tf,
-        |    CAST(log2(CAST(c2 AS DOUBLE)) - log2(CAST(c1 AS DOUBLE))
+        |    CAST(round(log2(CAST(c2 AS DOUBLE)) - log2(CAST(c1 AS DOUBLE)), 8)
         |      AS DECIMAL(28,10)) AS lp
         |  FROM tf JOIN c2 USING (bg)
-        |  JOIN c1 ON split_part(tf.bg, ' ', 1) = c1.w1)
-        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-        |  round(CAST(SUM(lp * tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 4)
-        |    AS avg_logprob
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  JOIN c1 ON split_part(tf.bg, ' ', 1) = c1.w1),
+        |m AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    SUM(CAST(lp AS DECIMAL(18,8)) * CAST(tf AS DECIMAL(9,0))) AS s
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  ${Parity.exactMeanRound4Sql("s", "n_bigrams")} AS avg_logprob
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_char_entropy" ->
-      """WITH c AS (SELECT doc_id, len(text) AS n,
-        |    unnest(string_split(text, '')) AS ch
-        |  FROM documents),
-        |g AS (SELECT doc_id, n, COUNT(*) AS cnt FROM c GROUP BY doc_id, n, ch)
-        |SELECT doc_id,
-        |  round(log2(CAST(n AS DOUBLE)) -
-        |    SUM(cnt * log2(CAST(cnt AS DOUBLE))) / CAST(n AS DOUBLE), 4)
-        |    AS char_entropy
-        |FROM g GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+      s"""WITH c AS (SELECT doc_id, len(text) AS n,
+         |    unnest(string_split(text, '')) AS ch
+         |  FROM documents),
+         |g AS (SELECT doc_id, n, COUNT(*) AS cnt FROM c GROUP BY doc_id, n, ch),
+         |h AS (SELECT doc_id, n,
+         |    CAST(round(log2(CAST(n AS DOUBLE)), 8) AS DECIMAL(18,8))
+         |        * CAST(n AS DECIMAL(9,0))
+         |      - SUM(CAST(cnt AS DECIMAL(9,0)) *
+         |          CAST(round(log2(CAST(cnt AS DOUBLE)), 8) AS DECIMAL(18,8))) AS u
+         |  FROM g GROUP BY doc_id, n)
+         |SELECT doc_id,
+         |  ${Parity.exactMeanRound4Sql("u", "n")} AS char_entropy
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     // Decorations mirror the Spark side chr-for-chr; every ratio is one
     // division of exact integers, so booleans compare bit-identically.

@@ -32,4 +32,47 @@ object Parity {
     price.cast(DecimalType(18, 4)) *
       (lit(1).cast(DecimalType(18, 4)) - disc.cast(DecimalType(18, 4)))
   }
+
+  /** round(s / n, 4) — HALF_UP, away from zero — evaluated in EXACT
+    * integer arithmetic, for MEAN outputs whose quotient can land
+    * exactly on a `.00005` tie. `round(double, 4)` is NOT
+    * engine-portable there: Spark rounds the shortest-decimal
+    * representation of the quotient (BigDecimal.valueOf), DuckDB
+    * multiplies the raw double by 10⁴ — on a tie the two sit on
+    * opposite sides by 1 ulp (caught live at sf0.1: 6/5000
+    * docs_unigram_logprob rows off by exactly 1e-4, r8).
+    *
+    * Contract: `s` is an exact decimal with AT MOST 8 fractional
+    * digits and |s| < 10¹⁴ (cast to (22,8) must not overflow); `n` a
+    * positive integer ≤ ~10⁹. Then t = s·10⁸ and d = n·10⁴ are exact
+    * longs, |2t|+d < 2⁵³ stays float-exact, and the double division
+    * (2|t|+d)/(2d) cannot round across an integer: a non-integer
+    * quotient is ≥ 1/(2d) ≥ 5e-14 from one, vs ~1e-15 division error
+    * — so floor() is the true integer quotient and
+    * sign·⌊(2|t|+d)/(2d)⌋ / 10⁴ IS round-half-away(s/n, 4), engine-
+    * independent (the final /10⁴ of a ≤15-digit integer is one IEEE
+    * division on both engines). SQL mirror: [[exactMeanRound4Sql]]. */
+  def exactMeanRound4(s: Column, n: Column): Column = {
+    import org.apache.spark.sql.functions._
+    // ×10⁸ via a (9,0) literal: (22,8)×(9,0) → (32,8), no precision
+    // clamp — a plain long literal would be (20,0) and push Spark into
+    // allowPrecisionLoss scale reduction, silently dropping digits.
+    val t = (s.cast(DecimalType(22, 8)) *
+      lit(100000000L).cast(DecimalType(9, 0))).cast("long")
+    val d = n.cast("long") * lit(10000L)
+    val mag = floor((abs(t) * 2 + d) / (d * 2)).cast("long")
+    when(t < 0, -mag).otherwise(mag).cast("double") / lit(10000.0)
+  }
+
+  /** The DuckDB replay of [[exactMeanRound4]] — one definition, so the
+    * two sides cannot drift. `s`/`n` are SQL expressions (s an exact
+    * decimal ≤8 dp, n a positive integer); emits a scalar expression
+    * (reference `s` and `n` from a derived table to avoid
+    * re-evaluating aggregates). */
+  def exactMeanRound4Sql(s: String, n: String): String = {
+    val t = s"CAST(CAST(($s) AS DECIMAL(22,8)) * 100000000 AS BIGINT)"
+    val d = s"(CAST(($n) AS BIGINT) * 10000)"
+    s"""CAST(CASE WHEN $t < 0 THEN -(((-($t))*2 + $d) // ($d*2))
+       |      ELSE (($t)*2 + $d) // ($d*2) END AS DOUBLE) / 10000""".stripMargin
+  }
 }
