@@ -102,7 +102,11 @@ object Bm25 {
       .select(col("query_id"), col("doc_id"),
         round(idf * tfn, 8).cast(DecimalType(28, 10)).as("term_score"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("term_score")).cast(DoubleType), 4).as("score"))
+      // Final round IN DECIMAL (HALF_UP scale-down cast) before the one
+      // double cast — round(double, 4) of an exact 8-dp sum splits
+      // engines on a 5e-5 tie (the Dsir/logprob postmortem, SCALING.md).
+      .agg(sum(col("term_score")).cast(DecimalType(28, 4))
+        .cast(DoubleType).as("score"))
 
     TopK.perKey(scored, Seq(col("query_id")),
       Seq(col("score").desc, col("doc_id").asc), k)

@@ -175,8 +175,14 @@ object LangModel {
       .agg(sum(round(col("cnt") * col("logp"), 8).cast(DecimalType(28, 10)))
         .as("ll"))
       .join(broadcast(priorTable), Seq("lang"))
+      // ll + prior is an EXACT ≤8-dp decimal (both operands 8 dp) —
+      // add and round to 6 in decimal (HALF_UP scale-down cast), one
+      // double cast at the end: round(double, 6) splits engines on a
+      // 5e-7 tie (the Dsir logw postmortem class, SCALING.md r8).
       .select(col("id"), col("lang"),
-        round(col("ll").cast("double") + col("prior"), 6).as("score"))
+        (col("ll").cast(DecimalType(28, 10)) +
+            col("prior").cast(DecimalType(18, 8)))
+          .cast(DecimalType(28, 6)).cast("double").as("score"))
     val best = scores
       .groupBy(col("id"))
       .agg(max(struct(col("score"), col("lang"))).as("m"))

@@ -45,7 +45,12 @@ object Decay {
       .select(col(keyCol), term.as("__dv"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("__dv")).cast(DoubleType), 4).as("decayed_sum"))
+        // Final round IN DECIMAL (HALF_UP scale-down cast) before the
+        // one double cast: round(double, 4) of an exact 8-dp sum
+        // splits engines on a 5e-5 tie — the Dsir/logprob postmortem
+        // class (SCALING.md, r8).
+        sum(col("__dv")).cast(DecimalType(28, 4)).cast(DoubleType)
+          .as("decayed_sum"))
   }
 
   case class DecayEvent(key: Long, tsMicros: Long, value: Double,

@@ -99,15 +99,21 @@ object Dsir {
       idCol: String, buckets: Int): DataFrame =
     importanceFromCounts(bucketCounts(raw, textCol, idCol, buckets), ratios)
 
-  /** [[importanceWeights]] over a precomputed raw-count table. */
+  /** [[importanceWeights]] over a precomputed raw-count table. The
+    * final round to 6 happens IN DECIMAL (Spark's decimal scale-down
+    * cast is HALF_UP; DuckDB mirrors with round-on-decimal) before the
+    * one double cast: `round(double, 6)` of an exact 8-dp sum splits
+    * engines when the sum lands exactly on a 5e-7 tie — caught live at
+    * sf0.001 (one row off by exactly 1e-6, r8; the
+    * Parity.exactMeanRound4 postmortem class, SCALING.md). */
   def importanceFromCounts(rawCounts: DataFrame,
       ratios: DataFrame): DataFrame =
     rawCounts
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(col("id"))
-      .agg(round(
+      .agg(
         sum(round(col("cnt") * col("ratio"), 8).cast(DecimalType(28, 10)))
-          .cast("double"), 6).as("logw"))
+          .cast(DecimalType(28, 6)).cast("double").as("logw"))
 
   /** The composed weights pipeline: the raw corpus is bucket-counted
     * ONCE (pinned with a localCheckpoint so the ratio aggregate and the
@@ -150,7 +156,13 @@ object Dsir {
     val lnU = least(round(log(u), 8), lit(-1.0e-8))
     val g = -round(log(-lnU), 8)
     weights
-      .withColumn("score", round(col("logw") + g, 6))
+      // score = logw + g is an EXACT ≤8-dp decimal (logw 6 dp, g 8 dp)
+      // — add and round to 6 in decimal (HALF_UP scale-down cast), one
+      // double cast at the end: round(double, 6) splits engines on a
+      // 5e-7 tie (the logw postmortem class, SCALING.md r8).
+      .withColumn("score",
+        (col("logw").cast(DecimalType(18, 6)) + g.cast(DecimalType(18, 8)))
+          .cast(DecimalType(28, 6)).cast("double"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }

@@ -589,7 +589,7 @@ object AnalyticsQueries extends graft.QueryModule {
         |      8) AS DECIMAL(28,10)) AS term_score
         |  FROM tf JOIN q USING (token) JOIN df USING (token) CROSS JOIN stats),
         |agg AS (SELECT query_id, doc_id,
-        |    round(CAST(SUM(term_score) AS DOUBLE), 4) AS score
+        |    CAST(round(SUM(term_score), 4) AS DOUBLE) AS score
         |  FROM scored GROUP BY query_id, doc_id),
         |r AS (SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM agg)

@@ -1362,7 +1362,7 @@ object ExtensionQueries extends graft.QueryModule {
       |  LEFT JOIN rb ON rb.bucket = s.bucket, tt, rt),
       |wts AS (
       |  SELECT doc_id,
-      |    round(CAST(SUM(CAST(round(cnt * ratio, 8) AS DECIMAL(28,10))) AS DOUBLE), 6) AS logw
+      |    CAST(round(SUM(CAST(round(cnt * ratio, 8) AS DECIMAL(28,10))), 6) AS DOUBLE) AS logw
       |  FROM bc JOIN ratios USING (bucket)
       |  WHERE source <> 'src0'
       |  GROUP BY doc_id)""".stripMargin
@@ -1595,8 +1595,9 @@ object ExtensionQueries extends graft.QueryModule {
       |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
       |sc AS (
       |  SELECT b.doc_id, m.lang,
-      |    round(CAST(SUM(CAST(round(b.cnt * m.logp, 8) AS DECIMAL(28,10))) AS DOUBLE)
-      |      + ANY_VALUE(pr.prior), 6) AS score
+      |    CAST(round(CAST(SUM(CAST(round(b.cnt * m.logp, 8) AS DECIMAL(28,10)))
+      |        AS DECIMAL(28,10))
+      |      + CAST(ANY_VALUE(pr.prior) AS DECIMAL(18,8)), 6) AS DOUBLE) AS score
       |  FROM bg b JOIN model m ON b.bucket = m.bucket
       |  JOIN pr ON m.lang = pr.lang
       |  GROUP BY 1, 2),
@@ -1958,9 +1959,11 @@ object ExtensionQueries extends graft.QueryModule {
     "docs_dsir_sample" ->
       s"""WITH $dsirWeightCtes
          |SELECT doc_id, logw,
-         |  round(logw - round(ln(-least(round(ln(
-         |    (CAST(('0x' || substr(md5(doc_id::VARCHAR || ':dsir-v1'), 1, 13))::BIGINT AS DOUBLE) + 1.0)
-         |      / 4503599627370496.0), 8), -1.0e-8)), 8), 6) AS score
+         |  CAST(round(CAST(logw AS DECIMAL(18,6))
+         |    - CAST(round(ln(-least(round(ln(
+         |      (CAST(('0x' || substr(md5(doc_id::VARCHAR || ':dsir-v1'), 1, 13))::BIGINT AS DOUBLE) + 1.0)
+         |        / 4503599627370496.0), 8), -1.0e-8)), 8) AS DECIMAL(18,8)), 6)
+         |    AS DOUBLE) AS score
          |FROM wts
          |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
 
@@ -2950,7 +2953,7 @@ object ExtensionQueries extends graft.QueryModule {
         |      / 24.0), 8) AS DECIMAL(28,10)) AS dv
         |  FROM events CROSS JOIN h)
         |SELECT user_id, COUNT(*) AS n_events,
-        |  round(CAST(SUM(dv) AS DOUBLE), 4) AS decayed_sum
+        |  CAST(round(SUM(dv), 4) AS DOUBLE) AS decayed_sum
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_transitions" ->
