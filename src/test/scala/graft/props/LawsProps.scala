@@ -185,4 +185,35 @@ object LawsProps extends Properties("graft.laws") with SparkTestBase {
       // contract (stream_decay's oracle), not any-order's.
       math.abs(scoreAtHorizon(events) - scoreAtHorizon(shuffled)) < 1e-4
     }
+
+  // ---- exact-integer HALF_UP mean (the float-parity postmortem fix) ----
+
+  // s = t·10⁻⁸ (any 8-dp decimal), n a positive count. Half the cases
+  // are CONSTRUCTED exact .00005 ties — t = n·(2k+1)·5000 makes
+  // s·10⁴/n = (2k+1)/2 exactly — the inputs round(double, 4) gets
+  // wrong cross-engine and this helper exists for.
+  private val meanCaseGen: Gen[(Long, Long)] = Gen.frequency(
+    1 -> (for {
+      t <- Gen.choose(-2000000000000L, 2000000000000L)
+      n <- Gen.choose(1L, 100000L)
+    } yield (t, n)),
+    1 -> (for {
+      n <- Gen.choose(1L, 100000L)
+      k <- Gen.choose(-1000L, 1000L)
+    } yield (n * (2 * k + 1) * 5000L, n)))
+
+  property("exactMeanRound4 equals BigDecimal HALF_UP division everywhere") =
+    forAll(Gen.listOfN(40, meanCaseGen)) { cases =>
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      import org.apache.spark.sql.types.DecimalType
+      val got = cases.map { case (t, n) =>
+        (JBD.valueOf(t, 8).toPlainString, n) }.toDF("s", "n")
+        .select(graft.queries.Parity.exactMeanRound4(
+          col("s").cast(DecimalType(22, 8)), col("n")).as("m"))
+        .as[Double].collect().toSeq
+      val want = cases.map { case (t, n) =>
+        JBD.valueOf(t, 8).divide(JBD.valueOf(n), 4, RoundingMode.HALF_UP)
+          .doubleValue }
+      got == want
+    }
 }
