@@ -1171,6 +1171,31 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // The NEAR-dup streaming-ingest leg (r8): the same four
+    // deterministic batches through ingestBatchNearDup — incremental
+    // MinHash+LSH dedup against the persisted (band, bh) bucket-key
+    // index, O(batch) appends, zero table rewrite. md5-affine family so
+    // the DuckDB oracle replays the full four-batch chain: per batch,
+    // drop on an index hit (bucket keys of EARLIER batches' survivors)
+    // or a smaller-id same-batch bucket partner, then fold the batch's
+    // surviving buckets into the index — sequential state as chained
+    // CTEs, the docs_quality_model recipe applied to ingest.
+    "stream_neardup_batches" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_stream_ndp").toString
+      (0L until 4L).foreach { b =>
+        graft.streaming.StreamingIngest.ingestBatchNearDup(
+          docs.filter(pmod($"doc_id", lit(4L)) === b),
+          wh, "docs_ndp", "text", "doc_id", batchId = b,
+          family = Dedup.md5AffineFamily)
+      }
+      s.read.parquet(s"$wh/docs_ndp")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
     // The rolling z-score STREAMING leg under the bench/oracle watch
     // (r7): the events table replayed through the real Structured
     // Streaming machinery — file source → flatMapGroupsWithState (state
@@ -3161,6 +3186,66 @@ object ExtensionQueries extends graft.QueryModule {
         |  FROM b)
         |SELECT doc_id, source FROM r WHERE fp IS NULL OR rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the four-batch NEAR-dup ingest chain: the md5-affine
+    // signature/banding machinery (the dedup_minhash_incremental
+    // convention), then each batch as one chained CTE layer — drop on a
+    // bucket-key hit against the running index (earlier batches'
+    // SURVIVORS only) or a smaller-id same-batch bucket partner, fold
+    // the batch's surviving buckets into the index. Docs without
+    // shingles (null/short text) have no buckets and always survive.
+    // MATERIALIZED is load-bearing on chained CTEs (see
+    // text_bpe_merges).
+    "stream_neardup_batches" -> {
+      val sigCols = (0 until 32).map { i =>
+        val a = (2654435761L * (i + 1)) % 1073741824L + 1
+        s"""list_min(list_transform(shset,
+           |      s -> ($a * (('0x' || substr(md5(s), 1, 7))::BIGINT) + $i) % 2147483647)) AS m$i""".stripMargin
+      }.mkString(",\n    ")
+      val bandSelects = (0 until 8).map { b =>
+        val key = (0 until 4).map(r => s"m${b * 4 + r}").mkString("[", ", ", "]")
+        s"SELECT id, bno, $b AS band, $key AS bh FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      val sb = new StringBuilder
+      sb ++= s"""WITH sets AS MATERIALIZED (
+         |  SELECT doc_id AS id, doc_id % 4 AS bno, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shset
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+         |  WHERE len(toks) >= 3),
+         |sig AS MATERIALIZED (
+         |  SELECT id, bno, shset,
+         |    $sigCols
+         |  FROM sets),
+         |banded AS MATERIALIZED (
+         |  $bandSelects),
+         |i0 AS (SELECT band, bh FROM banded WHERE 1 = 0)""".stripMargin
+      for (b <- 0 to 3) {
+        sb ++= s""",
+          |d$b AS MATERIALIZED (
+          |  SELECT DISTINCT x.id FROM banded x
+          |  JOIN i$b i ON x.band = i.band AND x.bh = i.bh
+          |  WHERE x.bno = $b
+          |  UNION
+          |  SELECT DISTINCT y.id FROM banded x
+          |  JOIN banded y ON x.band = y.band AND x.bh = y.bh
+          |    AND x.id < y.id AND x.bno = $b AND y.bno = $b),
+          |s$b AS MATERIALIZED (
+          |  SELECT doc_id, source FROM documents
+          |  WHERE doc_id % 4 = $b AND doc_id NOT IN (SELECT id FROM d$b))""".stripMargin
+        if (b < 3) sb ++= s""",
+          |i${b + 1} AS MATERIALIZED (
+          |  SELECT band, bh FROM i$b
+          |  UNION
+          |  SELECT DISTINCT band, bh FROM banded
+          |  WHERE bno = $b AND id IN (SELECT doc_id FROM s$b))""".stripMargin
+      }
+      sb ++= """
+        |SELECT doc_id, source FROM (
+        |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |ORDER BY doc_id""".stripMargin
+      sb.toString
+    },
 
     "events_interval_join" ->
       """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,

@@ -57,11 +57,12 @@ object StreamingIngest {
     * twice) and skipped when empty; `write` only picks the storage
     * strategy. */
   private def withSurvivors(batch: DataFrame, warehouseDir: String,
-      table: String, textCol: String, pk: String)(
+      table: String, textCol: String, pk: String,
+      excludeBatch: Option[Long] = None)(
       write: (org.apache.spark.sql.SparkSession, DataFrame) => Unit): Unit = {
     val spark = batch.sparkSession
-    val idx = SendoPipeline.readTable(spark, warehouseDir,
-      indexTable(table), fpSchema)
+    val idx = readIndex(spark, warehouseDir, indexTable(table), fpSchema,
+      excludeBatch)
       .select(org.apache.spark.sql.functions.col("fp"))
     val kept = Dedup.incrementalDedup(batch.dropDuplicates(pk), idx,
       textCol, pk)
@@ -69,6 +70,29 @@ object StreamingIngest {
     try {
       if (!kept.isEmpty) write(spark, kept)
     } finally kept.unpersist()
+  }
+
+  /** Read a dedup-state index table, excluding `excludeBatch`'s own
+    * `ingest_batch` partition when given (partition-pruned — O(0) extra
+    * read). The append forms MUST probe the pre-batch state: a replayed
+    * batch probing an index that already holds its own partition sees
+    * every row as a duplicate EXCEPT state-less rows (null text for the
+    * fingerprint index, shingle-less docs for the band index), so the
+    * survivor set degenerates to just those rows and the replay-safe
+    * "identical self-overwrite" would LOSE the partition's other docs.
+    * Excluding the batch's own partition makes the replay compute the
+    * exact original survivor set — true at-least-once idempotence, and
+    * a docs-written/index-crashed partial failure also reconverges. */
+  private def readIndex(spark: org.apache.spark.sql.SparkSession,
+      warehouseDir: String, name: String,
+      schema: StructType, excludeBatch: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = SendoPipeline.readTable(spark, warehouseDir, name, schema)
+    excludeBatch match {
+      case Some(b) if df.columns.contains("ingest_batch") =>
+        df.filter(col("ingest_batch") =!= lit(b))
+      case _ => df
+    }
   }
 
   /** [[ingestBatch]] with PARTITION-SCOPED merges — the warehouse-scale
@@ -106,7 +130,9 @@ object StreamingIngest {
     * ALL: each batch lands as its own partition
     * (`<table>/ingest_batch=<id>`), written with overwrite on that one
     * partition — a replayed batch overwrites itself with identical
-    * content (the [[StreamingRollup.writeDelta]] idempotence scheme).
+    * content (the [[StreamingRollup.writeDelta]] idempotence scheme;
+    * the index probe excludes the batch's OWN partition so the replay
+    * recomputes the original survivor set — see [[readIndex]]).
     * Cost per batch is O(batch) writes, zero reads of existing table
     * data beyond the index probe; neither [[ingestBatch]]'s full
     * rewrite nor [[ingestBatchPartitioned]]'s bucket rewrites can beat
@@ -127,12 +153,68 @@ object StreamingIngest {
     * needs the MERGE forms above. */
   def ingestBatchAppend(batch: DataFrame, warehouseDir: String,
       table: String, textCol: String, pk: String, batchId: Long): Unit =
-    withSurvivors(batch, warehouseDir, table, textCol, pk) { (_, kept) =>
+    withSurvivors(batch, warehouseDir, table, textCol, pk,
+      excludeBatch = Some(batchId)) { (_, kept) =>
       kept.write.mode("overwrite")
         .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
       Dedup.fingerprintIndex(kept, textCol).write.mode("overwrite")
         .parquet(s"$warehouseDir/${indexTable(table)}/ingest_batch=$batchId")
     }
+
+  private def bandIndexTable(table: String): String = s"${table}_bandidx"
+
+  private val bandIdxSchema = StructType(Seq(
+    StructField("band", org.apache.spark.sql.types.IntegerType),
+    StructField("bh", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType))))
+
+  /** NEAR-dup streaming ingest (r8): [[ingestBatchAppend]]'s O(batch)
+    * append discipline with the dedup upgraded from exact fingerprints
+    * to MinHash+LSH ([[Dedup.incrementalMinhashDedup]]) — the form a
+    * production corpus pipeline actually runs, where "the same article
+    * with a new tracking footer a month later" must still be a
+    * duplicate. Warehouse state is the persisted (band, bh) bucket-key
+    * index ([[Dedup.minhashBandIndex]]); each batch probes it (O(batch)
+    * — the corpus is never rescanned), drops index hits and
+    * smaller-id intra-batch bucket partners (one-hop min-id-wins, the
+    * library rule), appends survivors as the batch's own partition and
+    * the survivors' bucket keys as the index's matching partition —
+    * replay-safe self-overwrite on both tables, zero rewrite of prior
+    * batches.
+    *
+    * Bucket-only state: the index stores bucket KEYS, not document ids
+    * or shingle sets — ~32 longs per doc regardless of document size,
+    * so a year of daily batches keeps the probe a broadcast-or-shuffle
+    * of key material only. Docs with no shingles (null/short text)
+    * produce no buckets, are never dropped, and add nothing to the
+    * index — [[Dedup.incrementalMinhashDedup]]'s convention.
+    *
+    * PRECONDITION (as [[ingestBatchAppend]]): PKs are assign-once
+    * across batches; a PK re-arriving with near-identical text drops
+    * as a near-dup, one with genuinely new text appends as a new row —
+    * re-keyed update sources need the MERGE forms. */
+  def ingestBatchNearDup(batch: DataFrame, warehouseDir: String,
+      table: String, textCol: String, pk: String, batchId: Long,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      family: Dedup.MinHashFamily = Dedup.xxFamily): Unit = {
+    val spark = batch.sparkSession
+    val idx = readIndex(spark, warehouseDir, bandIndexTable(table),
+      bandIdxSchema, excludeBatch = Some(batchId))
+    val kept = Dedup.incrementalMinhashDedup(batch.dropDuplicates(pk),
+      idx, textCol, pk, shingleN, bands, rowsPerBand, family)
+    kept.persist()
+    try {
+      if (!kept.isEmpty) {
+        kept.write.mode("overwrite")
+          .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
+        Dedup.minhashBandIndex(kept, textCol, pk, shingleN, bands,
+            rowsPerBand, family)
+          .write.mode("overwrite")
+          .parquet(
+            s"$warehouseDir/${bandIndexTable(table)}/ingest_batch=$batchId")
+      }
+    } finally kept.unpersist()
+  }
 
   /** Start the streaming ingestion query over a streaming `docs` frame.
     * Checkpointed; restarts resume from the last committed batch, and a

@@ -127,4 +127,61 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
       wh, "docs", "text", "doc_id")
     assert(spark.read.parquet(s"$wh/docs").collect().toSet == before)
   }
+
+  private val longA = "alpha beta gamma delta epsilon zeta eta theta iota"
+  private val longB = "one two three four five six seven eight nine ten"
+
+  test("near-dup ingest drops LSH matches across and within batches; " +
+      "shingle-less docs always survive") {
+    val wh = tmpDir("ndp_wh")
+    def docsOf = spark.read.parquet(s"$wh/docs")
+      .select("doc_id").as[Long].collect().toSet
+    // Batch 0: 2 is an exact near-dup of 1 (all band buckets equal —
+    // min-id wins); 3 is null text (no shingles — must survive).
+    StreamingIngest.ingestBatchNearDup(
+      Seq((1L, longA), (2L, longA), (3L, null)).toDF("doc_id", "text"),
+      wh, "docs", "text", "doc_id", batchId = 0L)
+    assert(docsOf == Set(1L, 3L))
+    // Batch 1: 4 hits batch 0's persisted buckets (cross-batch drop),
+    // 5 is new, 6 has < 3 tokens (no shingles — survives).
+    StreamingIngest.ingestBatchNearDup(
+      Seq((4L, longA), (5L, longB), (6L, "hi")).toDF("doc_id", "text"),
+      wh, "docs", "text", "doc_id", batchId = 1L)
+    assert(docsOf == Set(1L, 3L, 5L, 6L))
+    // The index holds bucket KEYS of survivors only: 2 tables' worth.
+    assert(spark.read.parquet(s"$wh/docs_bandidx")
+      .select("band", "bh").distinct().count() == 16L) // 8 bands x 2 docs
+  }
+
+  test("append-form replays recompute the ORIGINAL survivor set even with " +
+      "state-less rows in the batch (own-partition index exclusion)") {
+    // Without the own-partition exclusion, a replayed batch sees its own
+    // fingerprints/buckets in the index, so only the state-less rows
+    // (null text / shingle-less) survive and the self-overwrite LOSES
+    // the partition's other docs.
+    val whF = tmpDir("replay_fp")
+    val fpBatch = Seq((1L, "doc one"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    StreamingIngest.ingestBatchAppend(fpBatch, whF, "docs", "text",
+      "doc_id", batchId = 0L)
+    val onceF = spark.read.parquet(s"$whF/docs")
+      .select("doc_id").as[Long].collect().toSet
+    StreamingIngest.ingestBatchAppend(fpBatch, whF, "docs", "text",
+      "doc_id", batchId = 0L)
+    assert(spark.read.parquet(s"$whF/docs")
+      .select("doc_id").as[Long].collect().toSet == onceF)
+    assert(onceF == Set(1L, 2L))
+
+    val whN = tmpDir("replay_ndp")
+    val ndBatch = Seq((1L, longA), (2L, "hi")).toDF("doc_id", "text")
+    StreamingIngest.ingestBatchNearDup(ndBatch, whN, "docs", "text",
+      "doc_id", batchId = 0L)
+    val onceN = spark.read.parquet(s"$whN/docs")
+      .select("doc_id").as[Long].collect().toSet
+    StreamingIngest.ingestBatchNearDup(ndBatch, whN, "docs", "text",
+      "doc_id", batchId = 0L)
+    assert(spark.read.parquet(s"$whN/docs")
+      .select("doc_id").as[Long].collect().toSet == onceN)
+    assert(onceN == Set(1L, 2L))
+  }
 }
