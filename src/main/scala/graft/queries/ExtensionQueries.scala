@@ -1196,6 +1196,28 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // The EMBEDDING near-dup streaming-ingest leg (r8): four
+    // deterministic batches (vec_id mod 4) through ingestBatchEmbDup —
+    // sign-random-projection LSH (ingest-tuned T=8/B=12, md5-derived
+    // planes so DuckDB replays the geometry) against the persisted
+    // (t, bucket) signature-key index; O(batch) appends, the corpus
+    // never rescanned, the index never rebuilt (planes are
+    // data-independent). Oracle: the four-batch chain as chained CTEs.
+    "stream_embdup_batches" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_stream_emb").toString
+      (0L until 4L).foreach { b =>
+        graft.streaming.StreamingIngest.ingestBatchEmbDup(
+          emb.filter(pmod($"vec_id", lit(4L)) === b),
+          wh, "emb_stream", "embedding", "vec_id", batchId = b, dims = 64)
+      }
+      s.read.parquet(s"$wh/emb_stream")
+        .select($"vec_id")
+        .orderBy($"vec_id")
+    },
+
     // The rolling z-score STREAMING leg under the bench/oracle watch
     // (r7): the events table replayed through the real Structured
     // Streaming machinery — file source → flatMapGroupsWithState (state
@@ -3244,6 +3266,62 @@ object ExtensionQueries extends graft.QueryModule {
         |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
         |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
         |ORDER BY doc_id""".stripMargin
+      sb.toString
+    },
+
+    // Replays the four-batch EMBEDDING near-dup ingest chain: the
+    // dedup_embedding_incremental plane/signature machinery (T=8,
+    // B=12-bit md5-derived planes), then each batch as one chained CTE
+    // layer — drop on a signature-key hit against the running index
+    // (earlier batches' survivors) or a smaller-id same-batch bucket
+    // partner, fold the batch's surviving keys forward.
+    "stream_embdup_batches" -> {
+      val T = 8; val B = 12; val D = 64
+      val sb = new StringBuilder
+      sb ++= s"""WITH planes AS MATERIALIZED (
+         |  SELECT CAST(i // $B AS INT) AS t, CAST(i % $B AS INT) AS p,
+         |    list(w ORDER BY d) AS w
+         |  FROM (
+         |    SELECT i, d,
+         |      (('0x' || substr(md5('lsh:' || (i // $B) || ':' || (i % $B) || ':' || d), 1, 13))::BIGINT
+         |        / 4503599627370496.0) * 2.0 - 1.0 AS w
+         |    FROM (SELECT unnest(range(${T * B})) AS i)
+         |    CROSS JOIN (SELECT unnest(range($D)) AS d))
+         |  GROUP BY 1, 2),
+         |vecs AS (SELECT vec_id, vec_id % 4 AS bno, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |sigs AS MATERIALIZED (
+         |  SELECT vec_id, bno, t,
+         |    SUM(CASE WHEN list_dot_product(v, w) >= 0
+         |        THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM vecs CROSS JOIN planes GROUP BY 1, 2, 3),
+         |i0 AS (SELECT t, bucket FROM sigs WHERE 1 = 0)""".stripMargin
+      for (b <- 0 to 3) {
+        sb ++= s""",
+          |d$b AS MATERIALIZED (
+          |  SELECT DISTINCT x.vec_id FROM sigs x
+          |  JOIN i$b i ON x.t = i.t AND x.bucket = i.bucket
+          |  WHERE x.bno = $b
+          |  UNION
+          |  SELECT DISTINCT y.vec_id FROM sigs x
+          |  JOIN sigs y ON x.t = y.t AND x.bucket = y.bucket
+          |    AND x.vec_id < y.vec_id AND x.bno = $b AND y.bno = $b),
+          |s$b AS MATERIALIZED (
+          |  SELECT vec_id FROM embeddings
+          |  WHERE vec_id % 4 = $b
+          |    AND vec_id NOT IN (SELECT vec_id FROM d$b))""".stripMargin
+        if (b < 3) sb ++= s""",
+          |i${b + 1} AS MATERIALIZED (
+          |  SELECT t, bucket FROM i$b
+          |  UNION
+          |  SELECT DISTINCT t, bucket FROM sigs
+          |  WHERE bno = $b AND vec_id IN (SELECT vec_id FROM s$b))""".stripMargin
+      }
+      sb ++= """
+        |SELECT vec_id FROM (
+        |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |ORDER BY vec_id""".stripMargin
       sb.toString
     },
 

@@ -216,6 +216,44 @@ object StreamingIngest {
     } finally kept.unpersist()
   }
 
+  private def lshIndexTable(table: String): String = s"${table}_lshidx"
+
+  private val lshIdxSchema = StructType(Seq(
+    StructField("t", org.apache.spark.sql.types.IntegerType),
+    StructField("bucket", org.apache.spark.sql.types.LongType)))
+
+  /** [[ingestBatchNearDup]] for EMBEDDINGS: the append discipline with
+    * [[Dedup.incrementalEmbeddingDedup]] (sign-random-projection LSH,
+    * ingest-tuned T=8/B=12 — precise buckets, no verify stage) against
+    * a persisted (t, bucket) signature-key index
+    * ([[Dedup.embeddingLshIndex]]). The planes are data-independent, so
+    * the index never rebuilds as the corpus grows; per batch the probe
+    * is O(batch·tables) keys. Vectors with a null/absent embedding are
+    * outside this form's contract (the library buckets every non-null
+    * vector). Same PRECONDITION and replay story as the text form —
+    * the index probe excludes the batch's own partition
+    * ([[readIndex]]). */
+  def ingestBatchEmbDup(batch: DataFrame, warehouseDir: String,
+      table: String, vecCol: String, pk: String, batchId: Long,
+      dims: Int, tables: Int = 8, bits: Int = 12): Unit = {
+    val spark = batch.sparkSession
+    val idx = readIndex(spark, warehouseDir, lshIndexTable(table),
+      lshIdxSchema, excludeBatch = Some(batchId))
+    val kept = Dedup.incrementalEmbeddingDedup(batch.dropDuplicates(pk),
+      idx, pk, vecCol, dims, tables, bits)
+    kept.persist()
+    try {
+      if (!kept.isEmpty) {
+        kept.write.mode("overwrite")
+          .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
+        Dedup.embeddingLshIndex(kept, pk, vecCol, dims, tables, bits)
+          .write.mode("overwrite")
+          .parquet(
+            s"$warehouseDir/${lshIndexTable(table)}/ingest_batch=$batchId")
+      }
+    } finally kept.unpersist()
+  }
+
   /** Start the streaming ingestion query over a streaming `docs` frame.
     * Checkpointed; restarts resume from the last committed batch, and a
     * replayed batch re-merges to the identical warehouse state. */

@@ -184,4 +184,28 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect().toSet == onceN)
     assert(onceN == Set(1L, 2L))
   }
+
+  test("embedding near-dup ingest drops signature matches across and " +
+      "within batches, and replays idempotently") {
+    val wh = tmpDir("emb_wh")
+    val a = Seq(1.0f, 2.0f, -3.0f, 0.5f)
+    val negA = a.map(x => -x) // opposite half-space in every plane
+    def ids = spark.read.parquet(s"$wh/emb")
+      .select("vec_id").as[Long].collect().toSet
+    // Batch 0: 2 is identical to 1 — same signature in every table.
+    StreamingIngest.ingestBatchEmbDup(
+      Seq((1L, a), (2L, a)).toDF("vec_id", "embedding"),
+      wh, "emb", "embedding", "vec_id", batchId = 0L, dims = 4)
+    assert(ids == Set(1L))
+    // Batch 1: 3 hits batch 0's persisted signatures; 4 is the
+    // antipode (complement signature in every table) — survives.
+    val b1 = Seq((3L, a), (4L, negA)).toDF("vec_id", "embedding")
+    StreamingIngest.ingestBatchEmbDup(b1, wh, "emb", "embedding",
+      "vec_id", batchId = 1L, dims = 4)
+    assert(ids == Set(1L, 4L))
+    // Replay of batch 1 recomputes the original survivor set.
+    StreamingIngest.ingestBatchEmbDup(b1, wh, "emb", "embedding",
+      "vec_id", batchId = 1L, dims = 4)
+    assert(ids == Set(1L, 4L))
+  }
 }
