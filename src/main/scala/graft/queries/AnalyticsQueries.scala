@@ -249,11 +249,15 @@ object AnalyticsQueries extends graft.QueryModule {
           .as("__s"))
         // entropy = round(log2r8(n) − S/n, 4) = round((a·n − S)/n, 4)
         // with a = log2r8(n) exact at 8 dp — evaluated tie-free by the
-        // exact-integer mean (see docs_unigram_logprob).
+        // exact-integer mean (see docs_unigram_logprob). __s is cast
+        // DOWN to (28,8) first: (28,8) − sum-widened (38,8) has ideal
+        // precision 39 > 38 and Spark's clamp would silently round the
+        // difference at scale 7, breaking the helper's exact-8-dp
+        // contract; (28,8) − (28,8) → (29,8) stays exact.
         .select($"doc_id",
           Parity.exactMeanRound4(
             round(log2($"n".cast("double")), 8).cast(DecimalType(18, 8)) *
-              $"n".cast(DecimalType(9, 0)) - $"__s",
+              $"n".cast(DecimalType(9, 0)) - $"__s".cast(DecimalType(28, 8)),
             $"n").as("char_entropy"))
         .orderBy($"doc_id")
     },

@@ -43,15 +43,16 @@ object Parity {
     * docs_unigram_logprob rows off by exactly 1e-4, r8).
     *
     * Contract: `s` is an exact decimal with AT MOST 8 fractional
-    * digits and |s| < 10¹⁴ (cast to (22,8) must not overflow); `n` a
-    * positive integer ≤ ~10⁹. Then t = s·10⁸ and d = n·10⁴ are exact
-    * longs, |2t|+d < 2⁵³ stays float-exact, and the double division
-    * (2|t|+d)/(2d) cannot round across an integer: a non-integer
-    * quotient is ≥ 1/(2d) ≥ 5e-14 from one, vs ~1e-15 division error
-    * — so floor() is the true integer quotient and
-    * sign·⌊(2|t|+d)/(2d)⌋ / 10⁴ IS round-half-away(s/n, 4), engine-
-    * independent (the final /10⁴ of a ≤15-digit integer is one IEEE
-    * division on both engines). SQL mirror: [[exactMeanRound4Sql]]. */
+    * digits and |s| < 4×10¹⁰; `n` a positive integer ≤ ~10⁹. Then
+    * t = s·10⁸ and d = n·10⁴ are exact longs with 2|t|+d < 2⁶³, the
+    * integral division (2|t|+d) div (2d) is EXACT long arithmetic
+    * (`GraftSqlShim.integralDivide` — `floor(a / b)` would route
+    * through double and can round across an integer once operands pass
+    * 2⁵³), and sign·((2|t|+d) div (2d)) / 10⁴ IS
+    * round-half-away(s/n, 4), engine-independent (the final /10⁴ of
+    * the ≤15-digit integer result is one IEEE division on both
+    * engines). SQL mirror: [[exactMeanRound4Sql]] (BIGINT `//`, exact
+    * over the same domain). */
   def exactMeanRound4(s: Column, n: Column): Column = {
     import org.apache.spark.sql.functions._
     // ×10⁸ via a (9,0) literal: (22,8)×(9,0) → (32,8), no precision
@@ -60,7 +61,8 @@ object Parity {
     val t = (s.cast(DecimalType(22, 8)) *
       lit(100000000L).cast(DecimalType(9, 0))).cast("long")
     val d = n.cast("long") * lit(10000L)
-    val mag = floor((abs(t) * 2 + d) / (d * 2)).cast("long")
+    val mag = org.apache.spark.sql.GraftSqlShim
+      .integralDivide(abs(t) * 2 + d, d * 2)
     when(t < 0, -mag).otherwise(mag).cast("double") / lit(10000.0)
   }
 

@@ -22,4 +22,12 @@ object GraftSqlShim {
   def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** Exact integral division (the SQL `div` operator) over longs — the
+    * Column API exposes no integer division, and `floor(a / b)` routes
+    * through double, which rounds across integers once the operands
+    * pass 2^53 (the Parity.exactMeanRound4 domain bug, late r8). */
+  def integralDivide(a: Column, b: Column): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(a), expression(b)))
 }

@@ -191,10 +191,13 @@ object LawsProps extends Properties("graft.laws") with SparkTestBase {
   // s = t·10⁻⁸ (any 8-dp decimal), n a positive count. Half the cases
   // are CONSTRUCTED exact .00005 ties — t = n·(2k+1)·5000 makes
   // s·10⁴/n = (2k+1)/2 exactly — the inputs round(double, 4) gets
-  // wrong cross-engine and this helper exists for.
+  // wrong cross-engine and this helper exists for. The random range
+  // deliberately exceeds 2⁵³ (up to |t| = 4×10¹⁸, near the long-space
+  // bound): floor(double-division) rounds across integers out there,
+  // which is why the helper uses exact integral division.
   private val meanCaseGen: Gen[(Long, Long)] = Gen.frequency(
     1 -> (for {
-      t <- Gen.choose(-2000000000000L, 2000000000000L)
+      t <- Gen.choose(-4000000000000000000L, 4000000000000000000L)
       n <- Gen.choose(1L, 100000L)
     } yield (t, n)),
     1 -> (for {
