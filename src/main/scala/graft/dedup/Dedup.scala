@@ -145,12 +145,29 @@ object Dedup {
   def incrementalMinhashDedup(batch: DataFrame, bandIndex: DataFrame,
       textCol: String, idCol: String,
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      family: MinHashFamily = xxFamily): DataFrame = {
-    // Three plan branches consume the banded buckets (the index probe,
-    // both sides of the internal min-id window); pin them so the
-    // shingle-digest + signature pipeline runs over the batch once, not
-    // per branch — the same diamond semanticDedupAssigned pins. O(batch)
-    // rows by construction, so the pin is batch-sized at any corpus size.
+      family: MinHashFamily = xxFamily): DataFrame =
+    incrementalMinhashDedupWithIndex(batch, bandIndex, textCol, idCol,
+      shingleN, bands, rowsPerBand, family)._1
+
+  /** [[incrementalMinhashDedup]] returning ALSO the survivors' distinct
+    * (band, bh) bucket keys — derived from the SAME pinned bucket table
+    * the dedup used, so an ingest caller can fold survivors into the
+    * persisted index WITHOUT a second shingle+signature pass over the
+    * text (that pass is the dominant per-batch cost; recomputing it via
+    * [[minhashBandIndex]] on the survivors roughly doubled
+    * `stream_neardup_batches`). Identical keys to
+    * `minhashBandIndex(kept)` by construction: the bucket table is a
+    * pure function of each row. */
+  def incrementalMinhashDedupWithIndex(batch: DataFrame,
+      bandIndex: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      family: MinHashFamily = xxFamily): (DataFrame, DataFrame) = {
+    // Four plan branches consume the banded buckets (the index probe,
+    // both sides of the internal min-id window, the survivor-key
+    // anti-join); pin them so the shingle-digest + signature pipeline
+    // runs over the batch once, not per branch — the same diamond
+    // semanticDedupAssigned pins. O(batch) rows by construction, so the
+    // pin is batch-sized at any corpus size.
     val banded = bandedBuckets(batch, textCol, idCol, shingleN, bands,
       rowsPerBand, family).localCheckpoint()
     val idxHits = banded
@@ -163,8 +180,11 @@ object Dedup {
       .filter(col("id") > col("__minid"))
       .select(col("id"))
     val dropped = idxHits.union(internal).distinct()
-      .withColumnRenamed("id", idCol)
-    batch.join(dropped, Seq(idCol), "left_anti")
+    val kept = batch.join(dropped.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    val keptBuckets = banded.join(dropped, Seq("id"), "left_anti")
+      .select(col("band"), col("bh")).distinct()
+    (kept, keptBuckets)
   }
 
   /** (id, shingle) exploded distinct-shingle table — the join key space
@@ -814,9 +834,21 @@ object Dedup {
       idCol: String, vecCol: String, dims: Int,
       tables: Int = 8, bits: Int = 12,
       dotFn: (Column, Column) => Column =
-        graft.functions.VectorFunctions.dotNative): DataFrame = {
-    // Same three-consumer diamond as incrementalMinhashDedup: pin the
-    // O(batch·tables) bucket table so the signing pass runs once.
+        graft.functions.VectorFunctions.dotNative): DataFrame =
+    incrementalEmbeddingDedupWithIndex(batch, lshIndex, idCol, vecCol,
+      dims, tables, bits, dotFn)._1
+
+  /** [[incrementalEmbeddingDedup]] returning ALSO the survivors'
+    * distinct (t, bucket) signature keys — from the same pinned bucket
+    * table, so ingest callers skip a second T·B-dot signing pass (the
+    * [[incrementalMinhashDedupWithIndex]] rationale in vector space). */
+  def incrementalEmbeddingDedupWithIndex(batch: DataFrame,
+      lshIndex: DataFrame, idCol: String, vecCol: String, dims: Int,
+      tables: Int = 8, bits: Int = 12,
+      dotFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.dotNative): (DataFrame, DataFrame) = {
+    // Same multi-consumer diamond as incrementalMinhashDedupWithIndex:
+    // pin the O(batch·tables) bucket table so the signing pass runs once.
     val banded = graft.functions.Knn.lshBucketTable(batch, idCol, vecCol,
       tables, bits, dims, dotFn)
       .select(col("vid").as("id"), col("t"), col("bucket"))
@@ -831,8 +863,11 @@ object Dedup {
       .filter(col("id") > col("__minid"))
       .select(col("id"))
     val dropped = idxHits.union(internal).distinct()
-      .withColumnRenamed("id", idCol)
-    batch.join(dropped, Seq(idCol), "left_anti")
+    val kept = batch.join(dropped.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    val keptKeys = banded.join(dropped, Seq("id"), "left_anti")
+      .select(col("t"), col("bucket")).distinct()
+    (kept, keptKeys)
   }
 
   /** STREAMING exact dedup: drop any document whose normalized-text

@@ -200,16 +200,18 @@ object StreamingIngest {
     val spark = batch.sparkSession
     val idx = readIndex(spark, warehouseDir, bandIndexTable(table),
       bandIdxSchema, excludeBatch = Some(batchId))
-    val kept = Dedup.incrementalMinhashDedup(batch.dropDuplicates(pk),
-      idx, textCol, pk, shingleN, bands, rowsPerBand, family)
+    // WithIndex variant: survivors' bucket keys come from the SAME
+    // pinned bucket table the dedup computed — one shingle+signature
+    // pass per batch, not two.
+    val (kept, keptBuckets) = Dedup.incrementalMinhashDedupWithIndex(
+      batch.dropDuplicates(pk), idx, textCol, pk, shingleN, bands,
+      rowsPerBand, family)
     kept.persist()
     try {
       if (!kept.isEmpty) {
         kept.write.mode("overwrite")
           .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
-        Dedup.minhashBandIndex(kept, textCol, pk, shingleN, bands,
-            rowsPerBand, family)
-          .write.mode("overwrite")
+        keptBuckets.write.mode("overwrite")
           .parquet(
             s"$warehouseDir/${bandIndexTable(table)}/ingest_batch=$batchId")
       }
@@ -239,15 +241,15 @@ object StreamingIngest {
     val spark = batch.sparkSession
     val idx = readIndex(spark, warehouseDir, lshIndexTable(table),
       lshIdxSchema, excludeBatch = Some(batchId))
-    val kept = Dedup.incrementalEmbeddingDedup(batch.dropDuplicates(pk),
-      idx, pk, vecCol, dims, tables, bits)
+    // WithIndex variant: one signing pass per batch, not two.
+    val (kept, keptKeys) = Dedup.incrementalEmbeddingDedupWithIndex(
+      batch.dropDuplicates(pk), idx, pk, vecCol, dims, tables, bits)
     kept.persist()
     try {
       if (!kept.isEmpty) {
         kept.write.mode("overwrite")
           .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
-        Dedup.embeddingLshIndex(kept, pk, vecCol, dims, tables, bits)
-          .write.mode("overwrite")
+        keptKeys.write.mode("overwrite")
           .parquet(
             s"$warehouseDir/${lshIndexTable(table)}/ingest_batch=$batchId")
       }
