@@ -331,6 +331,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == batchIds -- droppedExpected)
   }
 
+  test("incrementalMinhashDedupWithIndex keys == minhashBandIndex(kept)") {
+    // The one-pass ingest contract: the survivor bucket keys returned
+    // alongside the dedup must be EXACTLY what re-running the index
+    // builder on the survivors would produce — same family, params and
+    // rows — or the persisted index drifts from the batch-built one.
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text", $"source")
+    val corpus = docs.filter($"source" === "src0")
+    val batch = docs.filter($"source" =!= "src0")
+    val idx = Dedup.minhashBandIndex(corpus, "text", "doc_id")
+    val (kept, keys) = Dedup.incrementalMinhashDedupWithIndex(
+      batch, idx, "text", "doc_id")
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"band".cast("int"), $"bh")
+        .as[(Int, Seq[Long])].collect().toSet
+    val direct = keySet(Dedup.minhashBandIndex(kept, "text", "doc_id"))
+    assert(direct.nonEmpty, "fixture must produce survivor buckets")
+    assert(keySet(keys) == direct)
+  }
+
+  test("incrementalEmbeddingDedupWithIndex keys == embeddingLshIndex(kept)") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val corpus = emb.filter($"vec_id" % 3 === 0)
+    val batch = emb.filter($"vec_id" % 3 =!= 0)
+    val idx = Dedup.embeddingLshIndex(corpus, "vec_id", "embedding", dims = 64)
+    val (kept, keys) = Dedup.incrementalEmbeddingDedupWithIndex(
+      batch, idx, "vec_id", "embedding", dims = 64)
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"t".cast("int"), $"bucket".cast("long"))
+        .as[(Int, Long)].collect().toSet
+    val direct = keySet(
+      Dedup.embeddingLshIndex(kept, "vec_id", "embedding", dims = 64))
+    assert(direct.nonEmpty, "fixture must produce survivor keys")
+    assert(keySet(keys) == direct)
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val sims = Dedup.simhash(df, "text", "doc_id")
