@@ -511,10 +511,10 @@ object Dedup {
   }
 
   /** Reassemble surviving (pos, piece) rows of a document back into one
-    * string, in position order — the reassembly step [[unitDedup]] and
-    * [[removeDuplicatedSpans]] share (an aggregate column for a
-    * groupBy(id).agg(...)). */
-  private def joinInOrder(posCol: String, pieceCol: String,
+    * string, in position order — the reassembly step [[unitDedup]],
+    * [[removeDuplicatedSpans]] and [[graft.ops.Cleaning.lineClean]]
+    * share (an aggregate column for a groupBy(id).agg(...)). */
+  private[graft] def joinInOrder(posCol: String, pieceCol: String,
       joiner: String): Column =
     array_join(
       transform(array_sort(collect_list(struct(col(posCol), col(pieceCol)))),

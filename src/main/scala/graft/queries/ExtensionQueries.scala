@@ -395,6 +395,23 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // C4-style line-level cleaning (Raffel et al. 2020 §2.2): cut
+    // failing lines, reassemble the rest, drop pages on the page rules
+    // with the reason recorded. The fixture corpus has no sentence
+    // punctuation, so lines are 8-token chunks and the rules are the
+    // re-parameterized set (minWords=5 cuts ragged tail chunks,
+    // blockword 'dup' cuts real fixture lines, pages need 2 surviving
+    // chunks); the published C4 preset itself is pinned in CleaningSpec.
+    "docs_c4_clean" -> { (s, dir) =>
+      graft.ops.Cleaning.lineClean(Tables.documents(s, dir), "text",
+          "doc_id", t => Dedup.tokenChunks(t, 8), joiner = " ",
+          rules = graft.ops.Cleaning.LineRules(minWords = 5,
+            terminalPunct = None, lineBlockWords = Seq("dup"),
+            minLinesKept = 2))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Exact-substring REMOVAL (r8), completing Lee et al. 2022: every
     // non-first occurrence of a duplicated 10-token span is cut and the
     // remainder reassembled — the repair dedup_spans only profiles.
@@ -2345,6 +2362,47 @@ object ExtensionQueries extends graft.QueryModule {
         |SELECT doc_id, array_to_string(list(chunk ORDER BY pos), ' ') AS text_deduped,
         |  count(*) AS n_units_kept
         |FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Replays the C4-style line cleaner: 8-token chunk lines, the
+    // re-parameterized rule set (minWords=5, blockword 'dup', 2
+    // surviving chunks per page), page flags on the raw text, reasons
+    // in first-match order — pure string/integer ops, hash-exact.
+    "docs_c4_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN text IS NULL THEN 0
+        |         WHEN len(string_split(text, ' ')) > 0
+        |           THEN CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT)
+        |         ELSE 0 END AS n_lines,
+        |    (text IS NULL) AS nt,
+        |    COALESCE(contains(lower(text), 'lorem ipsum'), FALSE) AS pb,
+        |    COALESCE(contains(text, '{'), FALSE) AS br
+        |  FROM documents),
+        |units AS (
+        |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (
+        |    SELECT doc_id, unnest([{'pos': i, 'chunk': array_to_string(tk[i*8+1 : i*8+8], ' ')}
+        |      FOR i IN range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT))]) AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |          FROM documents WHERE text IS NOT NULL))),
+        |survivors AS (
+        |  SELECT doc_id, pos, chunk FROM units
+        |  WHERE len(list_filter(string_split(chunk, ' '), x -> len(x) > 0)) >= 5
+        |    AND NOT contains(lower(chunk), 'dup')),
+        |agg AS (
+        |  SELECT doc_id, array_to_string(list(chunk ORDER BY pos), ' ') AS tclean,
+        |    CAST(count(*) AS BIGINT) AS nk
+        |  FROM survivors GROUP BY doc_id),
+        |flagged AS (
+        |  SELECT b.doc_id, b.n_lines, COALESCE(a.nk, 0) AS n_lines_kept, a.tclean,
+        |    CASE WHEN b.nt THEN 'no_text'
+        |         WHEN b.pb THEN 'page_blocklist'
+        |         WHEN b.br THEN 'brace'
+        |         WHEN COALESCE(a.nk, 0) < 2 THEN 'too_few_lines' END AS drop_reason
+        |  FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id)
+        |SELECT doc_id, n_lines, n_lines_kept,
+        |  (drop_reason IS NULL) AS keep, drop_reason,
+        |  CASE WHEN drop_reason IS NULL THEN tclean END AS text_clean
+        |FROM flagged ORDER BY doc_id""".stripMargin,
 
     // Replays removeDuplicatedSpans string-keyed: sliding 10-token
     // spans, first occurrence by global (id, pos) per normalized span
