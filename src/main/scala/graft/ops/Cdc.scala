@@ -42,4 +42,47 @@ object Cdc {
       .select((keyCols ++ valueCols).map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
+
+  /** Keyed diff of two snapshots of the same table: one row per key whose
+    * membership or tracked values differ, `change` ∈
+    * 'added' (key only in `newSnap`) | 'removed' (only in `oldSnap`) |
+    * 'changed' (in both, some `compareCols` value differs). Unchanged
+    * keys emit nothing. The load-validation companion to the MERGE
+    * snapshot loads (SURVEY §2.4) and [[compressHistory]]: MERGE applies
+    * a batch, this AUDITS what a batch did — or reconciles two
+    * independently-built copies of a table.
+    *
+    * Scale shape: each side collapses to (key, 128-bit digest) IN ITS
+    * SCAN PROJECTION — the tracked payload never enters the exchange, so
+    * the full-outer join moves ~24 bytes/row regardless of row width,
+    * and with both snapshots bucketed by key even that exchange
+    * disappears. The digest is md5 over a null-distinct encoding
+    * (per-column null sentinel + field separator, both ASCII control
+    * chars); change detection compares digests WITHIN one engine, so it
+    * needs the encoding to be injective, not canonical across engines.
+    *
+    * `keyCols` must be a non-null primary key of each snapshot:
+    * duplicate keys would cross-match in the join and null keys never
+    * equi-join (each side's null-key rows would read as added+removed).
+    * Values containing the separator/sentinel control characters (0x1e,
+    * 0x1f) could alias across column boundaries — absent by construction
+    * in machine-generated keys/measures, the caller's contract for
+    * free-text columns. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "keys and compare columns required")
+    def digested(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+
+        md5(concat_ws("\u001f", compareCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u001e"))): _*)).as(as): _*)
+    digested(oldSnap, "__od")
+      .join(digested(newSnap, "__nd"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__od").isNull, "added")
+          .when(col("__nd").isNull, "removed")
+          .when(col("__od") =!= col("__nd"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
 }

@@ -129,4 +129,48 @@ object Packing {
           .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_toks", size(split(col("chunk_text"), " ")))
   }
+
+  /** Shard manifest for a training export: assign each packed sequence
+    * to one of `shards` output shards by key hash and summarize every
+    * shard as (shard_id, n_seqs, n_tokens, checksum) — the audit
+    * artifact a training job checks BEFORE reading a single shard file,
+    * and the integrity receipt a 1000-writer export job publishes so a
+    * re-run (or a second cluster) can verify its output without a
+    * row-level diff. Pairs with [[packChunks]]: pack cuts the token
+    * stream into sequences, this fixes where each sequence lives.
+    *
+    * Assignment is `hash52(keyCols joined ':', salt) mod shards` — the
+    * engine's one oracle-replayed hash family
+    * ([[graft.functions.Sketches.hash52]]), so the placement is a pure
+    * function of the data: any engine, any partitioning, any run
+    * reproduces it (re-salting rebalances). The checksum is the sum of
+    * the member rows' 52-bit key hashes mod 2^52 — ORDER-INVARIANT
+    * (addition commutes, so it is stable under any scan/merge order) and
+    * exact (a decimal(38,0) sum of 52-bit terms cannot overflow below
+    * ~10^22 rows/shard).
+    *
+    * Scale shape: one projection computes (shard, hash) per row, then a
+    * `shards`-key groupBy — partial aggregation collapses each input
+    * partition to ≤`shards` rows map-side, so the exchange carries
+    * #partitions×shards tiny rows no matter the corpus size. The
+    * payload-moving counterpart (actually writing the shards) is
+    * `df.repartition(shards, keyExpr).write` riding the same expression;
+    * the manifest itself never shuffles a sequence. */
+  def shardManifest(seqs: DataFrame, keyCols: Seq[String], nToksCol: String,
+      shards: Int, salt: String): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val key = concat_ws(":", keyCols.map(c => col(c).cast("string")): _*)
+    val h = graft.functions.Sketches.hash52(key, salt)
+    seqs
+      .select(pmod(h, lit(shards.toLong)).as("shard_id"),
+        h.cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__h"),
+        col(nToksCol).cast("long").as("__n"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("__n")).as("n_tokens"),
+        pmod(sum(col("__h")),
+          lit(graft.functions.Sketches.HashSpace).cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("checksum"))
+  }
 }

@@ -780,6 +780,27 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"key", $"valid_from")
     },
 
+    // Snapshot reconciliation: diff two loads of the orders table —
+    // yesterday's cutoff vs today's, with today's batch resolving open
+    // statuses on %7 keys and dropping %97 keys (GDPR-style deletes) —
+    // into one (key, added|removed|changed) row per difference. Each
+    // side collapses to (key, digest) in its scan, so the full-outer
+    // join never moves the payload; the audit companion to cdc_scd2
+    // and ref_l2_upsert.
+    "snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.orders(s, dir)
+      val old = orders.filter($"o_orderdate" < lit("1997-07-01"))
+      val neu = orders
+        .filter($"o_orderdate" < lit("1998-01-01") &&
+          $"o_orderkey" % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when($"o_orderkey" % 7 === 0, lit("F")).otherwise($"o_orderstatus"))
+      graft.ops.Cdc.snapshotDiff(old, neu, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+        .orderBy($"o_orderkey")
+    },
+
     // try_* error-handling battery: malformed casts, zero divides, and
     // unparseable dates degrade to NULL instead of failing the job —
     // the ingest-hardening surface (strict variants raise; see ref_p8).
@@ -1344,6 +1365,32 @@ object CoreQueries extends graft.QueryModule {
         |  lead(version) OVER (PARTITION BY key ORDER BY version) IS NULL
         |    AS is_current
         |FROM ch ORDER BY key, valid_from""".stripMargin,
+
+    // Replays the diff natively: row-comparison (IS DISTINCT FROM on the
+    // tracked tuple) stands in for the engine's per-side digest — the
+    // digest only has to be injective WITHIN an engine, so the oracle is
+    // free to compare values directly.
+    "snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderdate < DATE '1997-07-01'),
+        |new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'F'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate < DATE '1998-01-01' AND o_orderkey % 97 <> 0),
+        |d AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (o.o_orderstatus, o.o_totalprice) IS DISTINCT FROM
+        |              (n.o_orderstatus, n.o_totalprice) THEN 'changed'
+        |    END AS change
+        |  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change FROM d
+        |WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin,
 
     "q_try_battery" ->
       """WITH f AS (SELECT p_partkey,

@@ -575,6 +575,19 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // Shard manifest over the packed sequences: deterministic hash
+    // placement into 8 shards plus per-shard counts and an
+    // order-invariant mod-2^52 checksum — the export audit a training
+    // job verifies before reading a shard. A projection and an 8-key
+    // groupBy on top of the pack; no sequence ever shuffles.
+    "docs_shard_manifest" -> { (s, dir) =>
+      graft.ops.Packing.shardManifest(
+        graft.ops.Packing.packChunks(Tables.documents(s, dir), "doc_id",
+          "text", chunkTokens = 512),
+        Seq("doc_id", "chunk_id"), "n_toks", shards = 8, salt = "shard-v1")
+        .orderBy(col("shard_id"))
+    },
+
     // Substring-level duplication profile (token-granular exact-substring
     // dedup signal): per doc, total 10-token spans and spans occurring
     // more than once corpus-wide. One fingerprint shuffle + one doc
@@ -1674,6 +1687,30 @@ object ExtensionQueries extends graft.QueryModule {
     * aggregates (`agg`) plus the non-null-text doc spine (`toks`) — ONE
     * definition shared by the dedup_span_removal oracle and the
     * pipeline_curation_v2 composition. */
+  /** The packChunks replay, ending in `packed`(doc_id, chunk_id,
+    * tok_from, tok_to, n_toks) — shared by docs_pack_chunks and the
+    * shard manifest built on top of it (one definition: the manifest
+    * oracle must shard exactly the rows the pack oracle emits). */
+  private val packChunkCtes: String =
+    """counts AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      |cums AS (
+      |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+      |  FROM counts),
+      |spans AS (
+      |  SELECT doc_id, n, e, e - n AS s,
+      |    unnest(generate_series((e - n) // 512, (e - 1) // 512)) AS chunk_id
+      |  FROM cums),
+      |packed AS (
+      |  SELECT doc_id, chunk_id,
+      |    greatest(chunk_id * 512 - s, 0) AS tok_from,
+      |    least((chunk_id + 1) * 512 - s, n) AS tok_to,
+      |    least((chunk_id + 1) * 512 - s, n)
+      |      - greatest(chunk_id * 512 - s, 0) AS n_toks
+      |  FROM spans)""".stripMargin
+
   private val spanRemovalCtes: String =
     """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk
@@ -2899,23 +2936,26 @@ object ExtensionQueries extends graft.QueryModule {
     },
 
     "docs_pack_chunks" ->
-      """WITH counts AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-        |  FROM documents WHERE text IS NOT NULL),
-        |cums AS (
-        |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
-        |  FROM counts),
-        |spans AS (
-        |  SELECT doc_id, n, e, e - n AS s,
-        |    unnest(generate_series((e - n) // 512, (e - 1) // 512)) AS chunk_id
-        |  FROM cums)
-        |SELECT doc_id, chunk_id,
-        |  greatest(chunk_id * 512 - s, 0) AS tok_from,
-        |  least((chunk_id + 1) * 512 - s, n) AS tok_to,
-        |  least((chunk_id + 1) * 512 - s, n)
-        |    - greatest(chunk_id * 512 - s, 0) AS n_toks
-        |FROM spans ORDER BY doc_id, chunk_id""".stripMargin,
+      s"""WITH $packChunkCtes
+        |SELECT doc_id, chunk_id, tok_from, tok_to, n_toks
+        |FROM packed ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Replays the shard manifest over the SAME packed CTE: the 52-bit
+    // md5 key hash (the engine's one replayed hash family) drives both
+    // the shard assignment and the order-invariant checksum; DuckDB
+    // sums widen to HUGEINT, so the mod-2^52 fold and the BIGINT casts
+    // are exact on both sides.
+    "docs_shard_manifest" ->
+      s"""WITH $packChunkCtes,
+        |h AS (
+        |  SELECT n_toks, ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+        |    chunk_id::VARCHAR || ':shard-v1'), 1, 13))::BIGINT AS h
+        |  FROM packed)
+        |SELECT h % 8 AS shard_id, count(*) AS n_seqs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum(h) AS HUGEINT) % 4503599627370496 AS BIGINT)
+        |    AS checksum
+        |FROM h GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     // The span identity is its whitespace-normalized lowercase form; the
     // oracle partitions by that STRING directly, so it is agnostic to the

@@ -47,4 +47,47 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
       .select($"valid_from").as[Int].collect().sorted.toSeq
     assert(got === Seq(1, 2, 3))
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val old = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0),
+    ).toDF("k", "s", "x")
+    val neu = Seq(
+      (1L, "a", 10.0),  // unchanged -> no row
+      (2L, "B", 20.0),  // changed (first col)
+      (3L, "c", 31.0),  // changed (second col)
+      (5L, "e", 50.0),  // added; 4 removed
+    ).toDF("k", "s", "x")
+    val got = Cdc.snapshotDiff(old, neu, Seq("k"), Seq("s", "x"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((2L, "changed"), (3L, "changed"),
+      (4L, "removed"), (5L, "added")))
+  }
+
+  test("snapshotDiff null-distinct encoding: null vs empty string differ") {
+    val old = Seq((1L, Option.empty[String]), (2L, Option(""))).toDF("k", "s")
+    val neu = Seq((1L, Option("")), (2L, Option.empty[String])).toDF("k", "s")
+    val got = Cdc.snapshotDiff(old, neu, Seq("k"), Seq("s"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "changed"), (2L, "changed")))
+  }
+
+  test("snapshotDiff column boundaries do not alias ('ab','c') vs ('a','bc')") {
+    val old = Seq((1L, "ab", "c")).toDF("k", "s1", "s2")
+    val neu = Seq((1L, "a", "bc")).toDF("k", "s1", "s2")
+    val got = Cdc.snapshotDiff(old, neu, Seq("k"), Seq("s1", "s2"))
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "changed")))
+  }
+
+  test("snapshotDiff identical snapshots diff to nothing; payload never joins") {
+    val snap = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "x")
+    assert(Cdc.snapshotDiff(snap, snap, Seq("k"), Seq("s", "x")).count() === 0)
+    // Scale pin: the join's inputs carry only (key, digest) — the
+    // tracked payload columns are projected away BELOW the exchange.
+    val plan = Cdc.snapshotDiff(snap, snap, Seq("k"), Seq("s", "x"))
+      .queryExecution.executedPlan.toString
+    val joinLine = plan.linesIterator.find(_.contains("Join")).get
+    assert(!joinLine.contains("s#") && !joinLine.contains("x#"), joinLine)
+  }
 }

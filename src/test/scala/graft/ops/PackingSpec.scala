@@ -129,4 +129,70 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
       "doc_id", "text", 4, 2).select($"doc_id").as[Long].collect().toSet
     assert(got === Set(1L))
   }
+
+  // --- shardManifest ---
+
+  private def manifestOf(df: org.apache.spark.sql.DataFrame, salt: String,
+      shards: Int = 4) =
+    Packing.shardManifest(df, Seq("doc_id", "chunk_id"), "n_toks",
+      shards, salt)
+      .orderBy($"shard_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("shardManifest conserves totals and matches a local md5 reference") {
+    val docs = (1L to 200L).map(i => i -> ("w " * ((i % 13) + 1).toInt).trim)
+    val chunks = Packing.packChunks(docs.toDF("doc_id", "text"),
+      "doc_id", "text", 32)
+    val rows = chunks.select($"doc_id", $"chunk_id", $"n_toks")
+      .as[(Long, Long, Long)].collect().toSeq
+    val got = manifestOf(chunks, "m-v1")
+    // local reference: same 52-bit md5 family, sequential fold
+    def h52(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(13), 16)
+    }
+    val expected = rows.groupBy { case (d, c, _) => h52(s"$d:$c:m-v1") % 4 }
+      .map { case (sh, grp) =>
+        (sh, grp.size.toLong, grp.map(_._3).sum,
+          grp.map { case (d, c, _) =>
+            BigInt(h52(s"$d:$c:m-v1")) }.sum.mod(BigInt(1L << 52)).toLong)
+      }.toSeq.sortBy(_._1)
+    assert(got === expected)
+    assert(got.map(_._2).sum === rows.size.toLong)
+    assert(got.map(_._3).sum === rows.map(_._3).sum)
+  }
+
+  test("shardManifest is partition-invariant and order-invariant") {
+    val docs = (1L to 120L).map(i => i -> ("t " * ((i % 7) + 1).toInt).trim)
+    val chunks = Packing.packChunks(docs.toDF("doc_id", "text"),
+      "doc_id", "text", 16)
+    val base = manifestOf(chunks, "m-v2")
+    assert(manifestOf(chunks.repartition(13), "m-v2") === base)
+    assert(manifestOf(chunks.orderBy($"n_toks", $"doc_id".desc), "m-v2")
+      === base)
+  }
+
+  test("shardManifest checksum detects a single dropped sequence") {
+    val docs = (1L to 50L).map(i => i -> "a b c")
+    val chunks = Packing.packChunks(docs.toDF("doc_id", "text"),
+      "doc_id", "text", 8)
+    val full = manifestOf(chunks, "m-v3")
+    val dropped = manifestOf(chunks.filter($"doc_id" =!= 17L), "m-v3")
+    assert(full !== dropped)
+    // re-salting rebalances: at least one shard's membership moves
+    assert(manifestOf(chunks, "m-v3-alt") !== full)
+  }
+
+  test("shardManifest plan: map-side partial aggregation, no row explosion") {
+    val docs = (1L to 60L).map(i => i -> "x y z")
+    val chunks = Packing.packChunks(docs.toDF("doc_id", "text"),
+      "doc_id", "text", 8)
+    val plan = Packing.shardManifest(chunks, Seq("doc_id", "chunk_id"),
+      "n_toks", 8, "m-v4").queryExecution.executedPlan.toString
+    // two HashAggregates around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+    intercept[IllegalArgumentException](
+      Packing.shardManifest(chunks, Seq("doc_id"), "n_toks", 0, "s"))
+  }
 }
