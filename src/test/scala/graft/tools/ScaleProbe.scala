@@ -65,6 +65,19 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
     embN.write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
+    // orders: replica keys shift by the stride; dates/status/price are
+    // preserved, so date-window snapshots and %k key classes replicate
+    // per replica (10x orders => 10x rows per snapshot window), which is
+    // the work distribution snapshot_diff scales with.
+    val ord = Tables.orders(spark, src)
+    val ordN = (0 until factor).map { r =>
+      if (r == 0) ord
+      else ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(r * stride))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * stride))
+    }.reduce(_ unionAll _)
+    ordN.write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+
     val ev = Tables.events(spark, src)
     val evN = (0 until factor).map { r =>
       if (r == 0) ev
