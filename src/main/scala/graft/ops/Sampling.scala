@@ -166,6 +166,87 @@ object Sampling {
     mixture(df, groupCol, key, weights, defaultWeight = 1.0, salt)
   }
 
+  /** Token-budget mixture planner: allocate a total token `budget`
+    * across groups (sources/domains/languages) with temperature-scaled
+    * weights and per-group capacity caps — the water-filling step a
+    * corpus-assembly pipeline runs BEFORE any sampling, turning "train
+    * on T tokens at temperature alpha" into a per-source manifest.
+    * Output: one row per group — (group, n_tokens_avail, weight,
+    * alloc_tokens, capped).
+    *
+    * Semantics (a pure function of the data, engine-replayable):
+    * weight w_g = pow(capacity_g, alpha), the one libm call, scaled to
+    * the exact integer u_g = round(w_g·10^6); then `iterations` rounds
+    * of capping — a group whose capacity is at most its weight-
+    * proportional share floor(R·u_g / U) of the remaining budget is
+    * CAPPED (allocated its whole capacity, leaving the pool); finally
+    * every still-active group gets its share of what remains. All
+    * shares are exact integer arithmetic (BigInt here, HUGEINT in the
+    * oracle) — no float division anywhere after the single rounded pow.
+    * A capping round strictly shrinks the active set, so `iterations`
+    * ≥ |groups| is a guaranteed fixpoint and extra rounds are no-ops
+    * (capping is monotone: removing a capped group only raises the
+    * remaining shares); the default 8 converges for realistic source
+    * counts and the oracle replays the SAME fixed count, so even an
+    * unconverged plan is bit-identical across engines. Floor-division
+    * residue (< |active| tokens) stays unallocated by design.
+    *
+    * Group capacities come from one count aggregate collected to the
+    * driver — the [[temperatureMixture]] bounded-collect convention
+    * (this is a per-GROUP decision table, not per-row state). Null
+    * groups and null token counts are excluded: an allocation needs an
+    * identity to receive it. */
+  def budgetPlan(df: DataFrame, groupCol: Column, tokensCol: Column,
+      budget: Long, alpha: Double, iterations: Int = 8): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val spark = df.sparkSession
+    val caps: Seq[(String, Long)] = df
+      .filter(groupCol.isNotNull && tokensCol.isNotNull)
+      .groupBy(groupCol.cast("string").as("__g"))
+      .agg(sum(tokensCol.cast("long")).as("__c"))
+      .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+    // u = round(pow(c, alpha) * 1e6): ONE libm pow, immediately rounded
+    // to the exact integer every later step uses (the round-after-the-
+    // only-transcendental discipline of the unigram-logprob oracle).
+    val u: Map[String, BigInt] = caps.map { case (g, c) =>
+      g -> BigInt(math.round(math.pow(c.toDouble, alpha) * 1e6))
+    }.toMap
+    var active = caps.map(_._1).toSet
+    val capOf = caps.toMap
+    var remaining = BigInt(budget)
+    val capped = scala.collection.mutable.Set[String]()
+    var it = 0
+    var fixed = false
+    while (it < iterations && !fixed) {
+      val bigU = active.iterator.map(u).sum
+      // bigU == 0 means every active group has zero capacity (u = 0
+      // only when c = 0) — no share is computable, nothing to cap.
+      if (active.isEmpty || bigU == 0) fixed = true
+      else {
+        val newly = active.filter(g =>
+          BigInt(capOf(g)) <= remaining * u(g) / bigU)
+        if (newly.isEmpty) fixed = true
+        else {
+          newly.foreach { g => remaining -= capOf(g); capped += g }
+          active --= newly
+        }
+      }
+      it += 1
+    }
+    val finalU = active.iterator.map(u).sum
+    val rows = caps.sortBy(_._1).map { case (g, c) =>
+      val alloc =
+        if (capped(g)) c
+        else if (finalU > 0) (remaining * u(g) / finalU).toLong
+        else 0L
+      (g, c, u(g).toDouble / 1e6, alloc, capped(g))
+    }
+    import spark.implicits._
+    rows.toDF("group", "n_tokens_avail", "weight", "alloc_tokens", "capped")
+  }
+
   /** Deterministic global shuffle for training order: every row gets a
     * contiguous position 0..n-1 in `shuffle_pos`, ordered by
     * (hash52(key, salt), key) — a reproducible permutation that is a

@@ -836,6 +836,22 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"col_name")
     },
 
+    // Token-budget mixture planner: water-fill a 26k-token budget across
+    // sources at temperature alpha=0.5 with per-source capacity caps —
+    // the per-source manifest computed BEFORE sampling. One aggregate,
+    // |sources|-bounded driver solve, exact integer shares after the
+    // single rounded pow; the oracle replays all 8 capping rounds as
+    // chained CTEs.
+    "docs_budget_plan" -> { (s, dir) =>
+      graft.ops.Sampling.budgetPlan(
+        Tables.documents(s, dir).filter(col("text").isNotNull),
+        col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        budget = 26000L, alpha = 0.5)
+        .withColumnRenamed("group", "source")
+        .orderBy(col("source"))
+    },
+
     // Temperature rebalance at alpha=0.5: every source downsampled to
     // sqrt(n_min·n_g) expected rows — the multi-source mixing step of
     // corpus assembly, deterministic by key hash.
@@ -1687,6 +1703,51 @@ object ExtensionQueries extends graft.QueryModule {
     * aggregates (`agg`) plus the non-null-text doc spine (`toks`) — ONE
     * definition shared by the dedup_span_removal oracle and the
     * pipeline_curation_v2 composition. */
+  /** The budgetPlan replay: per-source token capacities, the one
+    * rounded pow as the exact integer weight u = round(w·10^6), then
+    * 8 capping rounds as chained CTEs — each round caps every active
+    * group whose capacity is at most its integer share
+    * (R·u) // U of the remaining budget (HUGEINT arithmetic, exact) —
+    * and the final share for the survivors. Mirrors
+    * [[graft.ops.Sampling.budgetPlan]]'s fixed-iteration semantics
+    * exactly (extra rounds past the fixpoint are no-ops on both sides).
+    * MATERIALIZED on every iteration CTE is load-bearing (the BPE-replay
+    * lesson): each round references its predecessor three times, so
+    * default inlining expands the corpus scan 3^8 times. */
+  private val budgetPlanSql: String = {
+    val iters = 8
+    val sb = new StringBuilder
+    sb.append(
+      """WITH base AS (
+        |  SELECT source AS g,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY source),
+        |w AS (SELECT g, c,
+        |  CAST(round(pow(c * 1.0, 0.5) * 1000000, 0) AS HUGEINT) AS u
+        |  FROM base),
+        |it0 AS MATERIALIZED (SELECT g, c, u, FALSE AS capped FROM w)""".stripMargin)
+    def share(p: String) =
+      s"""((26000 - (SELECT COALESCE(SUM(c), 0) FROM $p WHERE capped)) * u)
+         |      // (SELECT SUM(u) FROM $p WHERE NOT capped)""".stripMargin
+    for (k <- 1 to iters) {
+      val p = s"it${k - 1}"
+      sb.append(s""",
+        |it$k AS MATERIALIZED (
+        |  SELECT g, c, u, capped OR (c <=
+        |    ${share(p)}) AS capped
+        |  FROM $p)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT g AS source, c AS n_tokens_avail,
+      |  round(pow(c * 1.0, 0.5), 6) AS weight,
+      |  CAST(CASE WHEN capped THEN c ELSE
+      |    ${share(s"it$iters")}
+      |  END AS BIGINT) AS alloc_tokens, capped
+      |FROM it$iters ORDER BY source""".stripMargin)
+    sb.toString
+  }
+
   /** The packChunks replay, ending in `packed`(doc_id, chunk_id,
     * tok_from, tok_to, n_toks) — shared by docs_pack_chunks and the
     * shard manifest built on top of it (one definition: the manifest
@@ -2365,6 +2426,8 @@ object ExtensionQueries extends graft.QueryModule {
     // pow is the only transcendental; both engines round it at 6
     // decimals immediately (unigram-logprob precedent), then the keep
     // decision is exact hash arithmetic.
+    "docs_budget_plan" -> budgetPlanSql,
+
     "docs_temperature_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
         |m AS (SELECT CAST(MIN(n) AS DOUBLE) AS nmin FROM c),

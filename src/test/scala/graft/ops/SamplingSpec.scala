@@ -208,4 +208,67 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Sampling.negativesK(Seq(1L).toDF("doc_id"), "doc_id", 2, "e1")
     }
   }
+
+  // --- budgetPlan ---
+
+  private def planOf(rows: Seq[(String, Long)], budget: Long,
+      alpha: Double = 0.5, iters: Int = 8) =
+    Sampling.budgetPlan(
+      rows.toDF("src", "toks"), col("src"), col("toks"), budget, alpha, iters)
+      .as[(String, Long, Double, Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+
+  test("budgetPlan: ample budget allocates weight-proportional shares, no caps") {
+    val p = planOf(Seq("a" -> 100L, "b" -> 400L), budget = 100L, alpha = 1.0)
+    // alpha=1: weights 100/400 => shares 20/80 of the 100-token budget
+    assert(p === Seq(("a", 100L, 100.0, 20L, false),
+      ("b", 400L, 400.0, 80L, false)))
+  }
+
+  test("budgetPlan: capped groups get their capacity, surplus redistributes") {
+    // uniform-ish weights, tiny group a caps; its unused share flows to b/c
+    val p = planOf(Seq("a" -> 10L, "b" -> 1000L, "c" -> 1000L), 600L)
+    val m = p.map(r => r._1 -> r).toMap
+    assert(m("a")._4 === 10L && m("a")._5 === true)
+    assert(!m("b")._5 && !m("c")._5)
+    assert(m("b")._4 === m("c")._4) // equal capacities => equal shares
+    // everything allocated except floor residue < |active|
+    val total = p.map(_._4).sum
+    assert(total <= 600L && total >= 600L - 2)
+  }
+
+  test("budgetPlan: cascading caps converge within the iteration bound") {
+    // geometric capacities with a budget below total: capping group k
+    // raises the rest's shares enough to cap group k+1 — a deep cascade
+    val caps = (0 until 6).map(i => s"g$i" -> (10L << i)) // 10..320
+    val p = planOf(caps, budget = 500L, alpha = 0.1, iters = 8)
+    val total = p.map(_._4).sum
+    assert(total <= 500L && total >= 500L - p.count(!_._5))
+    assert(p.forall(r => r._4 <= r._2)) // never above capacity
+    // budget below total capacity (630) => at least one uncapped group
+    assert(p.exists(!_._5) && p.exists(_._5))
+  }
+
+  test("budgetPlan: budget above total capacity caps everything") {
+    val p = planOf(Seq("a" -> 5L, "b" -> 7L), budget = 1000L)
+    assert(p.forall(_._5) && p.map(_._4) === Seq(5L, 7L))
+  }
+
+  test("budgetPlan is partition-invariant and drops null groups/tokens") {
+    import org.apache.spark.sql.functions.{col => c}
+    val df = Seq((Some("a"), Some(100L)), (Some("a"), Some(50L)),
+      (None, Some(10L)), (Some("b"), None), (Some("b"), Some(30L)))
+      .toDF("src", "toks")
+    val a = Sampling.budgetPlan(df, c("src"), c("toks"), 60L, 0.5)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = Sampling.budgetPlan(df.repartition(7), c("src"), c("toks"),
+      60L, 0.5).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_.head) === Array("a", "b")) // null group excluded
+    assert(a(0)(1) === 150L) // null-token row excluded from b's capacity
+    intercept[IllegalArgumentException](
+      Sampling.budgetPlan(df, c("src"), c("toks"), -1L, 0.5))
+    intercept[IllegalArgumentException](
+      Sampling.budgetPlan(df, c("src"), c("toks"), 1L, 0.0))
+  }
 }
