@@ -98,4 +98,38 @@ object QualityModel {
     * weights, applicable to any frame carrying those columns. */
   def score(textCol: String, nCharsCol: String, w: Array[Double]): Column =
     round(sigmoid(dot(w, features(col(textCol), col(nCharsCol)))), 6)
+
+  /** Threshold calibration sweep: for each threshold, the confusion
+    * counts of `scoreCol >= threshold` against the boolean truth
+    * `labelCol`, plus precision/recall — the curve a pipeline owner
+    * reads to pick the production cutoff for [[score]].
+    * Output: (threshold, n_kept, tp, fp, fn, precision, recall),
+    * precision null at operating points that keep nothing.
+    *
+    * Scale shape: ONE pass — the scored frame cross-joins the broadcast
+    * |thresholds|-row table (constant-factor row amplification) and
+    * partial aggregation collapses each input partition to
+    * |thresholds| rows map-side; the ratios are single IEEE divisions
+    * of exact counts, so the curve is engine-replayable. */
+  def calibrate(scored: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val t = broadcast(thresholds.toDF("threshold"))
+    val (s, y) = (col(scoreCol), col(labelCol))
+    scored.crossJoin(t)
+      .groupBy(col("threshold"))
+      .agg(
+        count(when(s >= col("threshold"), 1)).as("n_kept"),
+        count(when(s >= col("threshold") && y, 1)).as("tp"),
+        count(when(s >= col("threshold") && !y, 1)).as("fp"),
+        count(when(s < col("threshold") && y, 1)).as("fn"))
+      .withColumn("precision",
+        col("tp").cast("double") /
+          nullif(col("tp") + col("fp"), lit(0L)).cast("double"))
+      .withColumn("recall",
+        col("tp").cast("double") /
+          nullif(col("tp") + col("fn"), lit(0L)).cast("double"))
+  }
 }

@@ -244,6 +244,28 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Threshold calibration for the learned quality model: sweep 9
+    // operating points and report kept-count / precision / recall vs
+    // the rule gate the model was distilled from — the curve a pipeline
+    // owner reads to pick the production cutoff. One scoring scan
+    // cross-joined with the broadcast 9-row threshold table (constant-
+    // factor amplification, collapsed map-side to 9 rows/partition by
+    // partial aggregation); ratios are single IEEE divisions of exact
+    // counts.
+    "docs_quality_calibration" -> { (s, dir) =>
+      import s.implicits._
+      val w = trainQualityModel(s, dir)
+      val sc = graft.functions.QualityModel.score("text", "n_chars", w)
+      val scored = Tables.documents(s, dir)
+        .filter($"text".isNotNull && $"n_chars".isNotNull)
+        .select(sc.as("score"),
+          graft.pipeline.Curation.qualityPredicate($"text",
+            graft.pipeline.Curation.QualityThresholds()).as("y"))
+      graft.functions.QualityModel.calibrate(scored, "score", "y",
+        (1 to 9).map(_ / 10.0))
+        .orderBy($"threshold")
+    },
+
     // Gopher repetition rules (r7): within-document self-similarity —
     // top-bigram coverage, duplicate-trigram coverage, duplicate
     // 10-token-chunk (line proxy) coverage, each thresholded at the
@@ -2146,6 +2168,29 @@ object ExtensionQueries extends graft.QueryModule {
          |  round(1.0 / (1.0 + round(exp(-($qmZ)), 8)), 6) AS score,
          |  (round(1.0 / (1.0 + round(exp(-($qmZ)), 8)), 6) >= 0.5) AS predicted
          |FROM base, w$qualityModelIters w ORDER BY doc_id""".stripMargin,
+
+    // The calibration sweep rides the same training CTEs; the 9
+    // thresholds are parsed decimal literals on both engines (Spark
+    // divides k/10.0 — correctly-rounded, bit-equal to the parse) and
+    // the ratios are one IEEE division of exact counts.
+    "docs_quality_calibration" ->
+      s"""WITH $qualityModelCtes,
+         |scored AS (
+         |  SELECT round(1.0 / (1.0 + round(exp(-($qmZ)), 8)), 6) AS score, y
+         |  FROM base, w$qualityModelIters w),
+         |t AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+         |  0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+         |agg AS (
+         |  SELECT threshold,
+         |    count(CASE WHEN score >= threshold THEN 1 END) AS n_kept,
+         |    count(CASE WHEN score >= threshold AND y = 1.0 THEN 1 END) AS tp,
+         |    count(CASE WHEN score >= threshold AND y = 0.0 THEN 1 END) AS fp,
+         |    count(CASE WHEN score < threshold AND y = 1.0 THEN 1 END) AS fn
+         |  FROM scored, t GROUP BY threshold)
+         |SELECT threshold, n_kept, tp, fp, fn,
+         |  CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS "precision",
+         |  CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS recall
+         |FROM agg ORDER BY threshold""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH sh AS (

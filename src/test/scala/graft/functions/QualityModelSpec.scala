@@ -72,4 +72,26 @@ class QualityModelSpec extends AnyFunSuite with SparkTestBase {
     assert(s2(1L).isDefined)
     assert(s2(2L).isEmpty, "null text must score null, not a default")
   }
+
+  test("calibrate sweeps confusion counts with monotone curve laws") {
+    // scores 0.1..1.0 with truth = score > 0.5 (perfectly separable)
+    val scored = (1 to 10).map(i => (i / 10.0, i > 5)).toDF("score", "y")
+    val got = QualityModel.calibrate(scored, "score", "y",
+      Seq(0.25, 0.55, 0.85))
+      .orderBy($"threshold")
+      .as[(Double, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got === Seq(
+      (0.25, 8L, 5L, 3L, 0L, Some(5.0 / 8), Some(1.0)),
+      (0.55, 5L, 5L, 0L, 0L, Some(1.0), Some(1.0)),
+      (0.85, 2L, 2L, 0L, 3L, Some(1.0), Some(2.0 / 5))))
+    // laws: n_kept and recall non-increasing in threshold; tp+fn = P
+    assert(got.map(_._2) === got.map(_._2).sorted.reverse)
+    assert(got.map(r => r._3 + r._5).distinct === Seq(5L))
+    // a threshold keeping nothing has null precision, not a crash
+    val none = QualityModel.calibrate(scored, "score", "y", Seq(2.0))
+      .select($"n_kept", $"precision")
+      .as[(Long, Option[Double])].collect().head
+    assert(none === ((0L, None)))
+  }
 }
