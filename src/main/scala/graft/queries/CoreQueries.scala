@@ -780,6 +780,29 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"key", $"valid_from")
     },
 
+    // Data-quality contract checks over orders: the DDL's implicit
+    // contracts (PK unique+non-null, FK to customer) plus value
+    // contracts (status domain, price range, no future dates) evaluated
+    // into one constant-size report — all four row checks share ONE
+    // aggregate pass; the status-domain and price-range checks have
+    // real violations in the data ('P' orders, >300k prices), so the
+    // report exercises both outcomes.
+    "dq_orders_checks" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.orders(s, dir)
+      val E = graft.ops.Expectations
+      E.rowChecks(orders, Seq(
+          E.notNull("o_orderkey"),
+          E.acceptedValues("o_orderstatus", Seq("O", "F")),
+          E.inRange("o_totalprice", 0.0, 300000.0),
+          E.predicate("no_future_orderdate",
+            $"o_orderdate" <= lit("1998-12-31"))))
+        .unionByName(E.unique(orders, Seq("o_orderkey")))
+        .unionByName(E.foreignKey(orders, Seq("o_custkey"),
+          Tables.customer(s, dir), Seq("c_custkey")))
+        .orderBy($"check")
+    },
+
     // Snapshot reconciliation: diff two loads of the orders table —
     // yesterday's cutoff vs today's, with today's batch resolving open
     // statuses on %7 keys and dropping %97 keys (GDPR-style deletes) —
@@ -1365,6 +1388,42 @@ object CoreQueries extends graft.QueryModule {
         |  lead(version) OVER (PARTITION BY key ORDER BY version) IS NULL
         |    AS is_current
         |FROM ch ORDER BY key, valid_from""".stripMargin,
+
+    // Each branch replays one check; violation = NOT coalesce(holds,
+    // FALSE), the engine's null-never-passes-a-contract convention.
+    "dq_orders_checks" ->
+      """WITH checks AS (
+        |  SELECT 'accepted_values(o_orderstatus)' AS c, 'accepted_values' AS kind,
+        |    count(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F'), FALSE)
+        |      THEN 1 END) AS n_violations FROM orders
+        |  UNION ALL
+        |  SELECT 'foreign_key(o_custkey)', 'foreign_key',
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'no_future_orderdate', 'predicate',
+        |    count(CASE WHEN NOT coalesce(
+        |      o_orderdate <= TIMESTAMP '1998-12-31 00:00:00', FALSE)
+        |      THEN 1 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'not_null(o_orderkey)', 'not_null',
+        |    count(CASE WHEN o_orderkey IS NULL THEN 1 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'range(o_totalprice)', 'range',
+        |    count(CASE WHEN NOT coalesce(
+        |      o_totalprice >= 0.0 AND o_totalprice <= 300000.0, FALSE)
+        |      THEN 1 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)', 'unique',
+        |    (SELECT coalesce(sum(n - 1), 0) FROM
+        |       (SELECT count(*) AS n FROM orders WHERE o_orderkey IS NOT NULL
+        |        GROUP BY o_orderkey) g)
+        |    + (SELECT count(CASE WHEN o_orderkey IS NULL THEN 1 END)
+        |       FROM orders))
+        |SELECT c AS "check", kind, CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS passed
+        |FROM checks ORDER BY c""".stripMargin,
 
     // Replays the diff natively: row-comparison (IS DISTINCT FROM on the
     // tracked tuple) stands in for the engine's per-side digest — the
