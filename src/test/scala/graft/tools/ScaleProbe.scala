@@ -65,6 +65,16 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
     embN.write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
+    // customer: replica keys shift by the same stride as orders'
+    // o_custkey, so referential integrity replicates per replica and
+    // the FK expectation check can be probed without planted orphans.
+    val cust = Tables.customer(spark, src)
+    val custN = (0 until factor).map { r =>
+      if (r == 0) cust
+      else cust.withColumn("c_custkey", col("c_custkey") + lit(r * stride))
+    }.reduce(_ unionAll _)
+    custN.write.mode(SaveMode.Overwrite).parquet(s"$out/customer.parquet")
+
     // orders: replica keys shift by the stride; dates/status/price are
     // preserved, so date-window snapshots and %k key classes replicate
     // per replica (10x orders => 10x rows per snapshot window), which is
