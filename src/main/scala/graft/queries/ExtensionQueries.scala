@@ -81,6 +81,32 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("rank"))
     },
 
+    // The SECOND production tokenizer family (Kudo 2018 — SentencePiece
+    // unigram): seed-vocabulary training. All three steps are
+    // vocabulary-scale aggregates; logp is one ln per piece rounded at
+    // 8, everything else exact integers.
+    "text_unigram_vocab" -> { (s, dir) =>
+      graft.functions.UnigramLm.train(Tables.documents(s, dir), "text",
+        vocabSize = 64, maxPieceLen = 4)
+        .orderBy(col("piece"))
+    },
+
+    // Viterbi max-likelihood segmentation of every word TYPE under the
+    // trained unigram vocabulary (types, never instances — the BPE
+    // apply discipline). The vocabulary broadcasts as ONE MapType
+    // literal; the DP is two HOF folds per type. The oracle replays the
+    // training CTEs plus the DP itself: 16 chained layers (one per word
+    // position, the MaxWordLen cap) and a recursive backtrace.
+    "text_unigram_segments" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.functions.UnigramLm
+        .train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+        .select(col("piece"), col("logp"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      graft.functions.UnigramLm.segmentTypes(docs, "text", vocab, 4)
+        .orderBy(col("word"))
+    },
+
     // The apply leg of BPE: segment every document with a FIXED trained
     // merge table (the committed sf0.01 golden) and report per-doc
     // subword counts — the corpus tokenization step a trained
@@ -1725,6 +1751,90 @@ object ExtensionQueries extends graft.QueryModule {
     * aggregates (`agg`) plus the non-null-text doc spine (`toks`) — ONE
     * definition shared by the dedup_span_removal oracle and the
     * pipeline_curation_v2 composition. */
+  /** The unigram seed-vocabulary replay, ending in `uvocab`(piece, cnt,
+    * logp) — substring counts over the word-type table (each occurrence
+    * counted, weighted by type frequency), all single chars kept for
+    * coverage, top multis by (cnt desc, piece asc), one rounded ln.
+    * Shared by text_unigram_vocab and the segments oracle. */
+  private val unigramVocabCtes: String =
+    """utypes AS MATERIALIZED (
+      |  SELECT w AS word, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |usubs AS MATERIALIZED (
+      |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(flatten([[substr(word, s + 1, l)
+      |        FOR l IN range(1, least(4, len(word) - s) + 1)]
+      |      FOR s IN range(0, len(word))])) AS piece, cnt
+      |    FROM utypes) GROUP BY piece),
+      |usel AS (
+      |  SELECT piece, cnt FROM usubs WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt,
+      |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+      |    FROM usubs WHERE len(piece) > 1)
+      |  WHERE rn <= 64 - (SELECT count(*) FROM usubs WHERE len(piece) = 1)),
+      |uvocab AS MATERIALIZED (
+      |  SELECT piece, cnt,
+      |    round(ln(CAST(cnt AS DOUBLE) /
+      |      (SELECT CAST(sum(cnt) AS DOUBLE) FROM usel)), 8) AS logp
+      |  FROM usel)""".stripMargin
+
+  /** The Viterbi DP replay: 16 chained MATERIALIZED layers — layer i
+    * picks, for every word long enough, the best last-piece start among
+    * the ≤4 candidates ending at position i (max score, ties to the
+    * smallest start — the engine's ascending-scan strict-> exactly) —
+    * then a recursive backtrace prepends the pieces. The vocabulary
+    * join excludes unknown pieces, which matches the engine's sentinel
+    * arithmetic wherever single-char coverage holds (always, on the
+    * corpus the vocabulary was trained on). */
+  private val unigramSegmentSql: String = {
+    val (p, w) = (4, 16)
+    val sb = new StringBuilder
+    sb.append("WITH RECURSIVE ").append(unigramVocabCtes).append(",\n")
+    sb.append(
+      """ub0 AS MATERIALIZED (
+        |  SELECT word, CAST(0 AS INTEGER) AS pos, CAST(0.0 AS DOUBLE) AS s,
+        |    CAST(-1 AS INTEGER) AS bk
+        |  FROM utypes WHERE len(word) <= 16)""".stripMargin)
+    for (i <- 1 to w) {
+      sb.append(s""",
+        |ul$i AS MATERIALIZED (
+        |  SELECT word, CAST($i AS INTEGER) AS pos, s, bk FROM (
+        |    SELECT b.word, b.s + v.logp AS s, b.pos AS bk,
+        |      row_number() OVER (PARTITION BY b.word
+        |        ORDER BY b.s + v.logp DESC, b.pos) AS rn
+        |    FROM ub${i - 1} b
+        |    JOIN uvocab v ON v.piece = substr(b.word, b.pos + 1, $i - b.pos)
+        |    WHERE b.pos >= $i - $p AND b.pos < $i AND len(b.word) >= $i)
+        |  WHERE rn = 1),
+        |ub$i AS MATERIALIZED (
+        |  SELECT * FROM ub${i - 1} UNION ALL SELECT * FROM ul$i)""".stripMargin)
+    }
+    sb.append(s""",
+      |uwalk AS (
+      |  SELECT word, CAST(len(word) AS INTEGER) AS pos,
+      |    CAST([] AS VARCHAR[]) AS parts
+      |  FROM utypes WHERE len(word) <= $w
+      |  UNION ALL
+      |  SELECT k.word, b.bk AS pos,
+      |    list_prepend(substr(k.word, b.bk + 1, k.pos - b.bk), k.parts)
+      |      AS parts
+      |  FROM uwalk k JOIN ub$w b ON b.word = k.word AND b.pos = k.pos
+      |  WHERE k.pos > 0),
+      |useg AS (SELECT word, parts FROM uwalk WHERE pos = 0)
+      |SELECT t.word, t.cnt,
+      |  CASE WHEN len(t.word) > $w THEN t.word
+      |       ELSE array_to_string(g.parts, ' ') END AS pieces,
+      |  CAST(CASE WHEN len(t.word) > $w THEN 1
+      |       ELSE len(g.parts) END AS BIGINT) AS n_pieces
+      |FROM utypes t LEFT JOIN useg g USING (word)
+      |ORDER BY t.word""".stripMargin)
+    sb.toString
+  }
+
   /** The budgetPlan replay: per-source token capacities, the one
     * rounded pow as the exact integer weight u = round(w·10^6), then
     * 8 capping rounds as chained CTEs — each round caps every active
@@ -1985,6 +2095,12 @@ object ExtensionQueries extends graft.QueryModule {
     // the LEFT JOIN keeps the state unchanged, and every later
     // iteration filters to empty too. Scale-independent — the oracle
     // trains on whatever corpus the gate runs.
+    "text_unigram_vocab" ->
+      s"""WITH $unigramVocabCtes
+         |SELECT piece, cnt, logp FROM uvocab ORDER BY piece""".stripMargin,
+
+    "text_unigram_segments" -> unigramSegmentSql,
+
     // MATERIALIZED on every iteration CTE is load-bearing: w{i+1} and
     // p{i} each reference w{i}, so DuckDB's default inlining would
     // expand the base scan 2^20 times (observed as fd exhaustion).
