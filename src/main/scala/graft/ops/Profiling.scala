@@ -77,4 +77,50 @@ object Profiling {
       .select(col("__s.col_name"), col("n_rows"), col("__s.n_nonnull"),
         col("__s.n_distinct"), col("__s.min_value"), col("__s.max_value"))
   }
+
+  /** Population-stability drift between two slices of the same metric
+    * (the PSI monitor an ML/data pipeline runs between yesterday's and
+    * today's distribution): equi-width bins over [lo, hi), one row per
+    * bin — (bin, n_expected, n_actual, frac_expected, frac_actual,
+    * psi_term). The PSI total is the sum of the terms; it is emitted
+    * PER BIN so the report also localizes WHERE the distribution moved,
+    * and so the output is exact counts + one rounded term per bin
+    * (engine-replayable) instead of an order-dependent float total.
+    *
+    * Laplace-smoothed fractions ((count+1) / (n+bins)) keep every term
+    * defined when a bin is empty on one side. Values outside [lo, hi)
+    * clamp into the edge bins (drift OUT of range must register, not
+    * vanish); null values are excluded. Each side is one conditional
+    * aggregate — two scans, map-side collapse to `bins` rows. */
+  def psiBins(expected: DataFrame, actual: DataFrame,
+      value: org.apache.spark.sql.Column, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(lo < hi, s"need lo < hi: [$lo, $hi)")
+    val width = (hi - lo) / bins
+    def binned(df: DataFrame, n: String) = df
+      .filter(value.isNotNull)
+      .select(least(lit(bins - 1), greatest(lit(0),
+        floor((value - lo) / width).cast("int"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val spark = expected.sparkSession
+    import spark.implicits._
+    val spine = (0 until bins).toDF("bin")
+    val joined = spine
+      .join(binned(expected, "__ne"), Seq("bin"), "left")
+      .join(binned(actual, "__na"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("__ne"), lit(0L)).as("n_expected"),
+        coalesce(col("__na"), lit(0L)).as("n_actual"))
+    val totals = broadcast(joined.agg(
+      sum(col("n_expected")).as("__te"), sum(col("n_actual")).as("__ta")))
+    val fe = (col("n_expected") + 1L).cast("double") /
+      (col("__te") + bins).cast("double")
+    val fa = (col("n_actual") + 1L).cast("double") /
+      (col("__ta") + bins).cast("double")
+    joined.crossJoin(totals)
+      .select(col("bin"), col("n_expected"), col("n_actual"),
+        fe.as("frac_expected"), fa.as("frac_actual"),
+        round((fa - fe) * log(fa / fe), 8).as("psi_term"))
+  }
 }

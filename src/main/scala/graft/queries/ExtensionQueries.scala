@@ -1163,6 +1163,30 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // First/last-touch attribution: every purchase credited to the
+    // user's first and last preceding click/view/signup. One window
+    // exchange on the user; conversion values as exact decimal sums.
+    "events_attribution" -> { (s, dir) =>
+      graft.ops.Attribution.touchAttribution(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type", "value",
+        conversionType = "purchase",
+        touchTypes = Seq("click", "view", "signup"))
+        .orderBy(col("channel"))
+    },
+
+    // Distribution-drift monitor (PSI): the purchase-value distribution
+    // of the month's first half vs its second, 10 equi-width bins with
+    // Laplace smoothing — exact bin counts, one rounded term per bin.
+    "events_drift_psi" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter($"event_type" === "purchase")
+      graft.ops.Profiling.psiBins(
+        ev.filter($"ts" < lit("2024-01-16")),
+        ev.filter($"ts" >= lit("2024-01-16")),
+        $"value", lo = 0.0, hi = 500.0, bins = 10)
+        .orderBy($"bin")
+    },
+
     // As-of join: each purchase enriched with the user's most recent view
     // at or before it (union-merge implementation, one shuffle).
     "events_asof_join" -> { (s, dir) =>
@@ -3655,6 +3679,75 @@ object ExtensionQueries extends graft.QueryModule {
         |  AND v.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
         |ORDER BY view_id, click_id""".stripMargin,
+
+    // Same preceding-rows frame, IGNORE NULLS picks the first/last
+    // touch; decimal-sum value parity (the dsum convention).
+    "events_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    first_value(CASE WHEN event_type IN ('click','view','signup')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fc,
+        |    last_value(CASE WHEN event_type IN ('click','view','signup')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+        |  FROM events),
+        |conv AS (
+        |  SELECT COALESCE(fc, 'none') AS fc, COALESCE(lc, 'none') AS lc, value
+        |  FROM t WHERE event_type = 'purchase'),
+        |f AS (
+        |  SELECT fc AS channel, count(*) AS n_first,
+        |    CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |      AS value_first
+        |  FROM conv GROUP BY fc),
+        |l AS (
+        |  SELECT lc AS channel, count(*) AS n_last,
+        |    CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |      AS value_last
+        |  FROM conv GROUP BY lc)
+        |SELECT channel,
+        |  COALESCE(n_first, 0) AS n_first,
+        |  COALESCE(value_first, 0.0) AS value_first,
+        |  COALESCE(n_last, 0) AS n_last,
+        |  COALESCE(value_last, 0.0) AS value_last
+        |FROM f FULL OUTER JOIN l USING (channel) ORDER BY channel""".stripMargin,
+
+    // Exact bin counts, Laplace-smoothed fractions, one rounded term
+    // per bin — every float step a single IEEE op on both engines.
+    "events_drift_psi" ->
+      """WITH p AS (
+        |  SELECT ts, value FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |eb AS (
+        |  SELECT least(9, greatest(0,
+        |    CAST(floor((value - 0.0) / 50.0) AS INTEGER))) AS bin
+        |  FROM p WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |ab AS (
+        |  SELECT least(9, greatest(0,
+        |    CAST(floor((value - 0.0) / 50.0) AS INTEGER))) AS bin
+        |  FROM p WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |ec AS (SELECT bin, count(*) AS n FROM eb GROUP BY bin),
+        |ac AS (SELECT bin, count(*) AS n FROM ab GROUP BY bin),
+        |spine AS (SELECT CAST(unnest(range(10)) AS INTEGER) AS bin),
+        |j AS (
+        |  SELECT s.bin, COALESCE(ec.n, 0) AS n_expected,
+        |    COALESCE(ac.n, 0) AS n_actual
+        |  FROM spine s LEFT JOIN ec ON ec.bin = s.bin
+        |  LEFT JOIN ac ON ac.bin = s.bin),
+        |tt AS (SELECT sum(n_expected) AS te, sum(n_actual) AS ta FROM j)
+        |SELECT bin, n_expected, n_actual,
+        |  CAST(n_expected + 1 AS DOUBLE) / CAST(te + 10 AS DOUBLE)
+        |    AS frac_expected,
+        |  CAST(n_actual + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+        |    AS frac_actual,
+        |  round((CAST(n_actual + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+        |       - CAST(n_expected + 1 AS DOUBLE) / CAST(te + 10 AS DOUBLE))
+        |    * ln((CAST(n_actual + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+        |        / (CAST(n_expected + 1 AS DOUBLE) / CAST(te + 10 AS DOUBLE))),
+        |    8) AS psi_term
+        |FROM j, tt ORDER BY bin""".stripMargin,
 
     "events_session" ->
       """WITH ordered AS (

@@ -69,4 +69,38 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
       .select("min_value", "max_value").as[(String, String)].head()
     assert(r == (("2", "10")))
   }
+
+  test("psiBins: identical distributions give near-zero terms, all bins kept") {
+    val a = Seq(1.0, 12.0, 25.0, 38.0).toDF("v")
+    val got = Profiling.psiBins(a, a, $"v", 0.0, 40.0, 4)
+      .orderBy($"bin")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    assert(got.forall(r => r._2 === r._3 && r._6 === 0.0))
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12) // smoothed fracs sum to 1
+  }
+
+  test("psiBins: a shifted distribution registers positive drift terms") {
+    val before = Seq.fill(50)(5.0).toDF("v")
+    val after = Seq.fill(50)(35.0).toDF("v")
+    val got = Profiling.psiBins(before, after, $"v", 0.0, 40.0, 4)
+      .orderBy($"bin")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(got(0)._2 === 50L && got(0)._3 === 0L)
+    assert(got(3)._2 === 0L && got(3)._3 === 50L)
+    // moved mass yields large positive terms at both ends
+    assert(got(0)._6 > 1.0 && got(3)._6 > 1.0)
+    // untouched middle bins: only smoothing mass, zero term
+    assert(got(1)._6 === 0.0 && got(2)._6 === 0.0)
+  }
+
+  test("psiBins clamps out-of-range values into edge bins; nulls excluded") {
+    val a = Seq(Some(-5.0), Some(100.0), None).toDF("v")
+    val got = Profiling.psiBins(a, a, $"v", 0.0, 40.0, 4)
+      .orderBy($"bin").as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(got(0)._2 === 1L && got(3)._2 === 1L) // clamped, null dropped
+    assert(got.map(_._2).sum === 2L)
+    intercept[IllegalArgumentException](
+      Profiling.psiBins(a, a, $"v", 0.0, 40.0, 0))
+  }
 }
