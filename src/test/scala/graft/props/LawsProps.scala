@@ -219,4 +219,56 @@ object LawsProps extends Properties("graft.laws") with SparkTestBase {
           .doubleValue }
       got == want
     }
+
+  // snapshotDiff: diff against self is empty, and swapping the snapshot
+  // roles swaps 'added' and 'removed' while 'changed' is invariant.
+  private val snapGen: Gen[List[(Int, String)]] =
+    Gen.listOfN(12, rowGen).map(_.groupBy(_._1).map(_._2.head).toList)
+
+  property("snapshotDiff(a, a) is empty; role swap mirrors added/removed") =
+    forAll(snapGen, snapGen) { (a, b) =>
+      def diff(x: List[(Int, String)], y: List[(Int, String)]) =
+        graft.ops.Cdc.snapshotDiff(df(x), df(y), Seq("k"), Seq("v"))
+          .as[(Int, String)].collect().toSet
+      val self = diff(a, a).isEmpty
+      val ab = diff(a, b)
+      val ba = diff(b, a)
+      def of(s: Set[(Int, String)], c: String) =
+        s.collect { case (k, `c`) => k }
+      self &&
+        of(ab, "added") == of(ba, "removed") &&
+        of(ab, "removed") == of(ba, "added") &&
+        of(ab, "changed") == of(ba, "changed")
+    }
+
+  // budgetPlan: allocations never exceed capacity; the total never
+  // exceeds the budget; with budget >= total capacity everything caps.
+  private val capsGen: Gen[List[(String, Long)]] =
+    Gen.listOfN(6, Gen.choose(1L, 500L))
+      .map(_.zipWithIndex.map { case (c, i) => (s"g$i", c) })
+
+  property("budgetPlan respects capacities and the budget ceiling") =
+    forAll(capsGen, Gen.choose(0L, 3000L)) { (caps, budget) =>
+      val plan = graft.ops.Sampling.budgetPlan(
+        caps.toDF("g", "t"), col("g"), col("t"), budget, alpha = 0.5)
+        .as[(String, Long, Double, Long, Boolean)].collect().toList
+      val byG = plan.map(r => r._1 -> r).toMap
+      val withinCaps = plan.forall(r => r._4 >= 0 && r._4 <= r._2)
+      val withinBudget = plan.map(_._4).sum <= budget
+      val total = caps.map(_._2).sum
+      val fullyCapped = budget < total ||
+        plan.forall(r => r._5 && r._4 == byG(r._1)._2)
+      withinCaps && withinBudget && fullyCapped
+    }
+
+  // psiBins: bin counts conserve the (in-range + clamped) population and
+  // identical inputs give all-zero drift terms.
+  property("psiBins conserves counts; self-drift is zero") =
+    forAll(Gen.listOfN(30, Gen.choose(-10.0, 110.0))) { vs =>
+      val d = vs.toDF("v")
+      val bins = graft.ops.Profiling.psiBins(d, d, col("v"), 0.0, 100.0, 5)
+        .as[(Int, Long, Long, Double, Double, Double)].collect().toList
+      bins.map(_._2).sum == vs.size.toLong &&
+        bins.forall(r => r._2 == r._3 && r._6 == 0.0)
+    }
 }
