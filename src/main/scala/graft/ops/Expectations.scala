@@ -65,6 +65,22 @@ object Expectations {
         (col("n_violations") === 0L).as("passed"))
   }
 
+  /** Fold per-batch [[rowChecks]] reports into one: violation counts
+    * are plain sums (a row check inspects one row, so counts are
+    * additive across any partition of the table into batches) and
+    * `passed` is recomputed from the folded total. The incremental-DQ
+    * form: a daily load checks only its batch and folds into the
+    * running report — O(batch) work per day, and the fold provably
+    * equals the whole-table report (driver-gated). NOT applicable to
+    * [[unique]]/[[foreignKey]], whose evidence is cross-row. */
+  def foldReports(reports: Seq[DataFrame]): DataFrame = {
+    require(reports.nonEmpty, "at least one report")
+    reports.reduce(_ unionByName _)
+      .groupBy(col("check"), col("kind"))
+      .agg(sum(col("n_violations")).as("n_violations"))
+      .withColumn("passed", col("n_violations") === 0L)
+  }
+
   /** Key-uniqueness check: n_violations = rows in excess of one per
     * key (the number of rows a dedup would remove). Null keys count as
     * violations of the key contract, not as a group. */

@@ -803,6 +803,27 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"check")
     },
 
+    // Incremental DQ: the same four row checks computed PER BATCH
+    // (orders split into 4 disjoint key slices — the daily-load shape)
+    // and folded — row-check counts are additive, so the fold must
+    // equal the whole-table report, and the oracle IS that whole-table
+    // report. O(batch) work per load instead of a table rescan.
+    "dq_orders_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.orders(s, dir)
+      val E = graft.ops.Expectations
+      def checks(df: org.apache.spark.sql.DataFrame) =
+        E.rowChecks(df, Seq(
+          E.notNull("o_orderkey"),
+          E.acceptedValues("o_orderstatus", Seq("O", "F")),
+          E.inRange("o_totalprice", 0.0, 300000.0),
+          E.predicate("no_future_orderdate",
+            $"o_orderdate" <= lit("1998-12-31"))))
+      E.foldReports((0 until 4).map(b =>
+        checks(orders.filter($"o_orderkey" % 4 === b))))
+        .orderBy($"check")
+    },
+
     // Snapshot reconciliation: diff two loads of the orders table —
     // yesterday's cutoff vs today's, with today's batch resolving open
     // statuses on %7 keys and dropping %97 keys (GDPR-style deletes) —
@@ -1388,6 +1409,30 @@ object CoreQueries extends graft.QueryModule {
         |  lead(version) OVER (PARTITION BY key ORDER BY version) IS NULL
         |    AS is_current
         |FROM ch ORDER BY key, valid_from""".stripMargin,
+
+    // The delta-fold ≡ whole-history law under the gate: the oracle is
+    // the WHOLE-TABLE report — the engine's 4-batch fold must equal it.
+    "dq_orders_incremental" ->
+      """WITH checks AS (
+        |  SELECT 'accepted_values(o_orderstatus)' AS c, 'accepted_values' AS kind,
+        |    count(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F'), FALSE)
+        |      THEN 1 END) AS n_violations FROM orders
+        |  UNION ALL
+        |  SELECT 'no_future_orderdate', 'predicate',
+        |    count(CASE WHEN NOT coalesce(
+        |      o_orderdate <= TIMESTAMP '1998-12-31 00:00:00', FALSE)
+        |      THEN 1 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'not_null(o_orderkey)', 'not_null',
+        |    count(CASE WHEN o_orderkey IS NULL THEN 1 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'range(o_totalprice)', 'range',
+        |    count(CASE WHEN NOT coalesce(
+        |      o_totalprice >= 0.0 AND o_totalprice <= 300000.0, FALSE)
+        |      THEN 1 END) FROM orders)
+        |SELECT c AS "check", kind, CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS passed
+        |FROM checks ORDER BY c""".stripMargin,
 
     // Each branch replays one check; violation = NOT coalesce(holds,
     // FALSE), the engine's null-never-passes-a-contract convention.

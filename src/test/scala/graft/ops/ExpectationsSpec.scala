@@ -53,6 +53,20 @@ class ExpectationsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("foreign_key(ck)") === ((1L, false))) // only the 9
   }
 
+  test("foldReports over any partition equals the whole-table row checks") {
+    val df = Seq(
+      (Some(1L), Some("O")), (Some(2L), Some("X")), (None, None),
+      (Some(3L), Some("F")), (Some(4L), Some("Y")),
+    ).toDF("k", "status")
+    val checks = Seq(E.notNull("k"), E.acceptedValues("status", Seq("O", "F")))
+    val whole = report(E.rowChecks(df, checks))
+    val folded = report(E.foldReports(Seq(
+      E.rowChecks(df.filter($"k".isNull || $"k" % 2 === 0), checks),
+      E.rowChecks(df.filter($"k".isNotNull && $"k" % 2 === 1), checks))))
+    assert(folded === whole)
+    intercept[IllegalArgumentException](E.foldReports(Nil))
+  }
+
   test("composite unique keys and multi-column foreign keys") {
     val df = Seq((1L, "a"), (1L, "b"), (1L, "a")).toDF("k1", "k2")
     assert(report(E.unique(df, Seq("k1", "k2")))("unique(k1,k2)")
