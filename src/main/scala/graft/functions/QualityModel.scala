@@ -114,6 +114,10 @@ object QualityModel {
   def calibrate(scored: DataFrame, scoreCol: String, labelCol: String,
       thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "at least one threshold")
+    // A duplicate threshold would cross-join twice and the groupBy
+    // would silently double every count for that operating point.
+    require(thresholds.distinct.size == thresholds.size,
+      s"duplicate thresholds: $thresholds")
     val spark = scored.sparkSession
     import spark.implicits._
     val t = broadcast(thresholds.toDF("threshold"))

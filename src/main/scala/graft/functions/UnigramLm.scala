@@ -49,7 +49,15 @@ object UnigramLm {
       col("cnt"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
     val singles = subs.filter(length(col("piece")) === 1)
-    val nSingles = singles.count()
+    // |singles| = the corpus's distinct characters — counted from the
+    // type table directly, NOT via singles.count(), which would execute
+    // the full substring aggregate (the heaviest step) once for the
+    // count and again for the vocab job. The two `subs` consumers below
+    // share one exchange (ReusedExchange) inside the single vocab plan.
+    val nSingles = types
+      .select(explode(split(col("word"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .agg(countDistinct(col("ch"))).head.getLong(0)
     val multis = subs.filter(length(col("piece")) > 1)
       .orderBy(col("cnt").desc, col("piece"))
       .limit(math.max(0, vocabSize - nSingles.toInt))

@@ -29,12 +29,16 @@ object Expectations {
   def notNull(c: String): RowCheck =
     RowCheck(s"not_null($c)", "not_null", col(c).isNotNull)
 
+  // Check names encode their PARAMETERS, not just the column: two
+  // different contracts on the same column must stay distinguishable,
+  // or foldReports' groupBy would silently merge their counts.
   def acceptedValues(c: String, values: Seq[String]): RowCheck =
-    RowCheck(s"accepted_values($c)", "accepted_values",
-      col(c).isin(values.map(lit): _*))
+    RowCheck(s"accepted_values($c in ${values.mkString("|")})",
+      "accepted_values", col(c).isin(values.map(lit): _*))
 
   def inRange(c: String, lo: Double, hi: Double): RowCheck =
-    RowCheck(s"range($c)", "range", col(c) >= lo && col(c) <= hi)
+    RowCheck(s"range($c in [$lo,$hi])", "range",
+      col(c) >= lo && col(c) <= hi)
 
   def predicate(name: String, holds: Column): RowCheck =
     RowCheck(name, "predicate", holds)

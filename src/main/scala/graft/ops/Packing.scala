@@ -159,7 +159,14 @@ object Packing {
   def shardManifest(seqs: DataFrame, keyCols: Seq[String], nToksCol: String,
       shards: Int, salt: String): DataFrame = {
     require(shards > 0, s"shards must be positive: $shards")
-    val key = concat_ws(":", keyCols.map(c => col(c).cast("string")): _*)
+    // Key contract (the snapshotDiff discipline): keyCols must be
+    // non-null and ':'-free — (doc_id, chunk_id) machine keys by
+    // construction. The ':'-joined encoding is what the oracle hashes;
+    // plain concat NULL-PROPAGATES (a null component nulls the hash on
+    // BOTH engines) instead of concat_ws's silent component skip, which
+    // would alias (null, 5) with (5).
+    val key = keyCols.map(c => col(c).cast("string"))
+      .reduce((a, b) => concat(a, lit(":"), b))
     val h = graft.functions.Sketches.hash52(key, salt)
     seqs
       .select(pmod(h, lit(shards.toLong)).as("shard_id"),

@@ -98,10 +98,14 @@ object Profiling {
     require(bins > 0, s"bins must be positive: $bins")
     require(lo < hi, s"need lo < hi: [$lo, $hi)")
     val width = (hi - lo) / bins
+    // Clamp BEFORE the int cast: floor() is LongType, and casting an
+    // extreme out-of-range long to int wraps negative in non-ANSI
+    // Spark — which would file a huge corrupt value in the LOW edge
+    // bin. Clamped first, the value is always in [0, bins).
     def binned(df: DataFrame, n: String) = df
       .filter(value.isNotNull)
-      .select(least(lit(bins - 1), greatest(lit(0),
-        floor((value - lo) / width).cast("int"))).as("bin"))
+      .select(least(lit((bins - 1).toLong), greatest(lit(0L),
+        floor((value - lo) / width))).cast("int").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as(n))
     val spark = expected.sparkSession
     import spark.implicits._

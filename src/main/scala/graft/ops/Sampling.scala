@@ -188,8 +188,12 @@ object Sampling {
     * (capping is monotone: removing a capped group only raises the
     * remaining shares); the default 8 converges for realistic source
     * counts and the oracle replays the SAME fixed count, so even an
-    * unconverged plan is bit-identical across engines. Floor-division
-    * residue (< |active| tokens) stays unallocated by design.
+    * unconverged plan is bit-identical across engines — and final
+    * shares clamp at capacity, so an unconverged plan is still
+    * FEASIBLE (never allocates above what a group has; the would-be
+    * capped survivors show alloc == capacity with capped = false).
+    * Floor-division residue (< |active| tokens) stays unallocated by
+    * design.
     *
     * Group capacities come from one count aggregate collected to the
     * driver — the [[temperatureMixture]] bounded-collect convention
@@ -237,9 +241,15 @@ object Sampling {
     }
     val finalU = active.iterator.map(u).sum
     val rows = caps.sortBy(_._1).map { case (g, c) =>
+      // The min() clamp only bites when the cap cascade needed more
+      // rounds than `iterations` (a fixpoint guarantees share < cap for
+      // every survivor): an unconverged plan then still never allocates
+      // above a capacity — alloc == capacity with capped = false marks
+      // exactly the groups a longer run would have capped.
       val alloc =
         if (capped(g)) c
-        else if (finalU > 0) (remaining * u(g) / finalU).toLong
+        else if (finalU > 0)
+          (BigInt(c) min (remaining * u(g) / finalU)).toLong
         else 0L
       (g, c, u(g).toDouble / 1e6, alloc, capped(g))
     }

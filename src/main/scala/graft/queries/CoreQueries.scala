@@ -819,8 +819,14 @@ object CoreQueries extends graft.QueryModule {
           E.inRange("o_totalprice", 0.0, 300000.0),
           E.predicate("no_future_orderdate",
             $"o_orderdate" <= lit("1998-12-31"))))
-      E.foldReports((0 until 4).map(b =>
-        checks(orders.filter($"o_orderkey" % 4 === b))))
+      // Batch 0 also takes null-key rows: `null % 4 === b` is null in
+      // every batch, so without the isNull leg the slices would not
+      // partition the table and the fold ≠ whole on a null key.
+      E.foldReports((0 until 4).map { b =>
+        val slice = $"o_orderkey" % 4 === b
+        checks(orders.filter(
+          if (b == 0) $"o_orderkey".isNull || slice else slice))
+      })
         .orderBy($"check")
     },
 
@@ -1414,7 +1420,7 @@ object CoreQueries extends graft.QueryModule {
     // the WHOLE-TABLE report — the engine's 4-batch fold must equal it.
     "dq_orders_incremental" ->
       """WITH checks AS (
-        |  SELECT 'accepted_values(o_orderstatus)' AS c, 'accepted_values' AS kind,
+        |  SELECT 'accepted_values(o_orderstatus in O|F)' AS c, 'accepted_values' AS kind,
         |    count(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F'), FALSE)
         |      THEN 1 END) AS n_violations FROM orders
         |  UNION ALL
@@ -1426,7 +1432,7 @@ object CoreQueries extends graft.QueryModule {
         |  SELECT 'not_null(o_orderkey)', 'not_null',
         |    count(CASE WHEN o_orderkey IS NULL THEN 1 END) FROM orders
         |  UNION ALL
-        |  SELECT 'range(o_totalprice)', 'range',
+        |  SELECT 'range(o_totalprice in [0.0,300000.0])', 'range',
         |    count(CASE WHEN NOT coalesce(
         |      o_totalprice >= 0.0 AND o_totalprice <= 300000.0, FALSE)
         |      THEN 1 END) FROM orders)
@@ -1438,7 +1444,7 @@ object CoreQueries extends graft.QueryModule {
     // FALSE), the engine's null-never-passes-a-contract convention.
     "dq_orders_checks" ->
       """WITH checks AS (
-        |  SELECT 'accepted_values(o_orderstatus)' AS c, 'accepted_values' AS kind,
+        |  SELECT 'accepted_values(o_orderstatus in O|F)' AS c, 'accepted_values' AS kind,
         |    count(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F'), FALSE)
         |      THEN 1 END) AS n_violations FROM orders
         |  UNION ALL
@@ -1455,7 +1461,7 @@ object CoreQueries extends graft.QueryModule {
         |  SELECT 'not_null(o_orderkey)', 'not_null',
         |    count(CASE WHEN o_orderkey IS NULL THEN 1 END) FROM orders
         |  UNION ALL
-        |  SELECT 'range(o_totalprice)', 'range',
+        |  SELECT 'range(o_totalprice in [0.0,300000.0])', 'range',
         |    count(CASE WHEN NOT coalesce(
         |      o_totalprice >= 0.0 AND o_totalprice <= 300000.0, FALSE)
         |      THEN 1 END) FROM orders

@@ -1898,7 +1898,7 @@ object ExtensionQueries extends graft.QueryModule {
       |SELECT g AS source, c AS n_tokens_avail,
       |  round(pow(c * 1.0, 0.5), 6) AS weight,
       |  CAST(CASE WHEN capped THEN c ELSE
-      |    ${share(s"it$iters")}
+      |    least(CAST(c AS HUGEINT), ${share(s"it$iters")})
       |  END AS BIGINT) AS alloc_tokens, capped
       |FROM it$iters ORDER BY source""".stripMargin)
     sb.toString
@@ -3721,12 +3721,12 @@ object ExtensionQueries extends graft.QueryModule {
         |  SELECT ts, value FROM events
         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
         |eb AS (
-        |  SELECT least(9, greatest(0,
-        |    CAST(floor((value - 0.0) / 50.0) AS INTEGER))) AS bin
+        |  SELECT CAST(least(9, greatest(0,
+        |    floor((value - 0.0) / 50.0))) AS INTEGER) AS bin
         |  FROM p WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
         |ab AS (
-        |  SELECT least(9, greatest(0,
-        |    CAST(floor((value - 0.0) / 50.0) AS INTEGER))) AS bin
+        |  SELECT CAST(least(9, greatest(0,
+        |    floor((value - 0.0) / 50.0))) AS INTEGER) AS bin
         |  FROM p WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
         |ec AS (SELECT bin, count(*) AS n FROM eb GROUP BY bin),
         |ac AS (SELECT bin, count(*) AS n FROM ab GROUP BY bin),

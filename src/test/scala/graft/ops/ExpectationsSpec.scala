@@ -27,8 +27,8 @@ class ExpectationsSpec extends AnyFunSuite with SparkTestBase {
       E.inRange("price", 0.0, 100.0),
       E.predicate("k_positive", $"k" > 0L))))
     assert(got("not_null(k)") === ((1L, false)))
-    assert(got("accepted_values(status)") === ((2L, false)))
-    assert(got("range(price)") === ((2L, false)))
+    assert(got("accepted_values(status in O|F)") === ((2L, false)))
+    assert(got("range(price in [0.0,100.0])") === ((2L, false)))
     assert(got("k_positive") === ((1L, false)))
     // exactly one aggregate over the input: a single scan in the plan
     val plan = E.rowChecks(df, Seq(E.notNull("k"), E.inRange("price", 0, 1)))

@@ -243,12 +243,15 @@ object LawsProps extends Properties("graft.laws") with SparkTestBase {
 
   // budgetPlan: allocations never exceed capacity; the total never
   // exceeds the budget; with budget >= total capacity everything caps.
+  // 12 groups deliberately exceed the default 8 capping rounds, so the
+  // unconverged-plan clamp (alloc = min(share, capacity)) is exercised
+  // whenever the generated cascade caps one group per round.
   private val capsGen: Gen[List[(String, Long)]] =
-    Gen.listOfN(6, Gen.choose(1L, 500L))
+    Gen.listOfN(12, Gen.choose(1L, 500L))
       .map(_.zipWithIndex.map { case (c, i) => (s"g$i", c) })
 
   property("budgetPlan respects capacities and the budget ceiling") =
-    forAll(capsGen, Gen.choose(0L, 3000L)) { (caps, budget) =>
+    forAll(capsGen, Gen.choose(0L, 5000L)) { (caps, budget) =>
       val plan = graft.ops.Sampling.budgetPlan(
         caps.toDF("g", "t"), col("g"), col("t"), budget, alpha = 0.5)
         .as[(String, Long, Double, Long, Boolean)].collect().toList
