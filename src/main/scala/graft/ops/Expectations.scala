@@ -76,10 +76,19 @@ object Expectations {
     * form: a daily load checks only its batch and folds into the
     * running report — O(batch) work per day, and the fold provably
     * equals the whole-table report (driver-gated). NOT applicable to
-    * [[unique]]/[[foreignKey]], whose evidence is cross-row. */
+    * [[unique]]/[[foreignKey]], whose evidence is cross-row — those
+    * reports share this schema, so folding them would silently sum
+    * non-additive counts; the fold therefore REJECTS them at execution
+    * time (raise_error on any non-row-level kind) instead of producing
+    * a wrong total. */
   def foldReports(reports: Seq[DataFrame]): DataFrame = {
     require(reports.nonEmpty, "at least one report")
+    val rowKinds = Seq("not_null", "accepted_values", "range", "predicate")
     reports.reduce(_ unionByName _)
+      .withColumn("kind",
+        when(col("kind").isin(rowKinds.map(lit): _*), col("kind"))
+          .otherwise(raise_error(concat(
+            lit("foldReports: non-additive check kind: "), col("kind")))))
       .groupBy(col("check"), col("kind"))
       .agg(sum(col("n_violations")).as("n_violations"))
       .withColumn("passed", col("n_violations") === 0L)

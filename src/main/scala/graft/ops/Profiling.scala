@@ -90,8 +90,12 @@ object Profiling {
     * Laplace-smoothed fractions ((count+1) / (n+bins)) keep every term
     * defined when a bin is empty on one side. Values outside [lo, hi)
     * clamp into the edge bins (drift OUT of range must register, not
-    * vanish); null values are excluded. Each side is one conditional
-    * aggregate — two scans, map-side collapse to `bins` rows. */
+    * vanish); null AND NaN values are excluded — NaN has no position on
+    * the metric axis, and engines disagree on where it would clamp
+    * (Spark's floor sends it to bin 0, an ordering-based clamp sends it
+    * to the top bin), so it must not be silently filed in either edge.
+    * Each side is one conditional aggregate — two scans, map-side
+    * collapse to `bins` rows. */
   def psiBins(expected: DataFrame, actual: DataFrame,
       value: org.apache.spark.sql.Column, lo: Double, hi: Double,
       bins: Int): DataFrame = {
@@ -103,7 +107,7 @@ object Profiling {
     // Spark — which would file a huge corrupt value in the LOW edge
     // bin. Clamped first, the value is always in [0, bins).
     def binned(df: DataFrame, n: String) = df
-      .filter(value.isNotNull)
+      .filter(value.isNotNull && !isnan(value.cast("double")))
       .select(least(lit((bins - 1).toLong), greatest(lit(0L),
         floor((value - lo) / width))).cast("int").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as(n))

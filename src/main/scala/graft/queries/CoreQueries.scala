@@ -821,9 +821,11 @@ object CoreQueries extends graft.QueryModule {
             $"o_orderdate" <= lit("1998-12-31"))))
       // Batch 0 also takes null-key rows: `null % 4 === b` is null in
       // every batch, so without the isNull leg the slices would not
-      // partition the table and the fold ≠ whole on a null key.
+      // partition the table and the fold ≠ whole on a null key. pmod,
+      // not %: Spark's % keeps the dividend sign, so a negative key
+      // would match no slice and silently drop from every batch.
       E.foldReports((0 until 4).map { b =>
-        val slice = $"o_orderkey" % 4 === b
+        val slice = pmod($"o_orderkey", lit(4)) === b
         checks(orders.filter(
           if (b == 0) $"o_orderkey".isNull || slice else slice))
       })

@@ -1886,19 +1886,24 @@ object ExtensionQueries extends graft.QueryModule {
     def share(p: String) =
       s"""((26000 - (SELECT COALESCE(SUM(c), 0) FROM $p WHERE capped)) * u)
          |      // (SELECT SUM(u) FROM $p WHERE NOT capped)""".stripMargin
+    // COALESCE mirrors the engine's zero-weight guard (Sampling
+    // .budgetPlan: bigU == 0 → nothing more capped, alloc 0): when
+    // every active group has zero capacity, SUM(u) = 0 makes the `//`
+    // NULL in DuckDB — without the guard `c <= NULL` would stall the
+    // capped flag as NULL and least() would pass capacity through.
     for (k <- 1 to iters) {
       val p = s"it${k - 1}"
       sb.append(s""",
         |it$k AS MATERIALIZED (
-        |  SELECT g, c, u, capped OR (c <=
-        |    ${share(p)}) AS capped
+        |  SELECT g, c, u, capped OR COALESCE(c <=
+        |    ${share(p)}, FALSE) AS capped
         |  FROM $p)""".stripMargin)
     }
     sb.append(s"""
       |SELECT g AS source, c AS n_tokens_avail,
       |  round(pow(c * 1.0, 0.5), 6) AS weight,
       |  CAST(CASE WHEN capped THEN c ELSE
-      |    least(CAST(c AS HUGEINT), ${share(s"it$iters")})
+      |    least(CAST(c AS HUGEINT), COALESCE(${share(s"it$iters")}, 0))
       |  END AS BIGINT) AS alloc_tokens, capped
       |FROM it$iters ORDER BY source""".stripMargin)
     sb.toString
@@ -3719,7 +3724,8 @@ object ExtensionQueries extends graft.QueryModule {
     "events_drift_psi" ->
       """WITH p AS (
         |  SELECT ts, value FROM events
-        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |    AND NOT isnan(value)),
         |eb AS (
         |  SELECT CAST(least(9, greatest(0,
         |    floor((value - 0.0) / 50.0))) AS INTEGER) AS bin

@@ -67,6 +67,17 @@ class ExpectationsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](E.foldReports(Nil))
   }
 
+  test("foldReports rejects cross-row kinds loudly instead of summing them") {
+    // unique/foreignKey reports share the row-check schema, but their
+    // counts are NOT additive across batches — folding them must fail
+    // at execution, not produce a silently-wrong total.
+    val df = Seq(1L, 1L, 2L).toDF("k")
+    val bad = E.foldReports(Seq(E.unique(df, Seq("k")),
+      E.unique(df, Seq("k"))))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("non-additive check kind"), e.getMessage)
+  }
+
   test("composite unique keys and multi-column foreign keys") {
     val df = Seq((1L, "a"), (1L, "b"), (1L, "a")).toDF("k1", "k2")
     assert(report(E.unique(df, Seq("k1", "k2")))("unique(k1,k2)")

@@ -103,4 +103,15 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       Profiling.psiBins(a, a, $"v", 0.0, 40.0, 0))
   }
+
+  test("psiBins excludes NaN: no position on the axis, no edge-bin file") {
+    // NaN passes isNotNull and Spark's floor→clamp would file it in bin
+    // 0 while an ordering-based clamp (DuckDB least/greatest) files it
+    // in the TOP bin — cross-engine divergence unless excluded.
+    val a = Seq(Some(Double.NaN), Some(5.0), Some(35.0)).toDF("v")
+    val got = Profiling.psiBins(a, a, $"v", 0.0, 40.0, 4)
+      .orderBy($"bin").as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(got.map(_._2).sum === 2L) // NaN contributed to no bin
+    assert(got(0)._2 === 1L && got(3)._2 === 1L)
+  }
 }
