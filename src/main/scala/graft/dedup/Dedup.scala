@@ -1031,6 +1031,70 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-dup clusters via MinHash+LSH with an EXACT-COLLAPSE prestage —
+    * the skew-proof scale path for `clusterPairs(minhashPairs(...))`.
+    *
+    * The adversarial real-world shape (a boilerplate document duplicated
+    * onto a large fraction of a CommonCrawl-scale corpus) makes every
+    * band of every duplicate hash to the SAME bucket, so the all-pairs
+    * bucket self-join in [[minhashPairs]] materializes |dups|²/2 rows —
+    * quadratic in the corpus at fixed duplication rate. The pair LIST is
+    * inherently quadratic there (it IS the output); the CLUSTERS are
+    * not, and this operator computes exactly them:
+    *
+    *  1. collapse byte-identical-after-lower() documents to one
+    *     representative (min id) per md5(lower(text)) key — one
+    *     map-side-combinable groupBy on a 32-char digest, the document
+    *     payload never shuffles;
+    *  2. run the full [[minhashPairs]] → [[clusterPairs]] pipeline on
+    *     REPRESENTATIVES only (the planted mega-cluster is now ONE row);
+    *  3. expand: each member inherits its representative's canonical
+    *     label; a ≥2-member group whose text shingles at all is a J=1
+    *     clique, so it clusters on its representative even when that
+    *     representative pairs with no other.
+    *
+    * EXACTLY equal to `clusterPairs(minhashPairs(df, ...))` (spec-pinned
+    * law): same-key docs have identical token arrays (tokens() lowers
+    * before splitting), hence identical shingle sets, signatures,
+    * buckets, and pairwise J=1 ≥ threshold — so collapsing them neither
+    * adds nor removes connectivity, and the canonical (global min id) of
+    * every merged cluster is the min over its representatives, each of
+    * which is already its group's min. Keying on md5(lower(text)) rather
+    * than [[graft.functions.TextFunctions.fingerprint]] is load-bearing:
+    * the fingerprint also collapses whitespace runs, which DOES change
+    * the token array — two fingerprint-equal docs can shingle
+    * differently, and only the lower()-exact key preserves the law. */
+  def minhashClusters(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      family: MinHashFamily = xxFamily,
+      maxIterations: Int = 25): DataFrame = {
+    val members = df
+      .select(col(idCol).as("id"), md5(lower(col(textCol))).as("__k"),
+        (size(TextFunctions.tokens(col(textCol))) >= shingleN).as("__hs"))
+      .filter(col("__k").isNotNull) // null text: no shingles, no pairs
+    val groups = members.groupBy(col("__k"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("__n"),
+        max(col("__hs")).as("__hs")) // __hs identical within a group
+    val reps = df.join(
+      groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val repClusters = clusterPairs(
+      minhashPairs(reps, textCol, idCol, shingleN, threshold, bands,
+        rowsPerBand, family).select(col("id_a"), col("id_b")),
+      maxIterations)
+      .select(col("id").as("rep"), col("canonical_id").as("__rc"))
+    members.select(col("id"), col("__k")).join(groups, Seq("__k"))
+      .join(repClusters, Seq("rep"), "left")
+      // Rep unclustered: the group itself is a cluster iff it has >= 2
+      // members AND its text shingles (shingle-less dups never pair in
+      // minhashPairs, so they must not cluster here either).
+      .withColumn("canonical_id",
+        coalesce(col("__rc"),
+          when(col("__n") >= 2 && col("__hs"), col("rep"))))
+      .filter(col("canonical_id").isNotNull)
+      .select(col("id"), col("canonical_id"))
+  }
+
   /** 64-bit SimHash over token hashes: bit b of the result is 1 iff the
     * sum over tokens of ±1 (sign of bit b of xxhash64(token)) is positive.
     * Computed as 64 conditional sums in one aggregation — one shuffle,

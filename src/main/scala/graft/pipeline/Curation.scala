@@ -78,9 +78,13 @@ object Curation {
     // `family` defaults to the xxhash64 production path; the oracle-gated
     // pipeline_curation query passes md5AffineFamily so the whole MinHash
     // stage is DuckDB-replayable (the dedup_minhash_pairs convention).
-    val canon = Dedup.clusterPairs(
-      Dedup.minhashPairs(docs, textCol, idCol, shingleN, jaccard,
-        family = family))
+    // minhashClusters (r9) = clusterPairs∘minhashPairs with the exact-
+    // collapse prestage (law-pinned equal in DedupSpec): a boilerplate
+    // document duplicated onto 20% of the corpus — the adversarial
+    // CommonCrawl shape — is ONE representative here instead of a
+    // quadratic LSH bucket self-join.
+    val canon = Dedup.minhashClusters(docs, textCol, idCol, shingleN,
+      jaccard, family = family)
       .withColumnRenamed("id", idCol)
 
     // Stage 4: decontamination — benchmark shingle overlap (bench

@@ -331,6 +331,47 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == batchIds -- droppedExpected)
   }
 
+  test("minhashClusters == clusterPairs(minhashPairs) — exact-collapse law") {
+    def labels(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id".cast("long"), $"canonical_id".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    // Real corpus: the collapsed path must reproduce the composed one
+    // exactly (same membership, same canonicals).
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val composed = labels(Dedup.clusterPairs(
+      Dedup.minhashPairs(docs, "text", "doc_id", 3, 0.8)
+        .select($"id_a", $"id_b")))
+    val collapsed = labels(
+      Dedup.minhashClusters(docs, "text", "doc_id", 3, 0.8))
+    assert(composed.nonEmpty && collapsed == composed)
+    // Adversarial shapes the collapse must handle: a boilerplate doc
+    // duplicated many times (the skew motivation), a case variant of it
+    // (same lower(), same group), a whitespace variant (DIFFERENT
+    // group: fingerprint would merge it, lower() must not — its token
+    // array differs), identical shingle-less dups (never cluster), and
+    // null text (never clusters).
+    val boiler = "cookie policy accept all cookies to continue to the site"
+    val skewed = planted.unionByName(Seq(
+      (100L, boiler), (101L, boiler), (102L, boiler),
+      (103L, "Cookie Policy accept all cookies to continue to the site"),
+      (104L, "cookie  policy accept all cookies to continue to the site"),
+      (110L, "two tokens"), (111L, "two tokens"),
+      (112L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text"))
+    val composedS = labels(Dedup.clusterPairs(
+      Dedup.minhashPairs(skewed, "text", "doc_id", 3, 0.8)
+        .select($"id_a", $"id_b")))
+    val collapsedS = labels(
+      Dedup.minhashClusters(skewed, "text", "doc_id", 3, 0.8))
+    assert(collapsedS == composedS)
+    // The planted clique resolved to its min id on both paths.
+    assert(collapsedS.filter(_._1 >= 100L).forall(_._2 == 100L))
+    assert(Set(100L, 101L, 102L, 103L).subsetOf(
+      collapsedS.filter(_._2 == 100L).map(_._1)))
+    // Shingle-less dups and null text never cluster.
+    assert(!collapsedS.exists(p => p._1 >= 110L))
+  }
+
   test("incrementalMinhashDedupWithIndex keys == minhashBandIndex(kept)") {
     // The one-pass ingest contract: the survivor bucket keys returned
     // alongside the dedup must be EXACTLY what re-running the index

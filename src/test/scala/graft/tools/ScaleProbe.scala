@@ -24,12 +24,23 @@ import graft.model.Tables
   *  - events: user ids shift by a replica stride, so sessions replicate
   *    per user (10x sessions of the same size, not 10x-longer sessions).
   *
-  * Usage: Test/runMain graft.tools.ScaleProbe <srcSfDir> <outDir> <factor>
+  * SKEW MODE (4th arg "skew"): after replication, the documents table is
+  * made ADVERSARIAL instead of work-preserving — the real-world
+  * CommonCrawl shape every exponent probe deliberately avoids:
+  *  - one boilerplate text overwrites ~20% of all docs (doc_id % 5 == 1):
+  *    one mega exact-dup cluster, which lands those docs' every MinHash
+  *    band in ONE bucket and their every window partition in one task;
+  *  - every remaining doc gets one universal trailing 3-token shingle
+  *    ("the site footer"), the hot-shingle stopword-gram shape that makes
+  *    shingle co-occurrence joins quadratic without maxShingleDf.
+  *
+  * Usage: Test/runMain graft.tools.ScaleProbe <srcSfDir> <outDir> <factor> [skew]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
+    val skew = args.length > 3 && args(3) == "skew"
     require(factor >= 1, s"factor must be >= 1: $factor")
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
@@ -51,7 +62,17 @@ object ScaleProbe {
             transform(split(col("text"), " "),
               t => concat(t, lit(s"_r$r"))), " ")))
     }.reduce(_ unionAll _)
-    docsN.write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    val boiler = "this website uses cookies by continuing to browse the " +
+      "site you agree to our use of cookies please review the cookie " +
+      "policy for details about how we handle your personal data"
+    val docsOut =
+      if (!skew) docsN
+      else docsN.withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 1, lit(boiler))
+          .when(col("text").isNotNull,
+            concat(col("text"), lit(" the site footer")))
+          .otherwise(col("text")))
+    docsOut.write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
 
     val emb = Tables.embeddings(spark, src)
     val embN = (0 until factor).map { r =>
