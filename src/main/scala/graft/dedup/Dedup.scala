@@ -1068,7 +1068,36 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.8,
       bands: Int = 8, rowsPerBand: Int = 4,
       family: MinHashFamily = xxFamily,
-      maxIterations: Int = 25): DataFrame = {
+      maxIterations: Int = 25): DataFrame =
+    collapsedClusters(df, textCol, idCol, shingleN, maxIterations)(reps =>
+      minhashPairs(reps, textCol, idCol, shingleN, threshold, bands,
+        rowsPerBand, family))
+
+  /** [[jaccardPairs]] clusters through the same exact-collapse prestage
+    * — and through the PREFIX-FILTERED verifier ([[jaccardPairsPrefix]],
+    * identical results, spec-pinned), which is what neutralizes the
+    * OTHER adversarial shape the collapse alone cannot: a universal
+    * ("stopword-gram") shingle shared by every document makes the naive
+    * co-occurrence join Σ df² = |corpus|² — the prefix filter ranks it
+    * last in every document's canonical order, so it never enters a
+    * prefix and never joins. EXACTLY equal to
+    * `clusterPairs(jaccardPairs(df, ...))` (spec-pinned law, same
+    * argument as [[minhashClusters]]: same-key docs have identical
+    * shingle sets, hence pairwise J = 1 ≥ threshold). */
+  def jaccardClusters(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxIterations: Int = 25): DataFrame =
+    collapsedClusters(df, textCol, idCol, n, maxIterations)(reps =>
+      jaccardPairsPrefix(reps, textCol, idCol, n, threshold))
+
+  /** The shared exact-collapse → pair → cluster → expand skeleton of
+    * [[minhashClusters]] / [[jaccardClusters]]. `pairsFn` runs the
+    * caller's pair pipeline over REPRESENTATIVES only and must return
+    * (id_a, id_b, ...) with the property that same-key duplicates would
+    * have paired at J = 1 (true for every shingle-set similarity). */
+  private def collapsedClusters(df: DataFrame, textCol: String,
+      idCol: String, shingleN: Int, maxIterations: Int)(
+      pairsFn: DataFrame => DataFrame): DataFrame = {
     val members = df
       .select(col(idCol).as("id"), md5(lower(col(textCol))).as("__k"),
         (size(TextFunctions.tokens(col(textCol))) >= shingleN).as("__hs"))
@@ -1079,15 +1108,13 @@ object Dedup {
     val reps = df.join(
       groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
     val repClusters = clusterPairs(
-      minhashPairs(reps, textCol, idCol, shingleN, threshold, bands,
-        rowsPerBand, family).select(col("id_a"), col("id_b")),
-      maxIterations)
+      pairsFn(reps).select(col("id_a"), col("id_b")), maxIterations)
       .select(col("id").as("rep"), col("canonical_id").as("__rc"))
     members.select(col("id"), col("__k")).join(groups, Seq("__k"))
       .join(repClusters, Seq("rep"), "left")
       // Rep unclustered: the group itself is a cluster iff it has >= 2
-      // members AND its text shingles (shingle-less dups never pair in
-      // minhashPairs, so they must not cluster here either).
+      // members AND its text shingles (shingle-less dups never pair,
+      // so they must not cluster here either).
       .withColumn("canonical_id",
         coalesce(col("__rc"),
           when(col("__n") >= 2 && col("__hs"), col("rep"))))

@@ -371,6 +371,53 @@ object Knn {
           .as(Seq("t", "bucket")))
   }
 
+  /** Query-side MULTI-PROBE bucketing (Lv et al. 2007, VLDB — the
+    * standard recall lift at fixed table count): per (vector, table),
+    * emit the exact bucket PLUS `probes` Hamming-1 neighbor buckets,
+    * flipping the bits whose hyperplane margin |v·w| is smallest —
+    * exactly the bits most likely to disagree with a true near
+    * neighbor's signature. Ties on the margin break to the lower plane
+    * index, so the probe sequence is a pure function of the data and
+    * any engine replays it. Candidate cost grows ~(probes+1)×; the
+    * corpus side is untouched (still one unshuffled bucketing pass),
+    * which preserves the data-independent / streaming-safe property —
+    * only the (tiny, broadcast) query side fans out. */
+  private def lshBucketsProbed(vecs: DataFrame, planes: DataFrame,
+      tables: Int, bits: Int, dotFn: (Column, Column) => Column,
+      probes: Int): DataFrame = {
+    val planeArr = planes.groupBy()
+      .agg(array_sort(collect_list(struct(col("t"), col("p"), col("w"))))
+        .as("__planes"))
+    // One row per (vector, table) with the per-plane dots materialized
+    // as a column: the base bucket, the margin ranking, and the flips
+    // all read the same attribute instead of re-deriving T×B dots.
+    val dotted = vecs.crossJoin(broadcast(planeArr))
+      .select(col("vid"), col("v"),
+        explode(sequence(lit(0), lit(tables - 1))).as("t"),
+        col("__planes"))
+      .withColumn("__dots", transform(sequence(lit(0), lit(bits - 1)), p =>
+        dotFn(col("v"),
+          element_at(col("__planes"), col("t") * bits + p + 1)
+            .getField("w"))))
+    val base = aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+      (acc, p) => acc + when(element_at(col("__dots"), p + 1) >= 0.0,
+        pow(lit(2.0), p).cast("long")).otherwise(lit(0L)))
+    // Flip candidates ranked by (|margin|, plane): the array_sort of
+    // (m, p) structs is the margin order, sliced to the probe budget.
+    val flips = slice(
+      array_sort(transform(sequence(lit(0), lit(bits - 1)), p =>
+        struct(abs(element_at(col("__dots"), p + 1)).as("m"),
+          p.cast("int").as("p")))),
+      1, probes)
+    dotted
+      .withColumn("__base", base)
+      .select(col("vid"), col("v"), col("t"),
+        explode(concat(array(col("__base")),
+          transform(flips, f => col("__base")
+            .bitwiseXOR(pow(lit(2.0), f.getField("p")).cast("long")))))
+          .as("bucket"))
+  }
+
   /** LSH-bucketed approximate top-k cosine neighbors: candidates are
     * corpus vectors sharing ANY of `tables` B-bit sign-signature buckets
     * with the query (collision prob per table = (1 - θ/π)^B), verified
@@ -385,18 +432,32 @@ object Knn {
     * the embeddings fixture (near-random 64-dim vectors, planted pairs at
     * cosine 0.4-0.6): T=24/B=6 recovers 81% of >=0.4-cosine pairs while
     * generating 33% of all pairs as candidates; real clustered embedding
-    * corpora sit at much higher cosine and prune far harder. */
+    * corpora sit at much higher cosine and prune far harder.
+    *
+    * `probes` > 0 turns on margin-ranked MULTI-PROBE on the query side
+    * ([[lshBucketsProbed]]): each query additionally visits its `probes`
+    * least-confident Hamming-1 neighbor buckets per table, lifting
+    * recall at ~(probes+1)× candidate cost WITHOUT growing the corpus
+    * index — the knob to turn before adding tables. */
   def lshCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dims: Int, tables: Int = 24, bits: Int = 6,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative,
-      dotFn: (Column, Column) => Column = VectorFunctions.dotNative): DataFrame = {
+      dotFn: (Column, Column) => Column = VectorFunctions.dotNative,
+      probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= bits,
+      s"probes must be in [0, bits=$bits]: $probes")
     val planes = lshPlanes(corpus.sparkSession, tables, bits, dims)
     val cb = lshBuckets(
       corpus.select(col(idCol).as("vid"), col(vecCol).as("v")),
       planes, tables, bits, dotFn)
-    val qb = lshBuckets(
-      queries.select(col(idCol).as("vid"), col(vecCol).as("v")),
-      planes, tables, bits, dotFn)
+    val qb = (if (probes == 0)
+      lshBuckets(
+        queries.select(col(idCol).as("vid"), col(vecCol).as("v")),
+        planes, tables, bits, dotFn)
+    else
+      lshBucketsProbed(
+        queries.select(col(idCol).as("vid"), col(vecCol).as("v")),
+        planes, tables, bits, dotFn, probes))
       .select(col("vid").as("query_id"), col("v").as("qv"),
         col("t"), col("bucket"))
     // A pair colliding in several tables must score once: dedup via the

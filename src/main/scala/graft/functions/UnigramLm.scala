@@ -6,15 +6,20 @@ import org.apache.spark.sql.functions._
 /** Unigram-LM tokenizer (Kudo 2018, "Subword Regularization" — the
   * SentencePiece unigram family, the second production tokenizer family
   * next to BPE): a piece vocabulary with log-probabilities, applied by
-  * Viterbi max-likelihood segmentation. This implementation is the
-  * SEED-VOCABULARY tier: pieces are scored by corpus substring
-  * frequency (logp = ln(count/total) over the selected vocabulary),
-  * which is exactly SentencePiece's initialization; the EM refinement
-  * loop (expected-count re-estimation with lattice forward-backward) is
-  * documented out of scope — the seed scores already define a proper
-  * unigram LM and a deterministic segmenter, and every step here is
-  * engine-replayable (one ln per piece, rounded at 8, exact integer
-  * counts everywhere else).
+  * Viterbi max-likelihood segmentation. [[train]] is the SEED-VOCABULARY
+  * step — pieces scored by corpus substring frequency (logp =
+  * ln(count/total) over the selected vocabulary), exactly
+  * SentencePiece's initialization. [[emRefine]] (r9) is one hard-EM
+  * (Viterbi-EM) refinement round over the seed: E-step = Viterbi counts
+  * at TYPE scale (each piece occurrence in a type's max-likelihood
+  * segmentation, weighted by the type's corpus frequency), M-step =
+  * renormalize ln(count/total). Hard EM is monotone — the M-step
+  * maximizes the held segmentation's likelihood and re-segmentation
+  * can only improve it — so the refined vocabulary's corpus Viterbi
+  * log-likelihood never decreases (law-pinned in UnigramLmSpec). The
+  * soft-EM variant (lattice forward-backward expected counts) remains
+  * out of scope. Every step is engine-replayable: one ln per piece
+  * rounded at 8, exact integer counts everywhere else.
   *
   * Scale shape: training is three aggregates — word-type counts
   * (vocabulary-scale, never instance-scale), substring counts over the
@@ -64,6 +69,29 @@ object UnigramLm {
     val vocab = singles.unionByName(multis)
     val total = broadcast(vocab.agg(sum(col("cnt")).as("__total")))
     vocab.crossJoin(total)
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") / col("__total").cast("double")),
+          8).as("logp"))
+  }
+
+  /** One hard-EM refinement round: segment every word type under
+    * `vocab` ([[segmentTypes]]), count each piece's occurrences across
+    * the best segmentations weighted by type frequency, renormalize.
+    * Returns (piece, cnt, logp) — the [[train]] schema, so rounds
+    * chain. Types longer than [[MaxWordLen]] pass through segmentation
+    * whole (the junk-token policy) and are EXCLUDED from the counts: a
+    * 100-char "word" must not enter the vocabulary as a piece. Pieces
+    * the E-step never uses drop out (their Viterbi count is 0 and
+    * ln(0) is undefined); every surviving word stays segmentable
+    * because its own best path's pieces all survive. */
+  def emRefine(docs: DataFrame, textCol: String,
+      vocab: Map[String, Double], maxPieceLen: Int): DataFrame = {
+    val counts = segmentTypes(docs, textCol, vocab, maxPieceLen)
+      .filter(length(col("word")) <= MaxWordLen)
+      .select(explode(split(col("pieces"), " ")).as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+    val total = broadcast(counts.agg(sum(col("cnt")).as("__total")))
+    counts.crossJoin(total)
       .select(col("piece"), col("cnt"),
         round(log(col("cnt").cast("double") / col("__total").cast("double")),
           8).as("logp"))

@@ -43,6 +43,67 @@ object Cdc {
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
+  /** Incremental SCD2 maintenance — the foreachBatch form of
+    * [[compressHistory]]: fold a NEW batch of raw versions into an
+    * existing SCD2 table (the [[compressHistory]] output schema) touching
+    * only the batch's keys. PRECONDITION (the standard CDC in-order
+    * contract): every batch row's `tsCol` exceeds every existing version
+    * of its key — change points only ever append, so comparing the batch
+    * against the key's CURRENT row suffices and the fold provably equals
+    * re-compressing the whole history (law-pinned in CdcSpec). Late
+    * (interleaving) versions need the batch re-unioned with raw history
+    * — out of scope here by contract, like every delta-fold in this
+    * module.
+    *
+    * Scale shape: O(batch) — one window over the batch (its own keys),
+    * one join of the CURRENT-row index against the batch's first change
+    * points. Untouched keys' rows pass through by construction
+    * (`existing` is unioned back, minus the closed current rows, so the
+    * 100 TB history table is never rewritten beyond the touched rows —
+    * with the table partitioned by is_current, the scan prunes to the
+    * current partition). */
+  def mergeHistory(existing: DataFrame, batch: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "keys and values required")
+    val keys = keyCols.map(col)
+    val tracked: Column = struct(valueCols.map(col): _*)
+    // Current row per touched key, as (keys*, tracked struct) — the only
+    // piece of existing history the fold reads.
+    val cur = existing.filter(col("is_current"))
+      .join(batch.select(keys: _*).distinct(), keyCols, "left_semi")
+      .select(keyCols.map(col) :+ tracked.as("__cur") :+
+        col("valid_from").as("__cur_from"): _*)
+    // Compress the batch internally (per-key window), seeded with the
+    // key's current value: the first batch change point exists iff it
+    // differs from the CURRENT tracked struct (or the key is new).
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val changes = batch
+      .withColumn("__prev", lag(tracked, 1).over(w))
+      .join(cur, keyCols, "left")
+      .filter(
+        when(col("__prev").isNotNull, !(col("__prev") <=> tracked))
+          .otherwise(col("__cur_from").isNull || !(col("__cur") <=> tracked)))
+    val newRows = changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCols ++ valueCols).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+    // Close the previously-current row of every key that gained a change
+    // point: valid_to = the key's FIRST new change ts.
+    val firstNew = newRows
+      .groupBy(keys: _*).agg(min(col("valid_from")).as("__first_new"))
+    val updatedExisting = existing
+      .join(firstNew, keyCols, "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("__first_new").isNotNull,
+          col("__first_new")).otherwise(col("valid_to")))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__first_new")
+    updatedExisting.unionByName(newRows)
+  }
+
   /** Keyed diff of two snapshots of the same table: one row per key whose
     * membership or tracked values differ, `change` ∈
     * 'added' (key only in `newSnap`) | 'removed' (only in `oldSnap`) |

@@ -780,6 +780,35 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"key", $"valid_from")
     },
 
+    // Streaming SCD2 maintenance (r9): the same version history arriving
+    // as four ts-ORDERED batches (global version ranges — the in-order
+    // CDC contract), each folded into the running SCD2 table by
+    // Cdc.mergeHistory — O(batch) per fold, the history is never
+    // recompressed. localCheckpoint between folds materializes each
+    // batch's table exactly as a foreachBatch sink would persist it.
+    // The oracle is the WHOLE-history compress (cdc_scd2's text): the
+    // delta-fold ≡ whole law under the gate, the dq_orders_incremental
+    // convention; the law is also property-pinned in CdcSpec.
+    "stream_scd2_batches" -> { (s, dir) =>
+      import s.implicits._
+      val history = Tables.orders(s, dir)
+        .select($"o_custkey".as("key"), $"o_orderkey".as("version"),
+          $"o_totalprice".as("amount"))
+      val bounds = history.agg(min($"version"), max($"version")).head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val width = (hi - lo) / 4 + 1
+      val empty = graft.ops.Cdc.compressHistory(history.limit(0),
+        Seq("key"), "version", Seq("amount"))
+      (0L until 4L).foldLeft(empty) { (acc, b) =>
+        graft.ops.Cdc.mergeHistory(acc,
+          history.filter($"version" >= lo + b * width &&
+            $"version" < lo + (b + 1) * width),
+          Seq("key"), "version", Seq("amount"))
+          .localCheckpoint()
+      }
+        .orderBy($"key", $"valid_from")
+    },
+
     // Data-quality contract checks over orders: the DDL's implicit
     // contracts (PK unique+non-null, FK to customer) plus value
     // contracts (status domain, price range, no future dates) evaluated
@@ -1405,6 +1434,23 @@ object CoreQueries extends graft.QueryModule {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "cdc_scd2" ->
+      """WITH h AS (SELECT o_custkey AS key, o_orderkey AS version,
+        |  o_totalprice AS amount FROM orders),
+        |c AS (SELECT key, version, amount,
+        |  lag(amount) OVER (PARTITION BY key ORDER BY version) AS prev
+        |  FROM h),
+        |ch AS (SELECT key, version, amount FROM c
+        |  WHERE prev IS NULL OR amount IS DISTINCT FROM prev)
+        |SELECT key, amount, version AS valid_from,
+        |  lead(version) OVER (PARTITION BY key ORDER BY version) AS valid_to,
+        |  lead(version) OVER (PARTITION BY key ORDER BY version) IS NULL
+        |    AS is_current
+        |FROM ch ORDER BY key, valid_from""".stripMargin,
+
+    // The delta-fold ≡ whole-history law under the gate: the engine
+    // folds four in-order batches through Cdc.mergeHistory; the oracle
+    // is the whole-history compress.
+    "stream_scd2_batches" ->
       """WITH h AS (SELECT o_custkey AS key, o_orderkey AS version,
         |  o_totalprice AS amount FROM orders),
         |c AS (SELECT key, version, amount,

@@ -82,28 +82,39 @@ object ExtensionQueries extends graft.QueryModule {
     },
 
     // The SECOND production tokenizer family (Kudo 2018 — SentencePiece
-    // unigram): seed-vocabulary training. All three steps are
+    // unigram): seed-vocabulary training PLUS one hard-EM refinement
+    // round (r9 — the full SentencePiece shape: seed, E-step Viterbi
+    // counts at type scale, M-step renormalize). All steps are
     // vocabulary-scale aggregates; logp is one ln per piece rounded at
-    // 8, everything else exact integers.
+    // 8, everything else exact integers. The oracle chains the seed
+    // CTEs, the 16-layer Viterbi DP replay, and the M-step; the
+    // likelihood-never-decreases law is pinned in UnigramLmSpec.
     "text_unigram_vocab" -> { (s, dir) =>
-      graft.functions.UnigramLm.train(Tables.documents(s, dir), "text",
-        vocabSize = 64, maxPieceLen = 4)
+      val docs = Tables.documents(s, dir)
+      val U = graft.functions.UnigramLm
+      val seed = U.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+        .select(col("piece"), col("logp"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      U.emRefine(docs, "text", seed, 4)
         .orderBy(col("piece"))
     },
 
     // Viterbi max-likelihood segmentation of every word TYPE under the
-    // trained unigram vocabulary (types, never instances — the BPE
-    // apply discipline). The vocabulary broadcasts as ONE MapType
-    // literal; the DP is two HOF folds per type. The oracle replays the
-    // training CTEs plus the DP itself: 16 chained layers (one per word
-    // position, the MaxWordLen cap) and a recursive backtrace.
+    // TRAINED (seed + one EM round) unigram vocabulary (types, never
+    // instances — the BPE apply discipline). The vocabulary broadcasts
+    // as ONE MapType literal; the DP is two HOF folds per type. The
+    // oracle replays the seed CTEs, the seed-vocab DP, the EM M-step,
+    // and a SECOND 16-layer DP under the refined vocabulary.
     "text_unigram_segments" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val vocab = graft.functions.UnigramLm
-        .train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+      val U = graft.functions.UnigramLm
+      val seed = U.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
         .select(col("piece"), col("logp"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      graft.functions.UnigramLm.segmentTypes(docs, "text", vocab, 4)
+      val refined = U.emRefine(docs, "text", seed, 4)
+        .select(col("piece"), col("logp"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      U.segmentTypes(docs, "text", refined, 4)
         .orderBy(col("word"))
     },
 
@@ -347,11 +358,28 @@ object ExtensionQueries extends graft.QueryModule {
     },
 
     // Near-dup clusters: connected components of the Jaccard pair graph
-    // (iterative min-label propagation), the survivor-selection step of a
-    // dedup pipeline.
+    // (iterative min-label propagation), the survivor-selection step of
+    // a dedup pipeline. Routed through the exact-collapse + prefix-
+    // filtered scale path (r9) — law-pinned equal to
+    // clusterPairs(jaccardPairs(...)), which the oracle replays, so the
+    // gate proves the skew-proof composition is invisible in the result.
     "dedup_clusters" -> { (s, dir) =>
-      Dedup.clusterPairs(
-        Dedup.jaccardPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.8))
+      Dedup.jaccardClusters(Tables.documents(s, dir), "text", "doc_id",
+        3, 0.8)
+        .orderBy(col("id"))
+    },
+
+    // MinHash near-dup clusters through the EXACT-COLLAPSE scale path
+    // (r9): byte-identical-after-lower() docs collapse to one
+    // representative before the LSH bucket self-join, so the
+    // adversarial 20%-boilerplate corpus costs O(distinct docs), not
+    // O(duplicates²). Law-pinned equal to clusterPairs(minhashPairs) in
+    // DedupSpec; the oracle replays the COMPOSED form, proving the
+    // collapse is invisible in the result. md5 family so the full
+    // signature pipeline is DuckDB-replayable.
+    "dedup_minhash_clusters" -> { (s, dir) =>
+      Dedup.minhashClusters(Tables.documents(s, dir), "text", "doc_id",
+        3, 0.8, family = Dedup.md5AffineFamily)
         .orderBy(col("id"))
     },
 
@@ -711,6 +739,21 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Multi-probe LSH (r9): each query additionally visits its 2
+    // least-|margin| Hamming-1 neighbor buckets per table — the recall
+    // lift at fixed table count. The probe sequence (margin ranking +
+    // XOR fan-out) is itself oracle-replayed; the recall lift over the
+    // single-probe row is visible in knn_recall_at_k and floor-pinned
+    // in KnnSpec.
+    "knn_lsh_mp_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.lshCosine(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, dims = 64,
+        cosineFn = graft.GraftFunctions.cosineSim,
+        dotFn = graft.GraftFunctions.dotProduct, probes = 2)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Product-quantization ANN: corpus stored as 16 sub-codes (16x
     // smaller than raw vectors), queries exact, asymmetric-distance
     // scoring against code reconstructions. Deterministic smallest-id
@@ -783,6 +826,8 @@ object ExtensionQueries extends graft.QueryModule {
           centroids = 16, nprobe = 4, cosineFn = cos), "ivf")
         .union(ids(Knn.lshCosine(emb, qs, "vec_id", "embedding", k = 10,
           dims = 64, cosineFn = cos, dotFn = dot), "lsh"))
+        .union(ids(Knn.lshCosine(emb, qs, "vec_id", "embedding", k = 10,
+          dims = 64, cosineFn = cos, dotFn = dot, probes = 2), "lsh_mp"))
         .union(ids(Knn.pqTopK(emb, qs, "vec_id", "embedding", k = 10,
           m = 16, codebook = 16, dims = 64, dotFn = dot), "pq"))
         .union(ids(Knn.bruteForceQuantized(emb, qs, "vec_id", "embedding",
@@ -1363,6 +1408,40 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy($"event_id")
     },
 
+    // Session windows through the real Structured Streaming machinery
+    // (r9): file source → watermarked session_window aggregation in the
+    // state store → memory sink, Trigger.AvailableNow — the one stateful
+    // window family that was batch-gated only. Append mode emits a
+    // session exactly when the watermark passes its end; a sentinel
+    // event (reserved user -1, 30 days past the corpus horizon) advances
+    // the final watermark past every REAL session so the state store
+    // drains completely, while the sentinel's own session can never
+    // close and is therefore never emitted — the streamed output is
+    // exactly the real sessions, gated against the BATCH query's
+    // gaps-and-islands oracle (batch ≡ stream law under the gate).
+    "stream_session" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"ts", $"value")
+      val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+      val flushTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)
+      val streamDir = java.nio.file.Files
+        .createTempDirectory("graft_sess").toString
+      ev.unionByName(s.range(1).select(lit(-1L).as("user_id"),
+          lit(flushTs).as("ts"), lit(null).cast("double").as("value")))
+        .write.mode("overwrite").parquet(streamDir)
+      val src = s.readStream.schema(ev.schema).parquet(streamDir)
+      val name = "stream_session_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventsOps
+        .sessionsStream(src, "10 minutes", "10 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy($"user_id", $"session_start")
+    },
+
     // Streaming rollup maintenance under the bench/oracle watch (r7):
     // four deterministic "daily" batches (event_id mod 4) written as
     // replay-safe delta partitions (StreamingRollup.writeDelta — the
@@ -1806,39 +1885,43 @@ object ExtensionQueries extends graft.QueryModule {
       |      (SELECT CAST(sum(cnt) AS DOUBLE) FROM usel)), 8) AS logp
       |  FROM usel)""".stripMargin
 
-  /** The Viterbi DP replay: 16 chained MATERIALIZED layers — layer i
+  /** The Viterbi DP replay, parameterized by the vocabulary CTE and a
+    * name prefix (so the seed-vocab and EM-refined-vocab passes can
+    * chain in ONE statement): 16 chained MATERIALIZED layers — layer i
     * picks, for every word long enough, the best last-piece start among
     * the ≤4 candidates ending at position i (max score, ties to the
     * smallest start — the engine's ascending-scan strict-> exactly) —
-    * then a recursive backtrace prepends the pieces. The vocabulary
-    * join excludes unknown pieces, which matches the engine's sentinel
-    * arithmetic wherever single-char coverage holds (always, on the
-    * corpus the vocabulary was trained on). */
-  private val unigramSegmentSql: String = {
+    * then a recursive backtrace prepends the pieces into
+    * `${prefix}seg(word, parts)`. The vocabulary join excludes unknown
+    * pieces, which matches the engine's sentinel arithmetic wherever a
+    * finite path exists (always, on the corpus the vocabulary was
+    * trained on — under the refined vocabulary every word's seed best
+    * path survives the E-step, so a finite path always exists and the
+    * engine's -1e9 OOV arm can never win). */
+  private def unigramViterbiCtes(prefix: String, vocabCte: String): String = {
     val (p, w) = (4, 16)
     val sb = new StringBuilder
-    sb.append("WITH RECURSIVE ").append(unigramVocabCtes).append(",\n")
     sb.append(
-      """ub0 AS MATERIALIZED (
+      s"""${prefix}b0 AS MATERIALIZED (
         |  SELECT word, CAST(0 AS INTEGER) AS pos, CAST(0.0 AS DOUBLE) AS s,
         |    CAST(-1 AS INTEGER) AS bk
         |  FROM utypes WHERE len(word) <= 16)""".stripMargin)
     for (i <- 1 to w) {
       sb.append(s""",
-        |ul$i AS MATERIALIZED (
+        |${prefix}l$i AS MATERIALIZED (
         |  SELECT word, CAST($i AS INTEGER) AS pos, s, bk FROM (
         |    SELECT b.word, b.s + v.logp AS s, b.pos AS bk,
         |      row_number() OVER (PARTITION BY b.word
         |        ORDER BY b.s + v.logp DESC, b.pos) AS rn
-        |    FROM ub${i - 1} b
-        |    JOIN uvocab v ON v.piece = substr(b.word, b.pos + 1, $i - b.pos)
+        |    FROM ${prefix}b${i - 1} b
+        |    JOIN $vocabCte v ON v.piece = substr(b.word, b.pos + 1, $i - b.pos)
         |    WHERE b.pos >= $i - $p AND b.pos < $i AND len(b.word) >= $i)
         |  WHERE rn = 1),
-        |ub$i AS MATERIALIZED (
-        |  SELECT * FROM ub${i - 1} UNION ALL SELECT * FROM ul$i)""".stripMargin)
+        |${prefix}b$i AS MATERIALIZED (
+        |  SELECT * FROM ${prefix}b${i - 1} UNION ALL SELECT * FROM ${prefix}l$i)""".stripMargin)
     }
     sb.append(s""",
-      |uwalk AS (
+      |${prefix}walk AS (
       |  SELECT word, CAST(len(word) AS INTEGER) AS pos,
       |    CAST([] AS VARCHAR[]) AS parts
       |  FROM utypes WHERE len(word) <= $w
@@ -1846,18 +1929,48 @@ object ExtensionQueries extends graft.QueryModule {
       |  SELECT k.word, b.bk AS pos,
       |    list_prepend(substr(k.word, b.bk + 1, k.pos - b.bk), k.parts)
       |      AS parts
-      |  FROM uwalk k JOIN ub$w b ON b.word = k.word AND b.pos = k.pos
+      |  FROM ${prefix}walk k JOIN ${prefix}b$w b
+      |    ON b.word = k.word AND b.pos = k.pos
       |  WHERE k.pos > 0),
-      |useg AS (SELECT word, parts FROM uwalk WHERE pos = 0)
-      |SELECT t.word, t.cnt,
-      |  CASE WHEN len(t.word) > $w THEN t.word
-      |       ELSE array_to_string(g.parts, ' ') END AS pieces,
-      |  CAST(CASE WHEN len(t.word) > $w THEN 1
-      |       ELSE len(g.parts) END AS BIGINT) AS n_pieces
-      |FROM utypes t LEFT JOIN useg g USING (word)
-      |ORDER BY t.word""".stripMargin)
+      |${prefix}seg AS (SELECT word, parts FROM ${prefix}walk WHERE pos = 0)""".stripMargin)
     sb.toString
   }
+
+  /** The hard-EM M-step replay over the seed-vocab segmentation `useg`:
+    * Viterbi piece counts weighted by type frequency (long words
+    * excluded — the engine's junk-token policy), one rounded ln. */
+  private val unigramEmCtes: String =
+    """emcnt AS MATERIALIZED (
+      |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+      |    SELECT t.cnt, unnest(g.parts) AS piece
+      |    FROM utypes t JOIN useg g USING (word)
+      |    WHERE len(t.word) <= 16)
+      |  GROUP BY piece),
+      |emvocab AS MATERIALIZED (
+      |  SELECT piece, cnt,
+      |    round(ln(CAST(cnt AS DOUBLE) /
+      |      (SELECT CAST(sum(cnt) AS DOUBLE) FROM emcnt)), 8) AS logp
+      |  FROM emcnt)""".stripMargin
+
+  /** Final projection of a `${prefix}seg` segmentation against the type
+    * table (long words pass through whole). */
+  private def unigramSegSelect(prefix: String): String =
+    s"""SELECT t.word, t.cnt,
+       |  CASE WHEN len(t.word) > 16 THEN t.word
+       |       ELSE array_to_string(g.parts, ' ') END AS pieces,
+       |  CAST(CASE WHEN len(t.word) > 16 THEN 1
+       |       ELSE len(g.parts) END AS BIGINT) AS n_pieces
+       |FROM utypes t LEFT JOIN ${prefix}seg g USING (word)
+       |ORDER BY t.word""".stripMargin
+
+  /** text_unigram_segments: seed CTEs → seed-vocab DP → EM M-step →
+    * SECOND DP under the refined vocabulary → projection. */
+  private val unigramSegmentSql: String =
+    s"""WITH RECURSIVE $unigramVocabCtes,
+       |${unigramViterbiCtes("u", "uvocab")},
+       |$unigramEmCtes,
+       |${unigramViterbiCtes("e", "emvocab")}
+       |${unigramSegSelect("e")}""".stripMargin
 
   /** The budgetPlan replay: per-source token capacities, the one
     * rounded pow as the exact integer weight u = round(w·10^6), then
@@ -1973,17 +2086,23 @@ object ExtensionQueries extends graft.QueryModule {
   /** The V1 curation stage CTEs (cluster solve over the shared minhash
     * chain, quality, exact-dup, contamination) — shared by the
     * pipeline_curation and pipeline_curation_v2 compositions. */
+  /** Connected components + min-canonical over the `mpairs` CTE — the
+    * cluster solve shared by the curation compositions and the
+    * standalone dedup_minhash_clusters oracle. */
+  private val clusterSolveCtes: String =
+    """edges AS (
+      |  SELECT id_a AS x, id_b AS y FROM mpairs
+      |  UNION ALL SELECT id_b, id_a FROM mpairs),
+      |reach(x, y) AS (
+      |  SELECT x, y FROM edges
+      |  UNION
+      |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+      |canon AS (
+      |  SELECT x AS id, least(x, min(y)) AS canonical_id
+      |  FROM reach GROUP BY x)""".stripMargin
+
   private val curationCoreCtes: String =
-    s"""edges AS (
-       |  SELECT id_a AS x, id_b AS y FROM mpairs
-       |  UNION ALL SELECT id_b, id_a FROM mpairs),
-       |reach(x, y) AS (
-       |  SELECT x, y FROM edges
-       |  UNION
-       |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
-       |canon AS (
-       |  SELECT x AS id, least(x, min(y)) AS canonical_id
-       |  FROM reach GROUP BY x),
+    s"""$clusterSolveCtes,
        |feats AS (
        |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
        |  FROM documents),
@@ -2081,6 +2200,95 @@ object ExtensionQueries extends graft.QueryModule {
        |LEFT JOIN agg sra ON sra.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The LSH top-k replay, parameterized by the multi-probe budget:
+    * md5-derived planes, corpus sign-signature buckets, query buckets —
+    * plus, when probes > 0, the margin-ranked Hamming-1 fan-out (rank
+    * planes per (query, table) by (|dot|, p), XOR the base bucket with
+    * 2^p for the first `probes`) — candidate join, exact-cosine verify,
+    * per-query rank. Probes = 0 reproduces the original single-bucket
+    * oracle. */
+  private def lshTopkSql(probes: Int): String = {
+    val T = 24; val B = 6; val D = 64
+    val fanout =
+      if (probes == 0) ""
+      else s"""
+         |  UNION ALL
+         |  SELECT f.vec_id, f.t, xor(s.bucket, CAST(pow(2, f.p) AS BIGINT))
+         |  FROM (
+         |    SELECT vec_id, t, p FROM (
+         |      SELECT vec_id, t, p,
+         |        row_number() OVER (PARTITION BY vec_id, t
+         |          ORDER BY abs(dt), p) AS rn
+         |      FROM qdots) WHERE rn <= $probes) f
+         |  JOIN qsig s ON s.vec_id = f.vec_id AND s.t = f.t""".stripMargin
+    s"""WITH planes AS (
+       |  SELECT CAST(i // $B AS INT) AS t, CAST(i % $B AS INT) AS p,
+       |    list(w ORDER BY d) AS w
+       |  FROM (
+       |    SELECT i, d,
+       |      (('0x' || substr(md5('lsh:' || (i // $B) || ':' || (i % $B) || ':' || d), 1, 13))::BIGINT
+       |        / 4503599627370496.0) * 2.0 - 1.0 AS w
+       |    FROM (SELECT unnest(range(${T * B})) AS i)
+       |    CROSS JOIN (SELECT unnest(range($D)) AS d))
+       |  GROUP BY 1, 2),
+       |vecs AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+       |  FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, t,
+       |    SUM(CASE WHEN list_dot_product(v, w) >= 0
+       |        THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+       |  FROM vecs CROSS JOIN planes GROUP BY 1, 2),
+       |qdots AS (
+       |  SELECT vec_id, t, p, list_dot_product(v, w) AS dt
+       |  FROM (SELECT * FROM vecs WHERE vec_id < 5) CROSS JOIN planes),
+       |qsig AS (
+       |  SELECT vec_id, t,
+       |    SUM(CASE WHEN dt >= 0 THEN CAST(pow(2, p) AS BIGINT)
+       |        ELSE 0 END) AS bucket
+       |  FROM qdots GROUP BY 1, 2),
+       |qbuckets AS (
+       |  SELECT vec_id, t, bucket FROM qsig$fanout),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vid
+       |  FROM sigs c JOIN qbuckets q
+       |    ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, cosine, rk FROM (
+       |  SELECT query_id, vid AS neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vid) AS rk
+       |  FROM (
+       |    SELECT query_id, vid,
+       |      CASE WHEN q.nv * c.nv > 0
+       |           THEN list_dot_product(q.v, c.v) / (q.nv * c.nv) END AS cosine
+       |    FROM cand JOIN vecs q ON q.vec_id = query_id
+       |    JOIN vecs c ON c.vec_id = vid))
+       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** The session-window replay (gaps-and-islands), shared verbatim by
+    * the batch query (events_session) and its streaming leg
+    * (stream_session) — the batch ≡ stream law as one oracle text. */
+  private val eventsSessionSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes'
+      |         THEN 1 ELSE 0 END AS newf
+      |  FROM ordered),
+      |numbered AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+      |FROM numbered GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id,
@@ -2124,9 +2332,14 @@ object ExtensionQueries extends graft.QueryModule {
     // the LEFT JOIN keeps the state unchanged, and every later
     // iteration filters to empty too. Scale-independent — the oracle
     // trains on whatever corpus the gate runs.
+    // Seed CTEs → 16-layer Viterbi DP → hard-EM M-step: the refined
+    // vocabulary (Viterbi counts renormalized) is what the engine's
+    // train + emRefine emits.
     "text_unigram_vocab" ->
-      s"""WITH $unigramVocabCtes
-         |SELECT piece, cnt, logp FROM uvocab ORDER BY piece""".stripMargin,
+      s"""WITH RECURSIVE $unigramVocabCtes,
+         |${unigramViterbiCtes("u", "uvocab")},
+         |$unigramEmCtes
+         |SELECT piece, cnt, logp FROM emvocab ORDER BY piece""".stripMargin,
 
     "text_unigram_segments" -> unigramSegmentSql,
 
@@ -2719,6 +2932,14 @@ object ExtensionQueries extends graft.QueryModule {
          |SELECT id_a, id_b, jaccard FROM mpairs
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // The skew-proof cluster path: the oracle is the COMPOSED form
+    // (pair CTEs + recursive cluster solve), so the gate proves the
+    // engine's exact-collapse prestage is invisible in the result.
+    "dedup_minhash_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |$clusterSolveCtes
+         |SELECT id, canonical_id FROM canon ORDER BY id""".stripMargin,
+
     // The composed curation pipeline: every stage oracle, joined into
     // one audit row per document. The near-dup/split stages layer the
     // recursive-CTE cluster solve over the SAME minhash pair CTEs the
@@ -2927,42 +3148,12 @@ object ExtensionQueries extends graft.QueryModule {
     // sign-signature buckets, candidate join across tables, exact-cosine
     // verification, per-query top-10. Identical arithmetic order —
     // weights, dots, and pow(2, p) are the same IEEE double ops.
-    "knn_lsh_topk" -> {
-      val T = 24; val B = 6; val D = 64
-      s"""WITH planes AS (
-         |  SELECT CAST(i // $B AS INT) AS t, CAST(i % $B AS INT) AS p,
-         |    list(w ORDER BY d) AS w
-         |  FROM (
-         |    SELECT i, d,
-         |      (('0x' || substr(md5('lsh:' || (i // $B) || ':' || (i % $B) || ':' || d), 1, 13))::BIGINT
-         |        / 4503599627370496.0) * 2.0 - 1.0 AS w
-         |    FROM (SELECT unnest(range(${T * B})) AS i)
-         |    CROSS JOIN (SELECT unnest(range($D)) AS d))
-         |  GROUP BY 1, 2),
-         |vecs AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
-         |  FROM embeddings),
-         |sigs AS (
-         |  SELECT vec_id, t,
-         |    SUM(CASE WHEN list_dot_product(v, w) >= 0
-         |        THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
-         |  FROM vecs CROSS JOIN planes GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vid
-         |  FROM sigs c JOIN (SELECT * FROM sigs WHERE vec_id < 5) q
-         |    ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id)
-         |SELECT query_id, neighbor_id, cosine, rk FROM (
-         |  SELECT query_id, vid AS neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vid) AS rk
-         |  FROM (
-         |    SELECT query_id, vid,
-         |      CASE WHEN q.nv * c.nv > 0
-         |           THEN list_dot_product(q.v, c.v) / (q.nv * c.nv) END AS cosine
-         |    FROM cand JOIN vecs q ON q.vec_id = query_id
-         |    JOIN vecs c ON c.vec_id = vid))
-         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
-    },
+    "knn_lsh_topk" -> lshTopkSql(probes = 0),
+
+    // The margin-ranked multi-probe variant: the oracle additionally
+    // replays, per (query, table), the |dot| ranking of the planes and
+    // the XOR bucket fan-out — the probe sequence itself is gated.
+    "knn_lsh_mp_topk" -> lshTopkSql(probes = 2),
 
     "text_langid" -> {
       val perLang = TextFunctions.LangMarkers.toSeq.sortBy(_._1).map {
@@ -3755,25 +3946,12 @@ object ExtensionQueries extends graft.QueryModule {
         |    8) AS psi_term
         |FROM j, tt ORDER BY bin""".stripMargin,
 
-    "events_session" ->
-      """WITH ordered AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |flagged AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes'
-        |         THEN 1 ELSE 0 END AS newf
-        |  FROM ordered),
-        |numbered AS (
-        |  SELECT user_id, ts, value,
-        |    SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM flagged)
-        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-        |  CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
-        |FROM numbered GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+    "events_session" -> eventsSessionSql,
+
+    // The batch ≡ stream law under the gate: the streamed session
+    // windows (state store, watermark eviction) share the BATCH query's
+    // gaps-and-islands oracle verbatim.
+    "stream_session" -> eventsSessionSql,
   )
 
   /** The recall harness oracle COMPOSES the already-declared per-index
@@ -3787,12 +3965,14 @@ object ExtensionQueries extends graft.QueryModule {
       s"""WITH exact AS ${sub("knn_cosine_topk")},
          |ivf AS ${sub("knn_ivf_topk")},
          |lsh AS ${sub("knn_lsh_topk")},
+         |lsh_mp AS ${sub("knn_lsh_mp_topk")},
          |pq AS ${sub("knn_pq_topk")},
          |sq AS ${sub("knn_quantized_topk")},
          |ivfpq AS ${sub("knn_ivfpq_topk")},
          |methods AS (
          |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
          |  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh
+         |  UNION ALL SELECT 'lsh_mp', query_id, neighbor_id FROM lsh_mp
          |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq
          |  UNION ALL SELECT 'sq', query_id, neighbor_id FROM sq
          |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ivfpq),

@@ -255,6 +255,19 @@ object EventsOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** The streaming form of [[sessions]]: watermarked session windows in
+    * the state store — Spark merges windows closer than `gap` as events
+    * arrive and emits a session once the watermark passes its end
+    * (append semantics: each session exactly once, when no event can
+    * extend it anymore). Identical aggregation expression to the batch
+    * form, so batch ≡ stream digit-for-digit on the same data — the
+    * stream_session query gates the streamed output against the BATCH
+    * query's DuckDB oracle. Late data beyond the watermark is dropped
+    * (the explicit policy, SURVEY §7 risk note). */
+  def sessionsStream(events: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    sessions(events.withWatermark("ts", watermark), gap)
+
   /** Stream-static enrichment: each micro-batch of the event stream
     * joins a STATIC dimension on `key` — the standard streaming lookup
     * (user → profile, shop → metadata). Stateless: Spark plans a

@@ -372,6 +372,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!collapsedS.exists(p => p._1 >= 110L))
   }
 
+  test("jaccardClusters == clusterPairs(jaccardPairs) — exact-collapse law") {
+    def labels(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id".cast("long"), $"canonical_id".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val composed = labels(Dedup.clusterPairs(
+      Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
+        .select($"id_a", $"id_b")))
+    assert(composed.nonEmpty &&
+      labels(Dedup.jaccardClusters(docs, "text", "doc_id", 3, 0.8))
+        == composed)
+    // The adversarial corpus: the planted clique collapses, the
+    // universal shingle never enters a prefix, and the result is still
+    // exactly the composed form's.
+    val boiler = "cookie policy accept all cookies to continue to the site"
+    val skewed = planted.unionByName(Seq(
+      (100L, boiler), (101L, boiler), (102L, boiler),
+      (112L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text"))
+      .withColumn("text", when($"text".isNotNull && $"doc_id" < 100,
+        concat($"text", lit(" the site footer"))).otherwise($"text"))
+    val composedS = labels(Dedup.clusterPairs(
+      Dedup.jaccardPairs(skewed, "text", "doc_id", 3, 0.8)
+        .select($"id_a", $"id_b")))
+    val collapsedS = labels(
+      Dedup.jaccardClusters(skewed, "text", "doc_id", 3, 0.8))
+    assert(collapsedS == composedS)
+    assert(Set(100L, 101L, 102L).subsetOf(
+      collapsedS.filter(_._2 == 100L).map(_._1)))
+  }
+
   test("incrementalMinhashDedupWithIndex keys == minhashBandIndex(kept)") {
     // The one-pass ingest contract: the survivor bucket keys returned
     // alongside the dedup must be EXACTLY what re-running the index

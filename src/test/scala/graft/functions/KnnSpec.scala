@@ -153,6 +153,34 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.4, s"lsh recall $recall") // measured 0.66 at T=24/B=6
   }
 
+  test("multi-probe lifts LSH recall, monotone per query, probes bounded") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Knn.bruteForce(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def hits(probes: Int) = Knn.lshCosine(emb, queries, "vec_id",
+        "embedding", k = 10, dims = 64, probes = probes)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      .intersect(exact)
+    val h0 = hits(0)
+    val h2 = hits(2)
+    // Per-query monotone: candidates only grow, ranking is the exact
+    // cosine, and anything displacing a true top-10 member is itself
+    // top-10 — so every query's hit count is >= its single-probe one.
+    val byQ0 = h0.groupBy(_._1).view.mapValues(_.size).toMap
+    val byQ2 = h2.groupBy(_._1).view.mapValues(_.size).toMap
+    byQ0.foreach { case (q, n0) =>
+      assert(byQ2.getOrElse(q, 0) >= n0, s"query $q lost recall") }
+    // Floor raised over the single-probe 0.4: the sf0.01 recall
+    // harness measures 0.94 at T=24/B=6/probes=2 vs 0.66 single-probe
+    // (knn_recall_at_k, r9).
+    val recall = h2.size.toDouble / exact.size
+    assert(recall >= 0.6, s"lsh_mp recall $recall")
+    intercept[IllegalArgumentException](
+      Knn.lshCosine(emb, queries, "vec_id", "embedding", k = 10,
+        dims = 64, probes = 7)) // probes > bits
+  }
+
   test("lshCosine recovers >=70% of cosine>=0.4 pairs as candidates") {
     val emb = Tables.embeddings(spark, sf)
     // Ground-truth near-dup pairs (the dedup use case LSH exists for).
@@ -222,9 +250,10 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
   test("knn_recall_at_k harness: full method grid, bounded recall, agrees with direct intersection") {
     val rows = graft.SparkEntry.queries("knn_recall_at_k")(spark, sf)
       .as[(String, Long, Double)].collect()
-    assert(rows.map(_._1).toSet == Set("ivf", "lsh", "pq", "sq", "ivfpq"))
+    assert(rows.map(_._1).toSet ==
+      Set("ivf", "lsh", "lsh_mp", "pq", "sq", "ivfpq"))
     val nq = rows.map(_._2).distinct.length
-    assert(rows.length == 5 * nq, "one row per (method, query) cell")
+    assert(rows.length == 6 * nq, "one row per (method, query) cell")
     assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
     // Cross-check one method against an independently computed recall:
     // the harness must report exactly |approx ∩ exact| / k.

@@ -67,4 +67,43 @@ class UnigramLmSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long, String, Long)].collect().sortBy(_._1)
     assert(re === got.sortBy(_._1))
   }
+
+  test("hard-EM round: likelihood never decreases, counts are Viterbi counts") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    def vmap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"piece", $"logp").as[(String, Double)].collect().toMap
+    val seed = vmap(UnigramLm.train(docs, "text", 64, 4))
+    val refinedDf = UnigramLm.emRefine(docs, "text", seed, 4)
+    val refined = vmap(refinedDf)
+    // The refined vocabulary only keeps pieces the E-step used, and
+    // every piece came from a segmentation under the seed vocabulary.
+    assert(refined.nonEmpty && refined.keySet.subsetOf(seed.keySet))
+    // Corpus Viterbi log-likelihood (types <= MaxWordLen, weighted by
+    // frequency): monotone under the EM round — the M-step maximizes
+    // the held segmentation's likelihood, re-segmentation only improves.
+    def ll(vocab: Map[String, Double]) =
+      UnigramLm.segmentTypes(docs, "text", vocab, 4)
+        .filter(length($"word") <= UnigramLm.MaxWordLen)
+        .as[(String, Long, String, Long)].collect()
+        .map { case (_, cnt, pieces, _) =>
+          cnt * pieces.split(" ").map(vocab).sum
+        }.sum
+    val (l0, l1) = (ll(seed), ll(refined))
+    assert(l1 >= l0 - 1e-6, s"EM decreased likelihood: $l0 -> $l1")
+    // E-step counts: exactly the frequency-weighted piece occurrences
+    // of the seed segmentation (local reference fold).
+    val segs = UnigramLm.segmentTypes(docs, "text", seed, 4)
+      .filter(length($"word") <= UnigramLm.MaxWordLen)
+      .as[(String, Long, String, Long)].collect()
+    val expected = segs.flatMap { case (_, cnt, pieces, _) =>
+      pieces.split(" ").map(_ -> cnt) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val gotCnt = refinedDf.select($"piece", $"cnt")
+      .as[(String, Long)].collect().toMap
+    assert(gotCnt === expected)
+    // Chaining: a second round accepts the first round's output schema.
+    val round2 = vmap(UnigramLm.emRefine(docs, "text", refined, 4))
+    assert(round2.nonEmpty && round2.keySet.subsetOf(refined.keySet))
+    assert(ll(round2) >= l1 - 1e-6)
+  }
 }

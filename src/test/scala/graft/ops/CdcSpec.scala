@@ -48,6 +48,43 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq(1, 2, 3))
   }
 
+  test("mergeHistory delta-fold == compressHistory on the whole history") {
+    // Random-ish multi-key history, split into ts-ORDERED batches (the
+    // in-order CDC precondition): folding each batch into the running
+    // SCD2 table must equal compressing the whole history at once.
+    val history = Seq(
+      (1L, 1, "a"), (1L, 2, "a"), (1L, 3, "b"), (1L, 4, "b"), (1L, 9, "c"),
+      (2L, 1, "x"), (2L, 6, "x"), (2L, 8, "y"),
+      (3L, 2, "p"), (3L, 5, "q"), (3L, 7, "p"), (3L, 10, "p"),
+      (4L, 6, null.asInstanceOf[String]), (4L, 7, "z"),
+      (5L, 9, "only-in-last-batch"),
+    ).toDF("k", "v", "value")
+    val whole = Cdc.compressHistory(history, Seq("k"), "v", Seq("value"))
+      .as[(Long, String, Int, Option[Int], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    // Batches by version range — in-order per key by construction.
+    val batches = Seq(
+      history.filter($"v" <= 3),
+      history.filter($"v" > 3 && $"v" <= 6),
+      history.filter($"v" > 6 && $"v" <= 8),
+      history.filter($"v" > 8))
+    val empty = Cdc.compressHistory(history.limit(0), Seq("k"), "v",
+      Seq("value"))
+    val folded = batches.foldLeft(empty)(
+        (acc, b) => Cdc.mergeHistory(acc, b, Seq("k"), "v", Seq("value")))
+      .as[(Long, String, Int, Option[Int], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(folded === whole)
+    // An all-no-op batch leaves the table unchanged (idempotent fold).
+    val noop = Seq((1L, 11, "c"), (2L, 11, "y")).toDF("k", "v", "value")
+    val after = Cdc.mergeHistory(
+        Cdc.compressHistory(history, Seq("k"), "v", Seq("value")),
+        noop, Seq("k"), "v", Seq("value"))
+      .as[(Long, String, Int, Option[Int], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(after === whole)
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     val old = Seq(
       (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0),
