@@ -429,19 +429,19 @@ object Bpe {
     * rank-order application on trained tables, see [[segment]]). Per-word
     * cost is O(len²) worst-case in the word length and INDEPENDENT of
     * vocabulary size k — vs the chained form's O(k·len) work and k-deep
-    * plan. A deliberate UDF: the loop is data-dependent iteration with
-    * early exit, which no fold-shaped HOF expresses without paying k
-    * passes; the broadcast keeps the 30k-entry table off the task
-    * closure and is memoized per table ([[mergeBroadcast]]). Null word →
-    * null, empty word → empty array — identical to [[segmentChained]]
-    * on every input. */
+    * plan. A native Catalyst expression since r9
+    * ([[graft.functions.expressions.BpeEncode]] — retires the repo's
+    * last UDF): the loop is data-dependent iteration with early exit,
+    * which no fold-shaped HOF expresses without paying k passes, so it
+    * runs as one generated-code method call over the broadcast rank map
+    * (memoized per table, [[mergeBroadcast]]) with no ScalaUDF converter
+    * round-trips. Null word → null, empty word → empty array —
+    * identical to [[segmentChained]] on every input. */
   def segmentEncoded(word: Column, merges: Seq[(String, String)]): Column = {
     val bc = mergeBroadcast(merges)
-    val f = udf { (w: String) =>
-      if (w == null) null
-      else encodeWithRanks(w, bc.value._1, bc.value._2)
-    }
-    f(word)
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.expressions.BpeEncode(
+        org.apache.spark.sql.GraftSqlShim.expression(word), bc))
   }
 
   /** Encode one word with a learned merge table (driver-side reference
@@ -453,7 +453,7 @@ object Bpe {
   def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
     encodeWithRanks(word, merges.toArray, merges.zipWithIndex.toMap)
 
-  private def encodeWithRanks(word: String,
+  private[graft] def encodeWithRanks(word: String,
       merges: Array[(String, String)],
       rankOf: Map[(String, String), Int]): Seq[String] = {
     var syms = toCodePointSyms(word).toVector

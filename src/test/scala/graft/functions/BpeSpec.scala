@@ -151,6 +151,12 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(both.nonEmpty)
     val bad = both.filter { case (_, c, e) => c != e }
     assert(bad.isEmpty, s"chained != encoded for ${bad.take(3).toSeq}")
+    // The apply leg is a NATIVE expression since r9 (the repo's last
+    // UDF retired): the plan must show bpe_encode and no ScalaUDF node.
+    val plan = words.select(Bpe.segmentEncoded($"w", merges))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_encode"), plan)
+    assert(!plan.contains("UDF"), plan)
     // The degenerate inputs agree too — the size-based dispatch in
     // segment() can never flip a result when a vocabulary grows past
     // HofMergeLimit: empty word → empty array, null → null, both forms.
