@@ -641,6 +641,24 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("vid"))
     },
 
+    // The PRODUCTION flavor of the trained SemDeDup (xxhash64 sample,
+    // float means — Knn.kmeans(replayable = false)) — declared WITHOUT
+    // an oracle, the dedup_minhash_fast convention: DuckDB cannot
+    // replay the xxhash64 family, so the gate records rows-only while
+    // the ORACLE-exact replayable flavor above stays the correctness
+    // pin. Registered (r9) so the ~1s-at-sf0.1 audit-tier premium the
+    // replayable flavor pays stays VISIBLE in every bench artifact
+    // next to the cost a 100 TB run would actually pay.
+    "dedup_semantic_trained_fast" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val k = math.max(16,
+        math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      Dedup.semanticDedupTrained(emb, "vec_id", "embedding",
+        centroids = k, iterations = 3, threshold = 0.4,
+        graft.GraftFunctions.cosineSim, replayable = false)
+        .orderBy(col("vid"))
+    },
+
     // Training-sequence packing: docs laid end-to-end in doc_id order,
     // cut every 512 tokens; one row per (doc, chunk) span. One window
     // shuffle, no join (the distributable prefix-sum formulation of

@@ -82,6 +82,13 @@ class GoldenOutputSpec extends AnyFunSuite with SparkTestBase {
     checkGolden("dedup_minhash_fast")
   }
 
+  test("dedup_semantic_trained_fast matches its committed sf0.01 golden") {
+    // The PRODUCTION (xxhash64/float) flavor — oracle-free like
+    // dedup_minhash_fast, so the golden is its determinism pin; its
+    // oracle-exact replayable sibling is the correctness pin.
+    checkGolden("dedup_semantic_trained_fast")
+  }
+
   test("text_bpe_merges matches its committed sf0.01 golden") {
     // Oracle-free because the per-iteration data-dependent argmax is
     // not one SQL statement; the golden pins the full 20-merge table.
