@@ -753,8 +753,8 @@ object Dedup {
     *
     * Scale shape: one unshuffled bucketing pass (planes broadcast), one
     * (t, bucket) self-join whose both sides are the SAME exchange
-    * (shuffle_hash hint → ReusedExchange, exactly [[minhashPairs]]'s
-    * diamond discipline), one pair-dedup aggregate. Quadratic only
+    * (merge hint → ReusedExchange + spillable sides, exactly
+    * [[minhashPairs]]'s diamond discipline), one pair-dedup aggregate. Quadratic only
     * within a (table, bucket) cell — WHICH IS WHY `bits` MUST GROW WITH
     * THE CORPUS: a fixed B gives a fixed 2^B buckets per table, so
     * per-cell population grows ∝ N and candidate pairs ∝ N² (measured:
@@ -781,7 +781,7 @@ object Dedup {
     val bucketed = graft.functions.Knn.lshBucketTable(
       corpus, idCol, vecCol, tables, b, dims, dotFn)
     bucketed.as("x")
-      .join(bucketed.as("y").hint("shuffle_hash"), Seq("t", "bucket"))
+      .join(bucketed.as("y").hint("merge"), Seq("t", "bucket"))
       .filter(col("x.vid") < col("y.vid"))
       // A pair colliding in several tables must verify once: dedup via
       // the (id_a, id_b) aggregate, vectors riding `first` like
@@ -966,9 +966,9 @@ object Dedup {
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
               .as("bh")))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
-    // shuffle_hash: keep both sides as identical shuffle exchanges so the
+    // merge hint: keep both sides as identical shuffle exchanges so the
     // second is a ReusedExchange (see minhashPairs for the full story).
-    banded.as("x").join(banded.as("y").hint("shuffle_hash"), Seq("band", "bh"))
+    banded.as("x").join(banded.as("y").hint("merge"), Seq("band", "bh"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
@@ -1011,15 +1011,25 @@ object Dedup {
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
               .as("bh")))).as("bb"))
       .select(col("id"), col("shset"), col("bb.band"), col("bb.bh"))
-    // shuffle_hash hint: without it AQE converts this self-join to a
-    // broadcast join, which replaces one side's shuffle with a broadcast
-    // exchange and DEFEATS ReusedExchange — the whole sets-aggregation
-    // subtree (shingle digest + collect_set + signature) runs TWICE
-    // (measured: 4 ObjectHashAggregates, 0 ReusedExchange at sf0.1).
-    // With identical shuffle exchanges on both sides the second is a
-    // ReusedExchange and the pipeline runs once. At 100 TB a broadcast
-    // of the banded table is infeasible anyway.
-    banded.as("x").join(banded.as("y").hint("shuffle_hash"), Seq("band", "bh"))
+    // merge hint (r9; was shuffle_hash through r8): without a hint AQE
+    // converts this self-join to a broadcast join, which replaces one
+    // side's shuffle with a broadcast exchange and DEFEATS
+    // ReusedExchange — the whole sets-aggregation subtree (shingle
+    // digest + collect_set + signature) runs TWICE (measured: 4
+    // ObjectHashAggregates, 0 ReusedExchange at sf0.1). With identical
+    // shuffle exchanges on both sides the second is a ReusedExchange
+    // and the pipeline runs once. MERGE, not SHUFFLE_HASH (r9): the
+    // join payload is each doc's full shingle SET, and a shuffled-hash
+    // build side cannot spill — at a fixed partition count the build
+    // outgrows the task budget with the corpus (measured: the 100×
+    // probe corpus OOM'd every 8g run in buildHashedRelation; the
+    // sort-merge form spills and completes on the same heap), and a
+    // hot near-identical bucket is a single hash key NO partition
+    // count can split — only a spilling join survives that shape. The
+    // fixture-scale premium is ~1 s on the raw pair queries (1.8 →
+    // 2.9 s isolated at sf0.1), the price of being un-OOM-able. At
+    // 100 TB a broadcast of the banded table is infeasible anyway.
+    banded.as("x").join(banded.as("y").hint("merge"), Seq("band", "bh"))
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(first(col("x.shset")).as("set_a"), first(col("y.shset")).as("set_b"))

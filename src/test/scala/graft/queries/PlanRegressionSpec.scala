@@ -124,15 +124,20 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
 
   test("dedup_embedding_lsh buckets the corpus once (ReusedExchange on the self-join)") {
     // Both sides of the (t, bucket) self-join are the same bucketing
-    // subtree; the shuffle_hash hint keeps them identical exchanges so
-    // AQE computes the LSH pass once. Reuse materializes only during
-    // execution — run, then inspect the final adaptive plan.
+    // subtree; the merge hint keeps them identical exchanges so AQE
+    // computes the LSH pass once — and the join sides SPILL (a
+    // shuffled-hash build of the vector-carrying side outgrows a fixed
+    // task budget with the corpus; the 100× probe OOM'd it, r9). No
+    // broadcast: a broadcast exchange on one side would defeat the
+    // reuse and is infeasible at corpus scale anyway. Reuse
+    // materializes only during execution — run, then inspect the
+    // final adaptive plan.
     val df = SparkEntry.queries("dedup_embedding_lsh")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("isFinalPlan=true"), p.linesIterator.next())
     assert(p.toLowerCase.contains("reused"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
   }
 
   test("docs_pack_chunks reuses one range exchange; windows are pid-partitioned") {
