@@ -53,7 +53,16 @@ object Cdc {
     * re-compressing the whole history (law-pinned in CdcSpec). Late
     * (interleaving) versions need the batch re-unioned with raw history
     * — out of scope here by contract, like every delta-fold in this
-    * module.
+    * module. The contract is ENFORCED, not trusted (r9 verdict): a batch
+    * row with `tsCol` ≤ its key's current `valid_from` raises at
+    * execution time (guard inlined in the change filter, so it runs on
+    * every batch row and cannot be pruned) instead of silently
+    * producing corrupt intervals. Null keys are likewise out of the
+    * fold contract and raise — the equi-joins here are not null-safe,
+    * so a null-key row could never be matched or closed (the same
+    * explicit null-id policy as Dedup.clusterPairs);
+    * [[compressHistory]] over the full history handles null keys fine
+    * (its window treats them as one key).
     *
     * Scale shape: O(batch) — one window over the batch (its own keys),
     * one join of the CURRENT-row index against the batch's first change
@@ -78,10 +87,26 @@ object Cdc {
     // key's current value: the first batch change point exists iff it
     // differs from the CURRENT tracked struct (or the key is new).
     val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    // Contract guards ride as the FIRST conjuncts of the change filter:
+    // a standalone projected guard column would be pruned (nothing
+    // consumes it), but a filter predicate evaluates on EVERY input row
+    // — including rows the change predicate then drops — so a null key
+    // or an out-of-order ts anywhere in the batch fails the job loudly.
+    val keyNonNull = keys.map(_.isNotNull).reduce(_ && _)
+    val inOrder = col("__cur_from").isNull || col(tsCol) > col("__cur_from")
     val changes = batch
       .withColumn("__prev", lag(tracked, 1).over(w))
       .join(cur, keyCols, "left")
       .filter(
+        coalesce(assert_true(keyNonNull, lit(
+          "Cdc.mergeHistory: null key in batch — null keys are out of " +
+          "the incremental-fold contract; compress the full history " +
+          "with compressHistory instead")), lit(true)) &&
+        coalesce(assert_true(inOrder, concat(lit(
+          "Cdc.mergeHistory: out-of-order batch row (" + tsCol +
+          " <= the key's current valid_from) at ts="),
+          col(tsCol).cast("string"), lit(" vs valid_from="),
+          col("__cur_from").cast("string"))), lit(true)) &&
         when(col("__prev").isNotNull, !(col("__prev") <=> tracked))
           .otherwise(col("__cur_from").isNull || !(col("__cur") <=> tracked)))
     val newRows = changes

@@ -85,6 +85,46 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert(after === whole)
   }
 
+  test("mergeHistory raises loudly on an out-of-order batch row") {
+    // Contract guard (r9 verdict): a batch ts at-or-before the key's
+    // current valid_from must FAIL the job, not silently corrupt
+    // intervals. Both the strictly-earlier and the equal-ts cases raise;
+    // the guard fires even when the offending row is a value no-op
+    // (i.e. it would not have been a change point).
+    val table = Cdc.compressHistory(
+      Seq((1L, 5, "a"), (2L, 3, "x")).toDF("k", "v", "value"),
+      Seq("k"), "v", Seq("value"))
+    for (bad <- Seq(
+        Seq((1L, 4, "b")),   // strictly before current valid_from
+        Seq((1L, 5, "b")),   // ties current valid_from
+        Seq((2L, 2, "x")))) { // no-op value, still out of order
+      val e = intercept[Exception] {
+        Cdc.mergeHistory(table, bad.toDF("k", "v", "value"),
+          Seq("k"), "v", Seq("value")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("out-of-order")), s"for batch $bad")
+    }
+    // Strictly-later rows on the same keys still fold fine.
+    val ok = Cdc.mergeHistory(table,
+      Seq((1L, 6, "b"), (2L, 4, "x")).toDF("k", "v", "value"),
+      Seq("k"), "v", Seq("value"))
+    assert(ok.filter($"is_current").count() === 2L)
+  }
+
+  test("mergeHistory raises loudly on null batch keys (out of contract)") {
+    val table = Cdc.compressHistory(
+      Seq((1L, 1, "a")).toDF("k", "v", "value"), Seq("k"), "v", Seq("value"))
+    val bad = Seq((Option.empty[Long], 2, "b")).toDF("k", "v", "value")
+    val e = intercept[Exception] {
+      Cdc.mergeHistory(table, bad, Seq("k"), "v", Seq("value")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null key")))
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     val old = Seq(
       (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0),
