@@ -18,6 +18,35 @@ import graft.streaming.EventsOps
   */
 object ExtensionQueries extends graft.QueryModule {
 
+  /** Materialize `df` into a driver-local relation, then run `cleanup`
+    * — lets a streaming gate query release its temp warehouse dir and
+    * memory-sink view BEFORE returning, instead of leaking them until
+    * JVM exit (r9 ADVICE: repeated gate/bench executions of
+    * stream_session leaked a full parquet copy of events plus a
+    * memory sink per run). Safe here by construction: every streaming
+    * gate query's OUTPUT is a narrow bounded result (ids, per-key
+    * aggregates), never the corpus — the corpus-sized state lives in
+    * the temp warehouse this helper deletes. */
+  private def materializedThen(s: SparkSession, df: DataFrame)(
+      cleanup: => Unit): DataFrame =
+    try {
+      val rows = df.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally
+      try cleanup
+      catch { case e: Throwable =>
+        System.err.println(s"[graft] gate-query cleanup failed: ${e.getMessage}")
+      }
+
+  /** Best-effort recursive delete of a gate query's temp directory. */
+  private def deleteTree(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Text analysis: per-document quality features. All the text_* scans
@@ -1347,9 +1376,9 @@ object ExtensionQueries extends graft.QueryModule {
           docs.filter(pmod($"doc_id", lit(4L)) === b),
           wh, "docs_stream", "text", "doc_id", batchId = b)
       }
-      s.read.parquet(s"$wh/docs_stream")
+      materializedThen(s, s.read.parquet(s"$wh/docs_stream")
         .select($"doc_id", $"source")
-        .orderBy($"doc_id")
+        .orderBy($"doc_id"))(deleteTree(wh))
     },
 
     // The NEAR-dup streaming-ingest leg (r8): the same four
@@ -1372,9 +1401,9 @@ object ExtensionQueries extends graft.QueryModule {
           wh, "docs_ndp", "text", "doc_id", batchId = b,
           family = Dedup.md5AffineFamily)
       }
-      s.read.parquet(s"$wh/docs_ndp")
+      materializedThen(s, s.read.parquet(s"$wh/docs_ndp")
         .select($"doc_id", $"source")
-        .orderBy($"doc_id")
+        .orderBy($"doc_id"))(deleteTree(wh))
     },
 
     // The EMBEDDING near-dup streaming-ingest leg (r8): four
@@ -1394,9 +1423,9 @@ object ExtensionQueries extends graft.QueryModule {
           emb.filter(pmod($"vec_id", lit(4L)) === b),
           wh, "emb_stream", "embedding", "vec_id", batchId = b, dims = 64)
       }
-      s.read.parquet(s"$wh/emb_stream")
+      materializedThen(s, s.read.parquet(s"$wh/emb_stream")
         .select($"vec_id")
-        .orderBy($"vec_id")
+        .orderBy($"vec_id"))(deleteTree(wh))
     },
 
     // The rolling z-score STREAMING leg under the bench/oracle watch
@@ -1421,9 +1450,9 @@ object ExtensionQueries extends graft.QueryModule {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name)
+      materializedThen(s, s.table(name)
         .select($"event_id", $"user_id", $"value", $"z", $"anomaly")
-        .orderBy($"event_id")
+        .orderBy($"event_id"))(s.catalog.dropTempView(name))
     },
 
     // Session windows through the real Structured Streaming machinery
@@ -1457,7 +1486,11 @@ object ExtensionQueries extends graft.QueryModule {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name).orderBy($"user_id", $"session_start")
+      materializedThen(s, s.table(name)
+        .orderBy($"user_id", $"session_start")) {
+        s.catalog.dropTempView(name)
+        deleteTree(streamDir)
+      }
     },
 
     // Streaming rollup maintenance under the bench/oracle watch (r7):
@@ -1485,10 +1518,10 @@ object ExtensionQueries extends graft.QueryModule {
       }
       graft.streaming.StreamingRollup.compact(s, rollupDir,
         Seq("user_id"), schema)
-      graft.streaming.StreamingRollup.read(s, rollupDir,
+      materializedThen(s, graft.streaming.StreamingRollup.read(s, rollupDir,
           Seq("user_id"), schema)
         .withColumn("total_value", $"total_value".cast("double"))
-        .orderBy($"user_id")
+        .orderBy($"user_id"))(deleteTree(rollupDir))
     },
 
     // The decayed-counter STREAMING leg under the bench watch (r7): the
@@ -1519,9 +1552,9 @@ object ExtensionQueries extends graft.QueryModule {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name)
+      materializedThen(s, s.table(name)
         .select($"key", $"n_events", $"decayed_sum", $"at_micros")
-        .orderBy($"key")
+        .orderBy($"key"))(s.catalog.dropTempView(name))
     },
 
     // Interval (stream-stream) join: clicks attributed to same-user views
