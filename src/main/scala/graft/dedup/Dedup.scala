@@ -793,6 +793,50 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** [[embeddingLshPairs]] re-planned NARROW + SALTED (r10) — the same
+    * two-trade rewrite as [[minhashPairsSalted]], for the vector-space
+    * bucket self-join: the (t, bucket) join carries (t, bucket, id)
+    * only (the wide form ships every vector through the bucket exchange
+    * `tables` times), hot cells parallelize via
+    * [[saltedCandidatePairs]], and the exact-cosine verify re-attaches
+    * vectors by joining the deduped (id_a, id_b) candidates back to the
+    * corpus — each vector crosses the wire once per verify side.
+    * Identical output to [[embeddingLshPairs]] by construction
+    * (spec-pinned): same hyperplanes, same signatures, same candidate
+    * set, same exact-cosine verification. Auto-sizing keeps average
+    * cells at ~32 rows, so salting engages only on ADVERSARIAL cells
+    * (near-identical embedding floods) — exactly when the wide form
+    * serializes. */
+  def embeddingLshPairsSalted(corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, dims: Int,
+      tables: Int = 24, bits: Int = 0,
+      cosineFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.cosineNative,
+      dotFn: (Column, Column) => Column =
+        graft.functions.VectorFunctions.dotNative,
+      blockRows: Int = 1024): DataFrame = {
+    val b =
+      if (bits > 0) bits
+      else {
+        val n = math.max(1L, corpus.count())
+        math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+      }
+    val bucketed = graft.functions.Knn.lshBucketTable(
+      corpus, idCol, vecCol, tables, b, dims, dotFn)
+    val cand = saltedCandidatePairs(
+      bucketed.select(col("vid").as("id"), col("t"), col("bucket")),
+      Seq("t", "bucket"), blockRows)
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    cand
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")),
+        Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")),
+        Seq("id_b"))
+      .withColumn("cosine", cosineFn(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** The persisted LSH bucket index of an embedding corpus — the
     * vector-space analogue of [[minhashBandIndex]]: distinct (t, bucket)
     * sign-signature keys, one table a warehouse maintains incrementally
@@ -1041,6 +1085,123 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Distinct unordered id pairs sharing a bucket key, with
+    * size-adaptive TRIANGLE SALTING (r10, probe 13's fix): a hot bucket
+    * of s rows — the planted-boilerplate shape, where every band of
+    * every near-dup hashes identically — is split into
+    * B = ⌈s / blockRows⌉ deterministic blocks (xxhash64 of the id mod
+    * B), and the s²/2 pair emission runs as B(B+1)/2 independent
+    * block-pair join groups instead of ONE many-to-many sort-merge
+    * group serialized in a single task. Each unordered row pair (p, q)
+    * with blocks (i ≤ j) meets under exactly one (…key, i, j) join key:
+    * the x side replicates a block-i row to keys (i, j) for j ≥ i, the
+    * y side a block-j row to keys (i, j) for i ≤ j, so cross-block
+    * pairs appear once as (x, y) and same-block pairs appear in both
+    * orders — `least/greatest` normalizes and the terminal `distinct`
+    * (already required because a pair can collide in several buckets)
+    * collapses the double. Healthy buckets (s ≤ blockRows) get B = 1:
+    * zero replication, byte-identical join behavior to the unsalted
+    * form. Replication cost for a hot bucket is (B+1)/2 ≈ √(s·work)
+    * narrow rows per input row — negligible against the s²/2 output it
+    * parallelizes. The bucket-size window and both salted sides hang
+    * off the SAME exchange (hash on the bucket key), so upstream
+    * compute runs once (ReusedExchange); rows here are NARROW by
+    * contract — ids and key columns only, payloads re-attached by the
+    * caller after the pair set is deduped. */
+  private[dedup] def saltedCandidatePairs(bucketed: DataFrame,
+      keyCols: Seq[String], blockRows: Int): DataFrame = {
+    require(blockRows > 0, s"blockRows must be positive, got $blockRows")
+    val keys = keyCols.map(col)
+    val sized = bucketed
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .withColumn("__nb",
+        greatest(lit(1L), ceil(col("__n") / lit(blockRows.toDouble))).cast("long"))
+      .withColumn("__blk", pmod(xxhash64(col("id"), lit(0x5a17L)), col("__nb")))
+    val x = sized.select(keys ++ Seq(col("id").as("__idx"),
+      col("__blk").as("__lo"),
+      explode(sequence(col("__blk"), col("__nb") - 1)).as("__hi")): _*)
+    val y = sized.select(keys ++ Seq(col("id").as("__idy"),
+      col("__blk").as("__hi"),
+      explode(sequence(lit(0L), col("__blk"))).as("__lo")): _*)
+    x.join(y.hint("merge"), keyCols ++ Seq("__lo", "__hi"))
+      .filter(col("__idx") =!= col("__idy"))
+      .select(least(col("__idx"), col("__idy")).as("id_a"),
+        greatest(col("__idx"), col("__idy")).as("id_b"))
+      .distinct()
+  }
+
+  /** [[minhashPairs]] re-planned NARROW + SALTED — the skew-proof form
+    * of the by-contract-quadratic pair list (r10; probe 13 measured the
+    * wide form at 89 s under the planted 2× boilerplate clique, the
+    * entire hot bucket's s²/2 emission serialized in one SMJ task).
+    * Identical output by construction (law spec-pinned in DedupSpec):
+    * same shingle sets, same signatures, same (band, bh) buckets, same
+    * candidate set, same exact-Jaccard verification.
+    *
+    * Two plan changes against [[minhashPairs]], bought together because
+    * each makes the other affordable:
+    *
+    *  1. NARROW band join: the self-join carries (id, band, bh) only —
+    *     the wide form ships each doc's full shingle set through the
+    *     band exchange once per band (8× the payload bytes written,
+    *     16× read with the ReusedExchange), and sorts it on both SMJ
+    *     sides. Verification instead re-attaches the sets AFTER the
+    *     pair-dedup, joining the (id_a, id_b) candidates back to the
+    *     per-doc set table — the payload crosses the wire once per
+    *     side, and only for docs that are actually candidates.
+    *  2. [[saltedCandidatePairs]] on the narrow rows: a hot bucket's
+    *     pair emission parallelizes across ⌈s/blockRows⌉²/2 block-pair
+    *     tasks. Salting the WIDE form would replicate the payload —
+    *     narrow rows make the replication free.
+    *
+    * One combined aggregate computes the shingle SET (verify payload)
+    * and the k min-slots (signature) in a single id-shuffle; its
+    * partial-aggregate exchange is shared by all three consumers
+    * (banding + both verify sides), so the tokenize/shingle/digest scan
+    * runs once. Costs two extra narrow shuffles (pair dedup + verify
+    * re-attach) against the wide form's three total — the trade wins
+    * whenever payloads dominate bytes (always, at corpus scale) or a
+    * bucket goes hot (the adversarial case this exists for). */
+  def minhashPairsSalted(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      family: MinHashFamily = xxFamily,
+      blockRows: Int = 1024): DataFrame = {
+    val k = bands * rowsPerBand
+    // `prepare` on the exploded shingle ROWS (each shingle digested
+    // once); min-agg over rows ≡ array_min over the collected list, so
+    // the signature is bit-identical to minhashPairs' formulation.
+    val sh = shingleTable(df, textCol, idCol, shingleN)
+      .select(col("id"), col("shingle"),
+        family.prepare(col("shingle")).as("base"))
+    val minCols = (0 until k).map(s =>
+      min(family.slot(col("base"), lit(s))).as(s"__m$s"))
+    val agg = sh.groupBy("id")
+      .agg(collect_set(col("shingle")).as("shset"), minCols: _*)
+    val banded = agg
+      .select(col("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+              .as("bh")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val cand = saltedCandidatePairs(banded, Seq("band", "bh"), blockRows)
+    val sets = agg.select(col("id"), col("shset"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shset").as("set_a")),
+        Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shset").as("set_b")),
+        Seq("id_b"))
+      .withColumn("shared", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Near-dup clusters via MinHash+LSH with an EXACT-COLLAPSE prestage —
     * the skew-proof scale path for `clusterPairs(minhashPairs(...))`.
     *
@@ -1078,10 +1239,17 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.8,
       bands: Int = 8, rowsPerBand: Int = 4,
       family: MinHashFamily = xxFamily,
-      maxIterations: Int = 25): DataFrame =
+      maxIterations: Int = 25): DataFrame = {
+    // Jaccard is bounded by 1: above that the composed form yields NO
+    // pairs while the collapse prestage would still cluster exact
+    // duplicates, silently breaking the spec-pinned equality law —
+    // reject the out-of-domain value instead (r9 ADVICE).
+    require(threshold <= 1.0,
+      s"threshold must be <= 1.0 (Jaccard upper bound), got $threshold")
     collapsedClusters(df, textCol, idCol, shingleN, maxIterations)(reps =>
       minhashPairs(reps, textCol, idCol, shingleN, threshold, bands,
         rowsPerBand, family))
+  }
 
   /** [[jaccardPairs]] clusters through the same exact-collapse prestage
     * — and through the PREFIX-FILTERED verifier ([[jaccardPairsPrefix]],
@@ -1096,9 +1264,14 @@ object Dedup {
     * shingle sets, hence pairwise J = 1 ≥ threshold). */
   def jaccardClusters(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxIterations: Int = 25): DataFrame =
+      maxIterations: Int = 25): DataFrame = {
+    // Same domain guard as [[minhashClusters]] — keeps the composed-form
+    // equality law valid over the whole accepted parameter range.
+    require(threshold <= 1.0,
+      s"threshold must be <= 1.0 (Jaccard upper bound), got $threshold")
     collapsedClusters(df, textCol, idCol, n, maxIterations)(reps =>
       jaccardPairsPrefix(reps, textCol, idCol, n, threshold))
+  }
 
   /** The shared exact-collapse → pair → cluster → expand skeleton of
     * [[minhashClusters]] / [[jaccardClusters]]. `pairsFn` runs the

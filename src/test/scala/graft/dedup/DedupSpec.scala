@@ -76,6 +76,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"recall $recall over ${exact.size} true pairs")
   }
 
+  test("minhashPairsSalted == minhashPairs — narrow/salted law, both families") {
+    // The r10 narrow+salted re-plan must be EXACTLY the wide form: same
+    // sets, signatures, buckets, candidates, and exact-Jaccard values.
+    def p(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val docs = Tables.documents(spark, sf)
+    val wide = p(Dedup.minhashPairs(docs, "text", "doc_id"))
+    assert(wide.nonEmpty)
+    assert(p(Dedup.minhashPairsSalted(docs, "text", "doc_id")) == wide)
+    // Adversarial shape + FORCED salting (blockRows=2 puts every bucket
+    // of ≥3 rows through the triangle-block path, the planted clique
+    // especially) on the oracle-replayable family.
+    val boiler = "accept all cookies to continue to the site please now"
+    val skewed = docs.select($"doc_id", $"text").unionByName(
+      (0 until 24).map(i => (5000L + i, boiler)).toDF("doc_id", "text"))
+    val wideS = p(Dedup.minhashPairs(skewed, "text", "doc_id",
+      family = Dedup.md5AffineFamily))
+    val saltS = p(Dedup.minhashPairsSalted(skewed, "text", "doc_id",
+      family = Dedup.md5AffineFamily, blockRows = 2))
+    // The clique alone contributes 24·23/2 = 276 pairs.
+    assert(wideS.size >= 276 && saltS == wideS)
+  }
+
   test("simhashPairs finds the planted near-dup pair") {
     val pairs = Dedup.simhashPairs(planted, "text", "doc_id", maxHamming = 10)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -403,6 +426,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       collapsedS.filter(_._2 == 100L).map(_._1)))
   }
 
+  test("cluster paths reject threshold > 1.0 (exact-collapse law domain)") {
+    // r9 ADVICE: above the Jaccard upper bound the composed form yields
+    // no pairs while the collapse prestage would still cluster exact
+    // duplicates — the law only holds over threshold <= 1.0, so the
+    // out-of-domain value must be rejected, not silently diverge.
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    for (thr <- Seq(1.01, 2.0)) {
+      assert(intercept[IllegalArgumentException] {
+        Dedup.minhashClusters(docs, "text", "doc_id", 3, thr)
+      }.getMessage.contains("1.0"))
+      assert(intercept[IllegalArgumentException] {
+        Dedup.jaccardClusters(docs, "text", "doc_id", 3, thr)
+      }.getMessage.contains("1.0"))
+    }
+    // threshold == 1.0 (exact-duplicate clustering) stays accepted.
+    assert(Dedup.jaccardClusters(docs, "text", "doc_id", 3, 1.0)
+      .count() === 2L)
+  }
+
   test("incrementalMinhashDedupWithIndex keys == minhashBandIndex(kept)") {
     // The one-pass ingest contract: the survivor bucket keys returned
     // alongside the dedup must be EXACTLY what re-running the index
@@ -617,6 +659,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(exact.nonEmpty)
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall < 0.7 (${lsh.size}/${exact.size})")
+  }
+
+  test("embeddingLshPairsSalted == embeddingLshPairs — narrow/salted law") {
+    def p(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"cosine")
+        .as[(Long, Long, Double)].collect().toSet
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val wide = p(Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, dims = 64, bits = 6))
+    assert(wide.nonEmpty)
+    // blockRows = 2 forces the triangle-block path on every cell of ≥3
+    // rows — the law must hold with salting fully engaged.
+    val salted = p(Dedup.embeddingLshPairsSalted(emb, "vec_id",
+      "embedding", threshold = 0.4, dims = 64, bits = 6, blockRows = 2))
+    assert(salted == wide)
   }
 
   test("incrementalEmbeddingDedup: index hit drops, stranger survives, min-id wins in-batch") {
