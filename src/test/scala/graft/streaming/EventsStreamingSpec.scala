@@ -71,6 +71,69 @@ class EventsStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally { sq.stop(); ssq.stop() }
   }
 
+  test("session late-data policy: dropped past the watermark, absorbed within it") {
+    // The allowed-lateness matrix (r10): the SAME event sequence, split
+    // across micro-batches with one row arriving late, lands in the
+    // session or on the floor purely by the watermark delay — the two
+    // documented policies of the streaming session operator. Append
+    // mode both times; Spark rejects update mode for session windows
+    // (next test), so drop-vs-absorb IS the whole policy space.
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    def run(watermark: String): Map[(Long, Timestamp), (Long, Double)] = {
+      val in = MemoryStream[(Long, Timestamp, Double)]
+      val q = EventsOps.sessionsStream(
+          in.toDS().toDF("user_id", "ts", "value"), "10 minutes", watermark)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sess_late_out").start()
+      try {
+        in.addData((1L, t("2024-01-01 00:00:00"), 1.0),
+                   (1L, t("2024-01-01 00:05:00"), 1.0),
+                   (9L, t("2024-01-01 01:00:00"), 1.0))
+        q.processAllAvailable()
+        // The LATE row: 00:07 extends user 1's session, but arrives
+        // after batch 1 pushed the watermark to 01:00 − delay.
+        in.addData((1L, t("2024-01-01 00:07:00"), 1.0),
+                   (9L, t("2024-01-01 06:00:00"), 1.0))
+        q.processAllAvailable()
+        in.addData((9L, t("2024-01-01 12:00:00"), 1.0))
+        q.processAllAvailable()
+        assert(q.exception.isEmpty)
+        spark.table("sess_late_out")
+          .select($"user_id", $"session_start", $"n_events", $"total_value")
+          .as[(Long, Timestamp, Long, Double)].collect()
+          .map { case (u, s0, n, v) => (u, s0) -> (n, v) }.toMap
+      } finally { q.stop(); spark.catalog.dropTempView("sess_late_out") }
+    }
+    // TIGHT lateness (1 minute): batch 1 leaves the watermark at 00:59,
+    // past user 1's whole open session — the 00:07 arrival is DROPPED
+    // and the session emits with its original two events.
+    assert(run("1 minute")((1L, t("2024-01-01 00:00:00"))) == ((2L, 2.0)))
+    // GENEROUS lateness (2 hours): batch 1's watermark sits below the
+    // session, the 00:07 arrival is ABSORBED into live state, and the
+    // session emits merged (three events, extended end).
+    assert(run("2 hours")((1L, t("2024-01-01 00:00:00"))) == ((3L, 3.0)))
+  }
+
+  test("session windows reject update output mode at analysis (Spark boundary)") {
+    // Spark's session-window aggregation supports append/complete only;
+    // the policy matrix above is therefore complete. Pin the boundary so
+    // a future Spark that lifts it surfaces as a test change, not a
+    // silent semantic shift.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      EventsOps.sessionsStream(in.toDS().toDF("user_id", "ts", "value"),
+          "10 minutes", "1 minute")
+        .writeStream.outputMode("update")
+        .format("memory").queryName("sess_update_out").start()
+    }
+    assert(e.getMessage.toLowerCase.contains("session"))
+  }
+
   test("gapFillHourly counts null-typed events instead of zero-filling them") {
     import java.sql.Timestamp
     val ev = Seq(
