@@ -1246,8 +1246,13 @@ object Dedup {
     // reject the out-of-domain value instead (r9 ADVICE).
     require(threshold <= 1.0,
       s"threshold must be <= 1.0 (Jaccard upper bound), got $threshold")
+    // The pairs stage rides the NARROW+SALTED re-plan (r10): identical
+    // pair set by the spec-pinned law, and the representatives' own
+    // near-dup (non-identical boilerplate) hot buckets — the shape the
+    // exact-collapse prestage cannot absorb — parallelize instead of
+    // serializing one sort-merge group.
     collapsedClusters(df, textCol, idCol, shingleN, maxIterations)(reps =>
-      minhashPairs(reps, textCol, idCol, shingleN, threshold, bands,
+      minhashPairsSalted(reps, textCol, idCol, shingleN, threshold, bands,
         rowsPerBand, family))
   }
 

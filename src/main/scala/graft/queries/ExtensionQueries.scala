@@ -534,9 +534,12 @@ object ExtensionQueries extends graft.QueryModule {
     // the md5-prefix hash family so the ENTIRE pipeline — signatures,
     // banding, candidate join, verification — is replayed by the DuckDB
     // oracle; the xxhash64 default stays the production fast path
-    // (recall vs exact pairs asserted in DedupSpec).
+    // (recall vs exact pairs asserted in DedupSpec). NARROW+SALTED form
+    // (r10): law-pinned equal to Dedup.minhashPairs, 6× faster on the
+    // planted skew-2× clique and 3× at the 100× corpus (SCALING.md
+    // probe 15), so the oracle SQL is unchanged.
     "dedup_minhash_pairs" -> { (s, dir) =>
-      Dedup.minhashPairs(Tables.documents(s, dir), "text", "doc_id",
+      Dedup.minhashPairsSalted(Tables.documents(s, dir), "text", "doc_id",
         family = Dedup.md5AffineFamily)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -550,7 +553,7 @@ object ExtensionQueries extends graft.QueryModule {
     // this exact path's pair recall vs exact Jaccard is asserted in
     // DedupSpec.
     "dedup_minhash_fast" -> { (s, dir) =>
-      Dedup.minhashPairs(Tables.documents(s, dir), "text", "doc_id")
+      Dedup.minhashPairsSalted(Tables.documents(s, dir), "text", "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -617,8 +620,10 @@ object ExtensionQueries extends graft.QueryModule {
     // flip to B=7 the moment the fixture crosses 2048 rows (sf0.1 has
     // 2000). Auto-sizing stays the library default; the oracle-gated
     // query pins it (Dedup.embeddingLshPairs doc).
+    // NARROW+SALTED form (r10): law-pinned equal to embeddingLshPairs,
+    // 3× faster at the 100× corpus (SCALING.md probe 15).
     "dedup_embedding_lsh" -> { (s, dir) =>
-      graft.dedup.Dedup.embeddingLshPairs(Tables.embeddings(s, dir),
+      graft.dedup.Dedup.embeddingLshPairsSalted(Tables.embeddings(s, dir),
         "vec_id", "embedding", threshold = 0.4, dims = 64, bits = 6)
         .orderBy(col("id_a"), col("id_b"))
     },

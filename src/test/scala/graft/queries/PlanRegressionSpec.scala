@@ -123,21 +123,30 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("dedup_embedding_lsh buckets the corpus once (ReusedExchange on the self-join)") {
-    // Both sides of the (t, bucket) self-join are the same bucketing
-    // subtree; the merge hint keeps them identical exchanges so AQE
-    // computes the LSH pass once — and the join sides SPILL (a
-    // shuffled-hash build of the vector-carrying side outgrows a fixed
-    // task budget with the corpus; the 100× probe OOM'd it, r9). No
-    // broadcast: a broadcast exchange on one side would defeat the
-    // reuse and is infeasible at corpus scale anyway. Reuse
-    // materializes only during execution — run, then inspect the
-    // final adaptive plan.
+    // The salted narrow form (r10): both salted sides of the
+    // (t, bucket, __lo, __hi) self-join hang off the SAME bucket-key
+    // exchange (the window that sizes each cell), so AQE computes the
+    // LSH bucketing pass once — ReusedExchange must appear. The
+    // self-join itself must stay a sort-merge join (the merge hint
+    // blocks AQE's broadcast conversion): its sides must SPILL (a
+    // shuffled-hash build outgrows a fixed task budget with the
+    // corpus; the 100× probe OOM'd it, r9), and a broadcast there is
+    // infeasible at corpus scale. The exact-cosine verify joins the
+    // deduped candidate ids back to the corpus — AQE MAY broadcast
+    // those at fixture scale (2k vectors), which is correct and
+    // size-gated, so no global no-broadcast assert. Reuse materializes
+    // only during execution — run, then inspect the final plan.
     val df = SparkEntry.queries("dedup_embedding_lsh")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("isFinalPlan=true"), p.linesIterator.next())
     assert(p.toLowerCase.contains("reused"), p)
-    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    // The salted block keys are join keys, not filters: the SMJ line
+    // must carry them (the one structural difference vs the wide form).
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.exists(l => l.contains("__lo") && l.contains("__hi")),
+      smj.mkString("\n"))
   }
 
   test("docs_pack_chunks reuses one range exchange; windows are pid-partitioned") {

@@ -34,13 +34,23 @@ import graft.model.Tables
   *    ("the site footer"), the hot-shingle stopword-gram shape that makes
   *    shingle co-occurrence joins quadratic without maxShingleDf.
   *
-  * Usage: Test/runMain graft.tools.ScaleProbe <srcSfDir> <outDir> <factor> [skew]
+  * NEARSKEW MODE (4th arg "nearskew", r10): the same 20% boilerplate
+  * flood, but each flooded doc gets ONE unique trailing token
+  * (" doc<doc_id>") — pairwise Jaccard stays ≈0.94 (31 of 33 shingles
+  * shared), so the flood is still one giant near-dup clique, but the
+  * texts are no longer byte-identical: the exact-collapse prestage
+  * CANNOT absorb it, and the cluster paths must survive the hot
+  * (band, bh) buckets on their own. This is the CommonCrawl shape the
+  * collapse can't fix (boilerplate with injected dates/ids/timestamps).
+  *
+  * Usage: Test/runMain graft.tools.ScaleProbe <srcSfDir> <outDir> <factor> [skew|nearskew]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
-    val skew = args.length > 3 && args(3) == "skew"
+    val mode = if (args.length > 3) args(3) else ""
+    val skew = mode == "skew" || mode == "nearskew"
     require(factor >= 1, s"factor must be >= 1: $factor")
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
@@ -65,10 +75,14 @@ object ScaleProbe {
     val boiler = "this website uses cookies by continuing to browse the " +
       "site you agree to our use of cookies please review the cookie " +
       "policy for details about how we handle your personal data"
+    val flood =
+      if (mode == "nearskew")
+        concat(lit(boiler), lit(" doc"), col("doc_id").cast("string"))
+      else lit(boiler)
     val docsOut =
       if (!skew) docsN
       else docsN.withColumn("text",
-        when(pmod(col("doc_id"), lit(5)) === 1, lit(boiler))
+        when(pmod(col("doc_id"), lit(5)) === 1, flood)
           .when(col("text").isNotNull,
             concat(col("text"), lit(" the site footer")))
           .otherwise(col("text")))
