@@ -259,6 +259,14 @@ object Dedup {
       .filter(col("rk") <=
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
       .select(col("id"), col("shingle"))
+    // Deliberately NOT salted (r10, measured): routing this self-join
+    // through saltedCandidatePairs reads WORSE on both the healthy
+    // fixture (6.25 vs 4.2 s) and the non-collapsible flood (22.9 vs
+    // 17.5 s at nearskew 2×) — unlike the minhash band join, the
+    // shared-shingle VERIFY stage below dominates and is already
+    // parallel, so the hot-prefix SMJ group is not the bottleneck and
+    // the salt's extra bucket-count window only breaks the two sides'
+    // exchange identity (SCALING.md probe 15 addendum).
     val cand = ranked.as("a")
       .join(ranked.as("b"), Seq("shingle"))
       .filter(col("a.id") < col("b.id"))
