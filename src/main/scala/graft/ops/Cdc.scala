@@ -129,6 +129,71 @@ object Cdc {
     updatedExisting.unionByName(newRows)
   }
 
+  /** [[mergeHistory]] with OUT-OF-ORDER REPAIR (r10) — closes the
+    * documented gap in the incremental fold: a batch may now contain
+    * LATE rows (ts at or before a key's current `valid_from`), and the
+    * fold stays correct by splitting per KEY:
+    *
+    *  - keys whose batch rows are all strictly in order take the
+    *    O(batch) [[mergeHistory]] fast path — the raw store is never
+    *    scanned for them;
+    *  - keys with ANY late row are REPAIRED: their rows are pulled from
+    *    the RAW version store (semi-join on the late keys only —
+    *    partition-prunable), re-unioned with their batch rows, and
+    *    recompressed with [[compressHistory]]; the repaired intervals
+    *    replace those keys' rows wholesale.
+    *
+    * The raw store is REQUIRED, not an optimization: SCD2 history is
+    * lossy — [[compressHistory]] drops raw versions equal to their
+    * predecessor, and a late interleaving row can RESURRECT one as a
+    * change point (raw (t1,a),(t2,a),(t3,b) compresses to (t1,a),(t3,b);
+    * a late (t1.5,b) makes t2's `a` a change point again — invisible to
+    * any repair that reads only the compressed table). Spec-pinned in
+    * CdcSpec with exactly that shape.
+    *
+    * CONTRACT: `existing` == compressHistory(`raw`) per key (the
+    * maintained SCD2 table over the raw version log — the warehouse
+    * appends each staged batch to `raw` after folding it, the staging
+    * lifecycle the reference already keeps); (keyCols, tsCol) unique
+    * across `raw` ∪ `batch` (the [[compressHistory]] tie-free order
+    * contract — a replayed duplicate version is upstream dedup's job);
+    * null keys raise, as in [[mergeHistory]].
+    *
+    * Scale shape: O(batch) for the split + in-order fold, plus
+    * O(late keys' raw rows) for the repair — late keys are typically a
+    * trickle, and the raw scan is a left-semi join on them, so the
+    * 100 TB raw log is read only where it must be. */
+  def mergeHistoryWithLate(existing: DataFrame, raw: DataFrame,
+      batch: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "keys and values required")
+    val keys = keyCols.map(col)
+    val versionCols = (keyCols ++ valueCols).map(col) :+ col(tsCol)
+    // Current change point per touched key — the in-order boundary.
+    val cur = existing.filter(col("is_current"))
+      .join(batch.select(keys: _*).distinct(), keyCols, "left_semi")
+      .select(keyCols.map(col) :+ col("valid_from").as("__cur_from"): _*)
+    // A key is LATE iff ANY of its batch rows sits at or before its
+    // current valid_from: one late row invalidates the whole key's
+    // incremental fold, so the split is per key, not per row. New keys
+    // (no current row) are never late.
+    val lateKeys = batch.join(cur, keyCols, "left")
+      .filter(col("__cur_from").isNotNull && col(tsCol) <= col("__cur_from"))
+      .select(keys: _*).distinct()
+    val inOrder = batch.join(lateKeys, keyCols, "left_anti")
+    val lateBatch = batch.join(lateKeys, keyCols, "left_semi")
+    // Fast path: the incremental fold (its in-order guard now holds by
+    // construction). Late keys' existing rows ride through unchanged...
+    val base = mergeHistory(existing, inOrder, keyCols, tsCol, valueCols)
+    // ...and are REPLACED by the recompress of raw ∪ batch, scoped to
+    // the late keys.
+    val lateAll = raw.join(lateKeys, keyCols, "left_semi")
+      .select(versionCols: _*)
+      .unionByName(lateBatch.select(versionCols: _*))
+    val repaired = compressHistory(lateAll, keyCols, tsCol, valueCols)
+    base.join(lateKeys, keyCols, "left_anti").unionByName(repaired)
+  }
+
   /** Keyed diff of two snapshots of the same table: one row per key whose
     * membership or tracked values differ, `change` ∈
     * 'added' (key only in `newSnap`) | 'removed' (only in `oldSnap`) |

@@ -809,6 +809,32 @@ object CoreQueries extends graft.QueryModule {
         .orderBy($"key", $"valid_from")
     },
 
+    // Streaming SCD2 with OUT-OF-ORDER arrival (r10): the same version
+    // history arriving as four INTERLEAVED batches (version % 4 — from
+    // batch 2 on, most rows sit below keys' current valid_from, so
+    // nearly every touched key takes the late-repair path each fold).
+    // Cdc.mergeHistoryWithLate splits per key: in-order keys ride the
+    // O(batch) fold, late keys recompress from the raw log (maintained
+    // alongside, as a warehouse's staged-batch append). The oracle is
+    // the whole-history compress — arrival-order invariance under the
+    // gate, completing stream_scd2_batches' in-order law.
+    "stream_scd2_late_batches" -> { (s, dir) =>
+      import s.implicits._
+      val history = Tables.orders(s, dir)
+        .select($"o_custkey".as("key"), $"o_orderkey".as("version"),
+          $"o_totalprice".as("amount"))
+      val empty = graft.ops.Cdc.compressHistory(history.limit(0),
+        Seq("key"), "version", Seq("amount"))
+      val (_, folded) = (0L until 4L).foldLeft((history.limit(0), empty)) {
+        case ((raw, acc), b) =>
+          val batch = history.filter(pmod($"version", lit(4L)) === b)
+          val next = graft.ops.Cdc.mergeHistoryWithLate(acc, raw, batch,
+            Seq("key"), "version", Seq("amount")).localCheckpoint()
+          (raw.unionByName(batch).localCheckpoint(), next)
+      }
+      folded.orderBy($"key", $"valid_from")
+    },
+
     // Data-quality contract checks over orders: the DDL's implicit
     // contracts (PK unique+non-null, FK to customer) plus value
     // contracts (status domain, price range, no future dates) evaluated
@@ -1451,6 +1477,23 @@ object CoreQueries extends graft.QueryModule {
     // folds four in-order batches through Cdc.mergeHistory; the oracle
     // is the whole-history compress.
     "stream_scd2_batches" ->
+      """WITH h AS (SELECT o_custkey AS key, o_orderkey AS version,
+        |  o_totalprice AS amount FROM orders),
+        |c AS (SELECT key, version, amount,
+        |  lag(amount) OVER (PARTITION BY key ORDER BY version) AS prev
+        |  FROM h),
+        |ch AS (SELECT key, version, amount FROM c
+        |  WHERE prev IS NULL OR amount IS DISTINCT FROM prev)
+        |SELECT key, amount, version AS valid_from,
+        |  lead(version) OVER (PARTITION BY key ORDER BY version) AS valid_to,
+        |  lead(version) OVER (PARTITION BY key ORDER BY version) IS NULL
+        |    AS is_current
+        |FROM ch ORDER BY key, valid_from""".stripMargin,
+
+    // Arrival-order invariance under the gate: the engine folds four
+    // INTERLEAVED batches through the late-repair path; the oracle is
+    // the same whole-history compress as the in-order law's.
+    "stream_scd2_late_batches" ->
       """WITH h AS (SELECT o_custkey AS key, o_orderkey AS version,
         |  o_totalprice AS amount FROM orders),
         |c AS (SELECT key, version, amount,

@@ -85,6 +85,69 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert(after === whole)
   }
 
+  test("mergeHistoryWithLate == whole-history compress under any interleaving") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, String, Int, Option[Int], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val all = Seq(
+      // key 1: the LOSSY-HISTORY TRAP — raw (1,a),(2,a),(4,b) compresses
+      // to (1,a),(4,b); the late v=3 'b' must resurrect v=4's... no:
+      // late (3,b) makes (4,b) a no-op but v=2's 'a' stays merged. The
+      // inverse trap is key 2 below; key 1 exercises plain interleaving.
+      (1L, 1, "a"), (1L, 2, "a"), (1L, 4, "b"), (1L, 3, "b"),
+      // key 2: raw (1,a),(2,a),(4,b); late (3,c) arrives BETWEEN the
+      // merged duplicates and the change — v=3:'c' splits them, so the
+      // correct history needs... compress(raw ∪ late) = 1:a, 3:c, 4:b.
+      // A repair reading only the COMPRESSED table would get the same
+      // here; the true resurrect case is key 3.
+      (2L, 1, "a"), (2L, 2, "a"), (2L, 4, "b"), (2L, 3, "c"),
+      // key 3: THE RESURRECT CASE. raw (1,a),(2,a),(3,b) compresses to
+      // (1,a),(3,b) — the (2,a) duplicate is DROPPED. A late (1'=v 15
+      // ordering trick: use ts 1,2,3 with late 1.5 → integers: scale
+      // ×10) — raw (10,a),(20,a),(30,b), late (15,b): true compress =
+      // 10:a, 15:b, 20:a, 30:b — v=20's 'a' is a change point AGAIN.
+      // Reading only the compressed table would yield 10:a,15:b,30:b →
+      // wrong. This row set proves the operator reads the raw store.
+      (3L, 10, "a"), (3L, 20, "a"), (3L, 30, "b"), (3L, 15, "b"),
+      // key 4: purely in-order rows (the fast path) alongside the late
+      // keys, plus key 5: brand-new in the last batch.
+      (4L, 1, "x"), (4L, 2, "y"),
+      (5L, 9, "new"),
+    ).toDF("k", "v", "value")
+    // Arrival: batches 1-2 carry the early versions in order; batch 3
+    // carries the late rows (v interleaving below existing points) plus
+    // the in-order and new-key rows.
+    val arrived1 = all.filter(($"k" <= 3L && ($"v" === 1 || $"v" === 10)) ||
+      ($"k" === 4L && $"v" === 1))
+    val arrived2 = all.filter(($"k" <= 2L && ($"v" === 2 || $"v" === 4)) ||
+      ($"k" === 3L && ($"v" === 20 || $"v" === 30)))
+    val arrived3 = all.filter(($"k" <= 2L && $"v" === 3) ||
+      ($"k" === 3L && $"v" === 15) ||
+      ($"k" === 4L && $"v" === 2) || ($"k" === 5L))
+    assert(arrived1.count() + arrived2.count() + arrived3.count()
+      === all.count(), "arrival partition must cover every row exactly once")
+    val empty = Cdc.compressHistory(all.limit(0), Seq("k"), "v", Seq("value"))
+    val (_, folded) = Seq(arrived1, arrived2, arrived3)
+      .foldLeft((all.limit(0), empty)) { case ((raw, acc), b) =>
+        val next = Cdc.mergeHistoryWithLate(acc, raw, b,
+          Seq("k"), "v", Seq("value")).localCheckpoint()
+        (raw.unionByName(b).localCheckpoint(), next)
+      }
+    assert(rows(folded) ===
+      rows(Cdc.compressHistory(all, Seq("k"), "v", Seq("value"))))
+    // The resurrect key's repaired history has FOUR change points —
+    // the one a compressed-table-only repair cannot produce.
+    assert(rows(folded).count(_._1 == 3L) === 4)
+    // No late rows at all ≡ plain mergeHistory (fast path only).
+    val table = Cdc.compressHistory(
+      Seq((7L, 1, "a")).toDF("k", "v", "value"), Seq("k"), "v", Seq("value"))
+    val inOrderOnly = Seq((7L, 2, "b")).toDF("k", "v", "value")
+    assert(rows(Cdc.mergeHistoryWithLate(table, all.limit(0), inOrderOnly,
+        Seq("k"), "v", Seq("value"))) ===
+      rows(Cdc.mergeHistory(table, inOrderOnly,
+        Seq("k"), "v", Seq("value"))))
+  }
+
   test("mergeHistory raises loudly on an out-of-order batch row") {
     // Contract guard (r9 verdict): a batch ts at-or-before the key's
     // current valid_from must FAIL the job, not silently corrupt
