@@ -799,12 +799,16 @@ object CoreQueries extends graft.QueryModule {
       val width = (hi - lo) / 4 + 1
       val empty = graft.ops.Cdc.compressHistory(history.limit(0),
         Seq("key"), "version", Seq("amount"))
+      // DISK_ONLY fold pins — same rationale as the late gate below
+      // (the fold table is stored between folds; its pinned generations
+      // must not compete with execution memory).
       (0L until 4L).foldLeft(empty) { (acc, b) =>
         graft.ops.Cdc.mergeHistory(acc,
           history.filter($"version" >= lo + b * width &&
             $"version" < lo + (b + 1) * width),
           Seq("key"), "version", Seq("amount"))
-          .localCheckpoint()
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
       }
         .orderBy($"key", $"valid_from")
     },
@@ -825,12 +829,27 @@ object CoreQueries extends graft.QueryModule {
           $"o_totalprice".as("amount"))
       val empty = graft.ops.Cdc.compressHistory(history.limit(0),
         Seq("key"), "version", Seq("amount"))
-      val (_, folded) = (0L until 4L).foldLeft((history.limit(0), empty)) {
-        case ((raw, acc), b) =>
-          val batch = history.filter(pmod($"version", lit(4L)) === b)
-          val next = graft.ops.Cdc.mergeHistoryWithLate(acc, raw, batch,
-            Seq("key"), "version", Seq("amount")).localCheckpoint()
-          (raw.unionByName(batch).localCheckpoint(), next)
+      // The raw log is STORED data, not lineage: each fold reads the
+      // previously-folded batches as a FILTER on the source table (what
+      // a warehouse's appended staging log is), so nothing grows pinned
+      // in executor memory. Checkpointing the growing raw union instead
+      // OOM'd the 100× probe at the 8 g contract heap (SCALING.md
+      // probe 16) — only the SCD2 table itself is checkpointed, exactly
+      // like the in-order gate.
+      // DISK_ONLY fold pins (probe 16): the SCD2 table is a STORED
+      // warehouse table between folds — nearly every orders version is
+      // a change point, so by fold 4 the pinned generations total ~2.5×
+      // the source table, and MEMORY_AND_DISK's deserialized blocks
+      // OOM'd the 100× probe at the contract heap while the repair
+      // joins spiked execution memory. On disk the same run completes
+      // (per-fold 12-21 s at 100×).
+      val folded = (0L until 4L).foldLeft(empty) { (acc, b) =>
+        val batch = history.filter(pmod($"version", lit(4L)) === b)
+        val raw = history.filter(pmod($"version", lit(4L)) < b)
+        graft.ops.Cdc.mergeHistoryWithLate(acc, raw, batch,
+          Seq("key"), "version", Seq("amount"))
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
       }
       folded.orderBy($"key", $"valid_from")
     },
