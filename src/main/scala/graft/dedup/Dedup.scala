@@ -215,8 +215,14 @@ object Dedup {
     // pipeline re-executes per branch (the plan shows 4 Generate chains;
     // AQE's exchange reuse recovers only the aggregated ones). One eager
     // localCheckpoint runs it once; the pinned RDD is released by the
-    // ContextCleaner when the result DataFrame is dropped.
-    val sh = shingleTable(df, textCol, idCol, n).localCheckpoint()
+    // ContextCleaner when the result DataFrame is dropped. DISK_ONLY
+    // (r10, probe 16b): this pin is CORPUS-sized (every doc's exploded
+    // shingles) — MEMORY_AND_DISK's deserialized blocks OOM'd the 100×
+    // run at the contract heap while the candidate join's execution
+    // memory spiked; a disk pin re-reads sequentially per branch and
+    // never competes with the joins.
+    val sh = shingleTable(df, textCol, idCol, n)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("id").as("id_a"), col("shingle"))
     val b = sh.select(col("id").as("id_b"), col("shingle"))
@@ -248,8 +254,10 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     // Same diamond as jaccardPairs: the shingle table feeds ~6 plan
     // branches (sizes, dfs, ranked, both verification joins, final
-    // lookups) — pin it so tokenize+shingle+explode runs once.
-    val sh = shingleTable(df, textCol, idCol, n).localCheckpoint()
+    // lookups) — pin it so tokenize+shingle+explode runs once. DISK_ONLY
+    // for the same corpus-sized-pin reason as jaccardPairs (probe 16b).
+    val sh = shingleTable(df, textCol, idCol, n)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfs, Seq("shingle"))
