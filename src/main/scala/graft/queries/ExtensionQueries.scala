@@ -1484,12 +1484,32 @@ object ExtensionQueries extends graft.QueryModule {
       val src = s.readStream.schema(ev.schema).parquet(streamDir)
       val name = "stream_session_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.EventsOps
-        .sessionsStream(src, "10 minutes", "10 seconds")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // RocksDB state store (r10, probe 17): the default HDFS-backed
+      // provider holds every open session's state in executor MEMORY —
+      // the 100× corpus (10M events) OOM'd the 8 g contract heap in the
+      // session aggregation task. RocksDB keeps state off-heap/on-disk,
+      // which is the production configuration for large streaming state
+      // anyway; restored to the prior provider after the run so the
+      // gate query stays side-effect-free.
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      val q =
+        try graft.streaming.EventsOps
+          .sessionsStream(src, "10 minutes", "10 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally {
+          // The provider is captured at query START; the session-level
+          // conf can be restored immediately.
+          prevProvider match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None => s.conf.unset(providerKey)
+          }
+        }
       q.awaitTermination()
       materializedThen(s, s.table(name)
         .orderBy($"user_id", $"session_start")) {
