@@ -47,40 +47,48 @@ object Bench {
       // Drain stdout as it arrives (a full pipe buffer would deadlock
       // waitFor); keep only the last contract-shaped line. A watchdog
       // kills a hung child so the parent's contract run always ends.
+      // The drain/waitFor sits in try/finally so that an IOException
+      // mid-drain never leaves an orphaned child JVM benchmarking for
+      // up to 30 min concurrently with the in-process fallback (which
+      // would both inflate the fallback numbers and double host load).
       val killer = new java.util.Timer(true)
       killer.schedule(new java.util.TimerTask {
         def run(): Unit = proc.destroyForcibly()
       }, 30L * 60 * 1000)
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
-      var last: String = null
-      var ln = in.readLine()
-      while (ln != null) {
-        if (ln.startsWith("{\"metric\"")) last = ln
-        ln = in.readLine()
-      }
-      val rc = proc.waitFor()
-      killer.cancel()
-      if (rc != 0 || last == null) {
-        System.err.println(s"[bench] fork failed (rc=$rc, line=${last != null}); falling back to in-process second context")
-        return None
-      }
-      // Parse the child's "queries":{...} map — our own shape, emitted
-      // by the shared line() template below (names are [A-Za-z0-9_]).
-      val qmap = last.substring(last.indexOf("\"queries\":"))
-      val pair = """"(\w+)":([0-9]+\.[0-9]+)""".r
-      val parsed = pair.findAllMatchIn(qmap)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter { case (n, _) => names.contains(n) }.toMap
-      if (parsed.isEmpty) { System.err.println("[bench] fork parse empty; falling back"); return None }
       try {
-        val side = parsed.toSeq.sorted.map { case (k, v) =>
-          "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-        }.mkString("{\"source\":\"fresh-forked-jvm\",\"queries\":{", ",", "}}\n")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get("BENCH_ISOLATED.json"), side.getBytes("UTF-8"))
-      } catch { case e: Throwable => System.err.println(s"[bench] isolated sidecar write failed: ${e.getMessage}") }
-      Some(parsed)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+        var last: String = null
+        var ln = in.readLine()
+        while (ln != null) {
+          if (ln.startsWith("{\"metric\"")) last = ln
+          ln = in.readLine()
+        }
+        val rc = proc.waitFor()
+        if (rc != 0 || last == null) {
+          System.err.println(s"[bench] fork failed (rc=$rc, line=${last != null}); falling back to in-process second context")
+          return None
+        }
+        // Parse the child's "queries":{...} map — our own shape, emitted
+        // by the shared line() template below (names are [A-Za-z0-9_]).
+        val qmap = last.substring(last.indexOf("\"queries\":"))
+        val pair = """"(\w+)":([0-9]+\.[0-9]+)""".r
+        val parsed = pair.findAllMatchIn(qmap)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (n, _) => names.contains(n) }.toMap
+        if (parsed.isEmpty) { System.err.println("[bench] fork parse empty; falling back"); return None }
+        try {
+          val side = parsed.toSeq.sorted.map { case (k, v) =>
+            "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+          }.mkString("{\"source\":\"fresh-forked-jvm\",\"queries\":{", ",", "}}\n")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get("BENCH_ISOLATED.json"), side.getBytes("UTF-8"))
+        } catch { case e: Throwable => System.err.println(s"[bench] isolated sidecar write failed: ${e.getMessage}") }
+        Some(parsed)
+      } finally {
+        killer.cancel()
+        if (proc.isAlive) { proc.destroyForcibly(); proc.waitFor() }
+      }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fork error: ${e.getMessage}; falling back to in-process second context")
@@ -167,9 +175,26 @@ object Bench {
     val headlineNames = (flagships ++
       pass1.sortBy { case (n, t) => (-t, n) }.take(20).map(_._1)).distinct
         .filter(pass1.toMap.contains)
-    val forked = if (only.isDefined) None else forkIsolated(headlineNames, sfDir, cpus)
-    val pass2 = forked.getOrElse {
+    // While the child runs, this parent (same -Xmx, heap populated by
+    // the 200-query suite) stays resident — peak host footprint is ~2×
+    // the contract heap (2×8 g against 128 g here; a host sized near
+    // 1× would swap and skew the child). Release what the parent can
+    // before forking so its resident set shrinks toward live data.
+    val forked = if (only.isDefined) None else {
+      try spark.catalog.clearCache() catch { case _: Throwable => }
       System.gc()
+      forkIsolated(headlineNames, sfDir, cpus)
+    }
+    if (only.isEmpty && forked.isEmpty) {
+      // Mark the sidecar so a stale BENCH_ISOLATED.json from an earlier
+      // code state can never pose as this run's fresh-JVM numbers in
+      // round-over-round calibration.
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_ISOLATED.json"),
+        "{\"source\":\"fork-failed\",\"queries\":{}}\n".getBytes("UTF-8"))
+      catch { case _: Throwable => }
+    }
+    val pass2 = forked.getOrElse {
       headlineNames.map(n => n -> runOnce(n)).filter(_._2 >= 0).toMap
     }
     val results = pass1.map { case (n, t) =>

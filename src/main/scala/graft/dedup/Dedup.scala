@@ -1125,18 +1125,22 @@ object Dedup {
     * contract — ids and key columns only, payloads re-attached by the
     * caller after the pair set is deduped. */
   private[dedup] def saltedCandidatePairs(bucketed: DataFrame,
-      keyCols: Seq[String], blockRows: Int): DataFrame = {
+      keyCols: Seq[String], blockRows: Int,
+      idCol: String = "id"): DataFrame = {
     require(blockRows > 0, s"blockRows must be positive, got $blockRows")
+    require(bucketed.columns.contains(idCol),
+      s"saltedCandidatePairs: id column '$idCol' not in input " +
+      s"(${bucketed.columns.mkString(", ")})")
     val keys = keyCols.map(col)
     val sized = bucketed
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys: _*)))
       .withColumn("__nb",
         greatest(lit(1L), ceil(col("__n") / lit(blockRows.toDouble))).cast("long"))
-      .withColumn("__blk", pmod(xxhash64(col("id"), lit(0x5a17L)), col("__nb")))
-    val x = sized.select(keys ++ Seq(col("id").as("__idx"),
+      .withColumn("__blk", pmod(xxhash64(col(idCol), lit(0x5a17L)), col("__nb")))
+    val x = sized.select(keys ++ Seq(col(idCol).as("__idx"),
       col("__blk").as("__lo"),
       explode(sequence(col("__blk"), col("__nb") - 1)).as("__hi")): _*)
-    val y = sized.select(keys ++ Seq(col("id").as("__idy"),
+    val y = sized.select(keys ++ Seq(col(idCol).as("__idy"),
       col("__blk").as("__hi"),
       explode(sequence(lit(0L), col("__blk"))).as("__lo")): _*)
     x.join(y.hint("merge"), keyCols ++ Seq("__lo", "__hi"))

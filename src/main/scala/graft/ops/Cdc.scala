@@ -87,28 +87,37 @@ object Cdc {
     // key's current value: the first batch change point exists iff it
     // differs from the CURRENT tracked struct (or the key is new).
     val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
-    // Contract guards ride as the FIRST conjuncts of the change filter:
-    // a standalone projected guard column would be pruned (nothing
-    // consumes it), but a filter predicate evaluates on EVERY input row
-    // — including rows the change predicate then drops — so a null key
-    // or an out-of-order ts anywhere in the batch fails the job loudly.
+    // Contract guards ride INSIDE the change filter: a standalone
+    // projected guard column would be pruned (nothing consumes it), but
+    // a filter predicate evaluates on EVERY input row — including rows
+    // the change predicate then drops — so a null key or an
+    // out-of-order ts anywhere in the batch fails the job loudly.
+    // STRUCTURAL ordering (r11): the guards are the CONDITION of a
+    // CaseWhen whose branch is the change predicate, not left-to-right
+    // And-conjuncts — Catalyst rules may split or reorder conjuncts of
+    // one Filter (e.g. push the cheaper predicate first), which would
+    // let an out-of-order no-op row be dropped before its guard fired;
+    // no rule evaluates a CaseWhen branch before its condition. The
+    // guards always yield true or raise, so when(guards, pred) ≡ pred
+    // for every surviving row. CdcSpec's no-op-value test is the canary.
     val keyNonNull = keys.map(_.isNotNull).reduce(_ && _)
     val inOrder = col("__cur_from").isNull || col(tsCol) > col("__cur_from")
+    val guards =
+      coalesce(assert_true(keyNonNull, lit(
+        "Cdc.mergeHistory: null key in batch — null keys are out of " +
+        "the incremental-fold contract; compress the full history " +
+        "with compressHistory instead")), lit(true)) &&
+      coalesce(assert_true(inOrder, concat(lit(
+        "Cdc.mergeHistory: out-of-order batch row (" + tsCol +
+        " <= the key's current valid_from) at ts="),
+        col(tsCol).cast("string"), lit(" vs valid_from="),
+        col("__cur_from").cast("string"))), lit(true))
     val changes = batch
       .withColumn("__prev", lag(tracked, 1).over(w))
       .join(cur, keyCols, "left")
-      .filter(
-        coalesce(assert_true(keyNonNull, lit(
-          "Cdc.mergeHistory: null key in batch — null keys are out of " +
-          "the incremental-fold contract; compress the full history " +
-          "with compressHistory instead")), lit(true)) &&
-        coalesce(assert_true(inOrder, concat(lit(
-          "Cdc.mergeHistory: out-of-order batch row (" + tsCol +
-          " <= the key's current valid_from) at ts="),
-          col(tsCol).cast("string"), lit(" vs valid_from="),
-          col("__cur_from").cast("string"))), lit(true)) &&
+      .filter(when(guards,
         when(col("__prev").isNotNull, !(col("__prev") <=> tracked))
-          .otherwise(col("__cur_from").isNull || !(col("__cur") <=> tracked)))
+          .otherwise(col("__cur_from").isNull || !(col("__cur") <=> tracked))))
     val newRows = changes
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))

@@ -294,7 +294,16 @@ object EventsOps {
     val overlap = events.columns.toSet.intersect(dim.columns.toSet) - key
     require(overlap.isEmpty,
       s"non-key columns must be disjoint, overlapping: ${overlap.mkString(", ")}")
-    val probeRows = math.min(maxDimRows + 1, Int.MaxValue.toLong).toInt
+    // The probe needs maxDimRows + 1 to fit an Int limit(): above
+    // Int.MaxValue - 1 the +1 would overflow (Long.MaxValue → negative)
+    // or the Int cap would silently make the guard unenforceable — and
+    // a >2^31-row broadcast dimension is nonsense anyway, so reject the
+    // bound itself rather than vacuously passing the dimension.
+    require(maxDimRows > 0 && maxDimRows < Int.MaxValue.toLong,
+      s"enrichStream: maxDimRows must be in (0, ${Int.MaxValue}) — got " +
+      s"$maxDimRows; a dimension near 2^31 rows is never broadcastable, " +
+      "use enrichStreamShuffled")
+    val probeRows = (maxDimRows + 1).toInt
     require(dim.limit(probeRows).count() <= maxDimRows,
       s"enrichStream: dimension exceeds $maxDimRows rows — broadcasting " +
       "it would OOM the driver/executors; use enrichStreamShuffled (or " +

@@ -676,6 +676,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == wide)
   }
 
+  test("saltedCandidatePairs honors a non-default id column (r10 advice)") {
+    // 5 rows in one bucket, blockRows = 2 → 3 triangle blocks: the
+    // custom-named id column must drive both the block hash and the
+    // pair emission, and a missing id column must fail loudly instead
+    // of salting on a resolution error deep in the plan.
+    val bucketed = (1L to 5L).toDF("doc").withColumn("b", lit("hot"))
+    val pairs = Dedup.saltedCandidatePairs(bucketed, Seq("b"),
+        blockRows = 2, idCol = "doc")
+      .as[(Long, Long)].collect().toSet
+    val expect = (for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)).toSet
+    assert(pairs == expect)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.saltedCandidatePairs(bucketed, Seq("b"), 2, idCol = "id")
+    }
+    assert(e.getMessage.contains("id column"))
+  }
+
   test("incrementalEmbeddingDedup: index hit drops, stranger survives, min-id wins in-batch") {
     // Exact copies have IDENTICAL sign signatures in every table, so
     // index-hit and in-batch drops are deterministic (p=1), not

@@ -154,6 +154,12 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     // intervals. Both the strictly-earlier and the equal-ts cases raise;
     // the guard fires even when the offending row is a value no-op
     // (i.e. it would not have been a change point).
+    // OPTIMIZER-ORDERING CANARY (r10 advice): the no-op case is the one
+    // a guard evaluated AFTER the change predicate would miss — the row
+    // is dropped as a non-change before the assert fires. The guard is
+    // structurally the CaseWhen condition over the change predicate
+    // (Cdc.mergeHistory), but if a future Spark version finds a way to
+    // evaluate the branch first, THIS test is what goes red.
     val table = Cdc.compressHistory(
       Seq((1L, 5, "a"), (2L, 3, "x")).toDF("k", "v", "value"),
       Seq("k"), "v", Seq("value"))

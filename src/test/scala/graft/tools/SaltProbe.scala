@@ -13,8 +13,10 @@ import graft.model.Tables
   * fixture, the planted-skew corpora, and the 30×/100× replicas, ship
   * whichever wins at 100×.
   *
-  * Usage: Test/runMain graft.tools.SaltProbe <sfDir> <which>
+  * Usage: Test/runMain graft.tools.SaltProbe <sfDir> <which> [blockRows]
   *   which ∈ mh_wide | mh_salted | emb_wide | emb_salted | all
+  *   blockRows (r11, verdict #7): triangle-block size for the salted
+  *   forms — the 256/1024/4096 sensitivity A/B; default 1024 (shipped).
   * Warmed protocol matches graft.Bench: run twice, report the second.
   * One fork per corpus (fresh JVM), dedup_exact-style sacrifice built in
   * via the warm-up run.
@@ -22,6 +24,7 @@ import graft.model.Tables
 object SaltProbe {
   def main(args: Array[String]): Unit = {
     val Array(dir, which) = args.take(2)
+    val blockRows = if (args.length > 2) args(2).toInt else 1024
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
         String.valueOf(Runtime.getRuntime.availableProcessors())))
@@ -32,13 +35,14 @@ object SaltProbe {
         Dedup.minhashPairs(Tables.documents(spark, dir), "text", "doc_id")),
       "mh_salted" -> (() =>
         Dedup.minhashPairsSalted(Tables.documents(spark, dir), "text",
-          "doc_id")),
+          "doc_id", blockRows = blockRows)),
       "emb_wide" -> (() =>
         Dedup.embeddingLshPairs(Tables.embeddings(spark, dir), "vec_id",
           "embedding", threshold = 0.4, dims = 64)),
       "emb_salted" -> (() =>
         Dedup.embeddingLshPairsSalted(Tables.embeddings(spark, dir),
-          "vec_id", "embedding", threshold = 0.4, dims = 64)))
+          "vec_id", "embedding", threshold = 0.4, dims = 64,
+          blockRows = blockRows)))
     val names =
       if (which == "all") Seq("mh_wide", "mh_salted", "emb_wide", "emb_salted")
       else which.split(",").toSeq
@@ -48,7 +52,7 @@ object SaltProbe {
       val t0 = System.nanoTime()
       noop(fn())
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"probe":"salt","form":"$name","dir":"$dir","sec":$sec%.3f}""")
+      println(f"""{"probe":"salt","form":"$name","dir":"$dir","blockRows":$blockRows,"sec":$sec%.3f}""")
     }
     spark.stop()
   }

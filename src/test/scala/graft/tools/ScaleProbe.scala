@@ -43,7 +43,20 @@ import graft.model.Tables
   * (band, bh) buckets on their own. This is the CommonCrawl shape the
   * collapse can't fix (boilerplate with injected dates/ids/timestamps).
   *
-  * Usage: Test/runMain graft.tools.ScaleProbe <srcSfDir> <outDir> <factor> [skew|nearskew]
+  * EMBSKEW MODE (4th arg "embskew", r11): the EMBEDDING-space analogue
+  * of nearskew (r10 verdict #3) — 20% of all vectors (vec_id % 5 == 1,
+  * ACROSS replicas, so the clique grows with the corpus) are replaced
+  * by one dense correlated cluster: base vector all-ones plus a
+  * per-(vector, dim) deterministic uniform offset in [-0.4, 0.4], which
+  * puts every flooded PAIR at cosine ≈ 64/(64 + 64·0.16/3·2) ≈ 0.94 —
+  * far above the semantic paths' 0.4 threshold, with all-distinct ids
+  * and all-distinct float values, so no exact-collapse can absorb it.
+  * One giant near-dup clique in a 16-centroid bucketing lands ~all
+  * flooded vectors in ONE bucket: the shape that makes within-bucket
+  * quadratics and sign-LSH hot buckets show their scaling. Docs/events
+  * replicate work-preserving in this mode (the flood is embedding-only).
+  *
+  * Usage: Test/runMain graft.tools.ScaleProbe <srcSfDir> <outDir> <factor> [skew|nearskew|embskew]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -98,7 +111,16 @@ object ScaleProbe {
             (x + (pmod(hash(col("vec_id"), lit(r), i), lit(1000))
               .cast("double") / 1000.0 - 0.5)).cast("float")))
     }.reduce(_ unionAll _)
-    embN.write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    val embOut =
+      if (mode != "embskew") embN
+      else embN.withColumn("embedding",
+        when(pmod(col("vec_id"), lit(5)) === 1,
+          transform(col("embedding"), (_, i) =>
+            (lit(1.0) + (pmod(hash(col("vec_id"), i, lit("embskew")),
+              lit(1000)).cast("double") / 1000.0 - 0.5) * 0.8)
+              .cast("float")))
+          .otherwise(col("embedding")))
+    embOut.write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
     // customer: replica keys shift by the same stride as orders'
     // o_custkey, so referential integrity replicates per replica and

@@ -4,14 +4,27 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** r10 diagnosis tool for the late-SCD2 gate's 100× OOM: runs the
-  * interleaved 4-batch mergeHistoryWithLate fold with configurable
-  * checkpoint storage and per-fold wall/row reporting.
+  * 4-batch mergeHistoryWithLate fold with configurable checkpoint
+  * storage and per-fold wall/row reporting.
   *
-  * Usage: Test/runMain graft.tools.Scd2Probe <sfDir> <mem|disk>
+  * Arrival modes (3rd arg, r11 — verdict #4's proportionality pin):
+  *  - "interleave" (default, the r10 probe): batch b = versions with
+  *    version % 4 == b — the everything-late worst case, where from
+  *    fold 1 on nearly every touched key has a version at or before
+  *    its current valid_from and takes the repair path;
+  *  - "trickle:<D>": batches are version-QUARTILE ordered (in-order
+  *    arrival per key by construction), except keys with
+  *    key % D == 0 have their first-quartile versions DEFERRED to the
+  *    last batch — so exactly ~1/D of keys arrive late, once, which is
+  *    the operator's contract shape (O(batch + late keys' raw rows)).
+  *    D = 100 ⇒ ~1% late keys.
+  *
+  * Usage: Test/runMain graft.tools.Scd2Probe <sfDir> <mem|disk> [interleave|trickle:D]
   */
 object Scd2Probe {
   def main(args: Array[String]): Unit = {
     val Array(dir, mode) = args.take(2)
+    val arrival = if (args.length > 2) args(2) else "interleave"
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
         String.valueOf(Runtime.getRuntime.availableProcessors())))
@@ -19,6 +32,27 @@ object Scd2Probe {
     val history = graft.model.Tables.orders(spark, dir)
       .select($"o_custkey".as("key"), $"o_orderkey".as("version"),
         $"o_totalprice".as("amount"))
+    // One arrival-batch index per row, computed once so `batch` and
+    // `raw` are filters over the same deterministic column.
+    val arrive: org.apache.spark.sql.Column = arrival match {
+      case "interleave" => pmod($"version", lit(4L))
+      case s if s.startsWith("trickle:") =>
+        val d = s.stripPrefix("trickle:").toLong
+        require(d > 0, s"trickle denominator must be > 0: $d")
+        val Array(q1, q2, q3) =
+          history.stat.approxQuantile("version", Array(0.25, 0.5, 0.75), 0.001)
+        val quartile = when($"version" < q1, 0L)
+          .when($"version" < q2, 1L).when($"version" < q3, 2L).otherwise(3L)
+        // Late keys' earliest-quartile rows arrive in the LAST batch —
+        // at fold 3 those keys (and only those) take the repair path.
+        when(quartile === 0L && pmod($"key", lit(d)) === 0L, 3L)
+          .otherwise(quartile)
+      case other => sys.error(s"unknown arrival mode: $other")
+    }
+    // `arrive` is a pure row function (quantile cuts are precomputed
+    // literals), so batch/raw stay scan-pruned filters on the source —
+    // nothing pinned, same as the r10 probe.
+    val tagged = history.withColumn("__arrive", arrive)
     def pin(df: org.apache.spark.sql.DataFrame) =
       if (mode == "disk") df.localCheckpoint(true, StorageLevel.DISK_ONLY)
       else df.localCheckpoint()
@@ -27,12 +61,12 @@ object Scd2Probe {
     var acc = empty
     for (b <- 0L until 4L) {
       val t0 = System.nanoTime()
-      val batch = history.filter(pmod($"version", lit(4L)) === b)
-      val raw = history.filter(pmod($"version", lit(4L)) < b)
+      val batch = tagged.filter($"__arrive" === b).drop("__arrive")
+      val raw = tagged.filter($"__arrive" < b).drop("__arrive")
       acc = pin(graft.ops.Cdc.mergeHistoryWithLate(acc, raw, batch,
         Seq("key"), "version", Seq("amount")))
       val n = acc.count()
-      println(f"""{"probe":"scd2","fold":$b,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"mode":"$mode"}""")
+      println(f"""{"probe":"scd2","arrival":"$arrival","fold":$b,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"mode":"$mode"}""")
     }
     spark.stop()
   }
