@@ -14,20 +14,23 @@ object Sessions {
     // events.parquet carries TIMESTAMP(NANOS); read as long, converted to
     // µs TimestampType in Tables.read (Spark 4 has no nanos timestamp).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Streaming state-store provider override (r11, probe 17): every
-    // stateful gate here keeps state proportional to DISTINCT KEYS
-    // (open sessions, per-user rolling windows/totals), which the
-    // default HDFS-backed provider holds in executor memory — the shape
-    // that OOM'd stream_session's 100× run. SPARK_GRAFT_STATESTORE=
-    // rocksdb flips the whole session to the off-heap/on-disk provider
-    // (the production configuration) for A/B probing; the shipped
-    // per-gate defaults are recorded in ARCHITECTURE.md.
+    // Streaming state store: RocksDB (off-heap/on-disk) is the DEFAULT
+    // for the whole engine (r11, SCALING.md probe 17). Every stateful
+    // operator here keeps state proportional to DISTINCT KEYS (open
+    // sessions, per-user rolling windows/totals), which Spark's default
+    // HDFS-backed provider holds in executor MEMORY — measured: the
+    // session-window gate OOM'd the 8 g contract heap at 10M events
+    // under HDFSBacked, while RocksDB completed the same run in 42.9 s
+    // AND was faster at every sub-OOM point probed (16.9 vs 20.2 s at
+    // 3M events) — there is no small-scale premium to trade away, so
+    // the production configuration is the only configuration.
+    // SPARK_GRAFT_STATESTORE=hdfs flips the session back for A/B runs.
     .config("spark.sql.streaming.stateStore.providerClass",
       sys.env.get("SPARK_GRAFT_STATESTORE") match {
-        case Some("rocksdb") => "org.apache.spark.sql.execution.streaming" +
-          ".state.RocksDBStateStoreProvider"
-        case _ => "org.apache.spark.sql.execution.streaming" +
+        case Some("hdfs") => "org.apache.spark.sql.execution.streaming" +
           ".state.HDFSBackedStateStoreProvider"
+        case _ => "org.apache.spark.sql.execution.streaming" +
+          ".state.RocksDBStateStoreProvider"
       })
 
   def local(cpus: String): SparkSession = {

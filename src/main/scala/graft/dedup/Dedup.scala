@@ -248,8 +248,10 @@ object Dedup {
     * groups, which is what kills the quadratic hot-shingle blowup at
     * scale. floor (not ceil) keeps the prefix a hair conservative, so
     * float error can only ADD candidates, never lose a true pair.
-    * Verification is the same exact intersection count as [[jaccardPairs]];
-    * results are identical. */
+    * Candidates additionally pass PPJoin's POSITIONAL filter (see the
+    * inline proof at the candidate join) before the verify joins ever
+    * see them. Verification is the same exact intersection count as
+    * [[jaccardPairs]]; results are identical (law-pinned in DedupSpec). */
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame = {
     // Same diamond as jaccardPairs: the shingle table feeds ~6 plan
@@ -266,7 +268,7 @@ object Dedup {
       .join(sizes, Seq("id"))
       .filter(col("rk") <=
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("shingle"), col("rk"), col("n_sh"))
     // Deliberately NOT salted (r10, measured): routing this self-join
     // through saltedCandidatePairs reads WORSE on both the healthy
     // fixture (6.25 vs 4.2 s) and the non-collapsible flood (22.9 vs
@@ -275,9 +277,32 @@ object Dedup {
     // parallel, so the hot-prefix SMJ group is not the bottleneck and
     // the salt's extra bucket-count window only breaks the two sides'
     // exchange identity (SCALING.md probe 15 addendum).
+    // POSITIONAL filter (PPJoin, r11 — SCALING.md probe 18): an emission
+    // that matches shingle s at canonical ranks (rk_a, rk_b) can yield at
+    // most 1 + min(n_a − rk_a, n_b − rk_b) total shared shingles IF s is
+    // the pair's minimal shared shingle — and for the minimal shared
+    // shingle that bound is valid because any shared shingle t ranked
+    // below s would itself sit in BOTH prefixes (a doc's prefix is
+    // downward-closed in the canonical order over the doc's own
+    // shingles), contradicting minimality. J ≥ τ needs overlap ≥
+    // τ/(1+τ)·(n_a+n_b), so an emission whose bound falls short is
+    // dropped; the pair survives iff ANY of its emissions passes — safe,
+    // because a true pair's minimal shared emission always does (its
+    // bound ≥ the true overlap ≥ the requirement). No ceil on the
+    // requirement: float error can only ADD candidates, never lose a
+    // true pair (same direction as the prefix-length floor above). The
+    // r11 cluster bisect measured the verify joins below at 71% of the
+    // composed query's 100× wall with 0.18% candidate precision — this
+    // filter kills the deep-prefix false candidates BEFORE the distinct
+    // and the two corpus-sized verify joins, which subsumes the PPJoin
+    // length filter (the bound is ≤ min(n_a, n_b) for every rk ≥ 1).
     val cand = ranked.as("a")
       .join(ranked.as("b"), Seq("shingle"))
       .filter(col("a.id") < col("b.id"))
+      .filter(lit(1) +
+        least(col("a.n_sh") - col("a.rk"), col("b.n_sh") - col("b.rk")) >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("a.n_sh") + col("b.n_sh")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val shared = cand

@@ -375,14 +375,19 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("canonical_id"))
     },
 
-    // Exact all-pairs 3-gram Jaccard near-dup pairs (co-occurrence join;
-    // threshold calibrated to the planted near-dups). The prefix-filtered
-    // variant (Dedup.jaccardPairsPrefix, identical results) is the
-    // large-corpus path — at this fixture scale its df-join/window
-    // overhead measured slower (7.8s vs 5.7s at 5k docs), so the bench
-    // query keeps the naive join; DedupSpec pins their equality.
+    // Exact all-pairs 3-gram Jaccard near-dup pairs (threshold calibrated
+    // to the planted near-dups). REROUTED to the PPJoin prefix+positional
+    // form in r11 (SCALING.md probe 18b): with the positional filter the
+    // prefix route is now faster at every measured point — 2.2 vs 3.2 s
+    // on the healthy sf0.1 fixture, 13.4 vs 43.0 s under the
+    // non-collapsible nearskew-2× flood (the naive form pays Σ df² on
+    // the universal shingle) — so the registered gate and the scale path
+    // are the same plan. Results identical by the DedupSpec law; the
+    // naive co-occurrence form (Dedup.jaccardPairs) stays as the
+    // spec-anchored exact baseline the law compares against.
     "dedup_jaccard_pairs" -> { (s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.8)
+      Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "text", "doc_id",
+        3, 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -1484,32 +1489,18 @@ object ExtensionQueries extends graft.QueryModule {
       val src = s.readStream.schema(ev.schema).parquet(streamDir)
       val name = "stream_session_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      // RocksDB state store (r10, probe 17): the default HDFS-backed
-      // provider holds every open session's state in executor MEMORY —
-      // the 100× corpus (10M events) OOM'd the 8 g contract heap in the
-      // session aggregation task. RocksDB keeps state off-heap/on-disk,
-      // which is the production configuration for large streaming state
-      // anyway; restored to the prior provider after the run so the
-      // gate query stays side-effect-free.
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = s.conf.getOption(providerKey)
-      s.conf.set(providerKey, "org.apache.spark.sql.execution.streaming" +
-        ".state.RocksDBStateStoreProvider")
-      val q =
-        try graft.streaming.EventsOps
-          .sessionsStream(src, "10 minutes", "10 seconds")
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        finally {
-          // The provider is captured at query START; the session-level
-          // conf can be restored immediately.
-          prevProvider match {
-            case Some(v) => s.conf.set(providerKey, v)
-            case None => s.conf.unset(providerKey)
-          }
-        }
+      // State store: the session-wide RocksDB default applies (r11,
+      // SCALING.md probe 17 — the HDFS-backed provider held every open
+      // session's state on-heap and OOM'd the 8 g contract heap at 10M
+      // events; RocksDB completed in 42.9 s and was faster at every
+      // sub-OOM point, so the per-query toggle this gate carried in r10
+      // is gone: the provider policy lives in graft.Sessions).
+      val q = graft.streaming.EventsOps
+        .sessionsStream(src, "10 minutes", "10 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
       q.awaitTermination()
       materializedThen(s, s.table(name)
         .orderBy($"user_id", $"session_start")) {

@@ -74,13 +74,18 @@ object ClustersProbe {
       .join(sizes, Seq("id"))
       .filter(col("rk") <=
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
-      .select(col("id"), col("shingle")))
+      .select(col("id"), col("shingle"), col("rk"), col("n_sh")))
 
     // s3: candidate emission. The RAW join output (pre-distinct) is the
     // volume the SMJ tasks actually stream; report it via count, then
-    // pin the distinct set for the verify stage.
+    // pin the distinct set for the verify stage. Mirrors the shipped
+    // jaccardPairsPrefix, INCLUDING the r11 positional filter.
     val rawCand = ranked.as("a").join(ranked.as("b"), Seq("shingle"))
       .filter(col("a.id") < col("b.id"))
+      .filter(lit(1) +
+        least(col("a.n_sh") - col("a.rk"), col("b.n_sh") - col("b.rk")) >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("a.n_sh") + col("b.n_sh")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val nRaw = rawCand.count()
     println(f"""{"probe":"clusters","stage":"s3_raw_emission","rows":$nRaw,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"dir":"$dir"}""")

@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.Knn
+import graft.model.Tables
+
+/** r11 receipts for the embedding-space nearskew analogue (r10 verdict
+  * #3): the text cluster route was certified under the non-collapsible
+  * boilerplate flood, but the embedding paths were only ever probed
+  * under the replica-scatter corpus. ScaleProbe's `embskew` mode plants
+  * one dense correlated cluster (pairwise cosine ≈0.94, far above the
+  * 0.4 gate threshold, all-distinct ids and floats) on 20% of vectors;
+  * this probe reports the BUCKET-SIZE DISTRIBUTION each semantic path
+  * produces under it — the quantity whose skew decides the within-bucket
+  * quadratic — alongside the implied pair work Σ n·(n−1)/2:
+  *
+  *  - ivf16: `dedup_semantic`'s deterministic first-16-ids assignment
+  *    ([[Knn.ivfAssign]]) — expected to land the whole flood in ONE
+  *    bucket (the shape the scaladoc already warns about);
+  *  - kmeans: the trained √N assignment (`dedup_semantic_trained`'s
+  *    production flavor) — k-means puts MANY centroids inside a dense
+  *    20% cluster (it minimizes within-cluster SSE), so the flood
+  *    should split across centroids and bound the quadratic;
+  *  - lsh: `dedup_embedding_lsh`'s sign-projection buckets (24 tables,
+  *    adaptive bits) — a correlated cluster signs identically on most
+  *    hyperplanes, so its hot (t, bucket) rows measure what the salted
+  *    pair join must absorb.
+  *
+  * Wall times for the registered queries come from [[SkewProbe]]; this
+  * probe is the decomposition (where does the pair work concentrate).
+  *
+  * Usage: Test/runMain graft.tools.EmbSkewProbe <sfDir>
+  */
+object EmbSkewProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = graft.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        String.valueOf(Runtime.getRuntime.availableProcessors())))
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+    def report(name: String, buckets: DataFrame, keyCols: Seq[String]): Unit = {
+      val hist = buckets.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+      val row = hist.agg(
+        count(lit(1)).as("buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(col("n") * (col("n") - 1) / 2).as("pair_work")).head
+      println(s"""{"probe":"embskew","assign":"$name","vectors":$n,""" +
+        s""""buckets":${row.getLong(0)},"max_bucket":${row.getLong(1)},""" +
+        s""""pair_work":${row.getDouble(2).toLong},"dir":"$dir"}""")
+    }
+
+    report("ivf16",
+      Knn.ivfAssign(emb, "vec_id", "embedding", 16), Seq("bucket"))
+    report(s"kmeans$k",
+      Knn.assignWith(emb, "vec_id", "embedding",
+        Knn.kmeans(emb, "vec_id", "embedding", k, 3)), Seq("bucket"))
+    // Same adaptive bits rule as embeddingLshPairs.
+    val bits = math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+    report(s"lsh24x$bits",
+      Knn.lshBucketTable(emb, "vec_id", "embedding", 24, bits, 64),
+      Seq("t", "bucket"))
+    spark.stop()
+  }
+}

@@ -21,11 +21,13 @@ object SessionProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
         String.valueOf(Runtime.getRuntime.availableProcessors())))
     import spark.implicits._
-    if (provider == "rocksdb")
+    // RocksDB is the session default since r11 (probe 17) — the hdfs
+    // arm must now set the legacy provider explicitly for the A/B.
+    if (provider == "hdfs")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming" +
-          ".state.RocksDBStateStoreProvider")
-    else require(provider == "hdfs", s"unknown provider: $provider")
+          ".state.HDFSBackedStateStoreProvider")
+    else require(provider == "rocksdb", s"unknown provider: $provider")
 
     val ev = graft.model.Tables.events(spark, dir)
       .select($"user_id", $"ts", $"value")
