@@ -764,7 +764,12 @@ object Dedup {
     // Three plan branches read the assignment (both pair-join sides and
     // the survivor anti join); pin it so the centroid argmin runs over
     // the corpus once, not three times (same diamond as jaccardPairs).
-    val assigned = assignment.localCheckpoint()
+    // DISK_ONLY (r11): this pin is CORPUS-sized — every vector with its
+    // full payload — so by the probe-16 rule its deserialized blocks
+    // must never compete with the pair join's execution memory (the
+    // exact failure mode probe 16b measured on the shingle pins).
+    val assigned = assignment.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val a = assigned.select(col("bucket"), col("vid").as("id_a"),
       col("v").as("va"))
     val b = assigned.select(col("bucket"), col("vid").as("id_b"),

@@ -179,9 +179,14 @@ object Cdc {
     * the same band — what the operator DOES cost is a fixed ~2.5–3×
     * per-fold premium over plain [[mergeHistory]] (22.3 s same corpus)
     * for the split machinery itself, paid regardless of late volume.
-    * Prefer [[mergeHistory]] when the source contracts in-order
-    * delivery; at 100 TB, partition the raw store by key bucket so the
-    * late-key semi-join prunes instead of scanning. */
+    * Since r11 (probe 19b) a fold whose batch carries NO late key
+    * short-circuits to the [[mergeHistory]] plan after one driver-side
+    * emptiness probe on the batch-scoped late-key set, so a
+    * mostly-in-order source pays the premium only on the folds that
+    * need the repair. Prefer [[mergeHistory]] when the source CONTRACTS
+    * in-order delivery (it raises on violation rather than repairing);
+    * at 100 TB, partition the raw store by key bucket so the late-key
+    * semi-join prunes instead of scanning. */
   def mergeHistoryWithLate(existing: DataFrame, raw: DataFrame,
       batch: DataFrame, keyCols: Seq[String], tsCol: String,
       valueCols: Seq[String]): DataFrame = {
@@ -196,9 +201,26 @@ object Cdc {
     // current valid_from: one late row invalidates the whole key's
     // incremental fold, so the split is per key, not per row. New keys
     // (no current row) are never late.
+    // Pinned (eager, batch-scoped — at most the batch's distinct keys,
+    // the "batch-sized diamond pin" class of the probe-16 rule): FOUR
+    // plan branches read lateKeys below, and the pin also lets the
+    // fold's shape be decided by the data it actually carries.
     val lateKeys = batch.join(cur, keyCols, "left")
       .filter(col("__cur_from").isNotNull && col(tsCol) <= col("__cur_from"))
       .select(keys: _*).distinct()
+      .localCheckpoint(true)
+    // SHORT-CIRCUIT (r11, SCALING.md probe 19b): probe 19 measured the
+    // repair machinery at a fixed ~2.5-3x per-fold premium over plain
+    // mergeHistory even with ZERO late rows — the split joins, the
+    // raw-log scan, and the replacement anti-join all execute for
+    // nothing. A fold whose batch is entirely in order (the common case
+    // under a mostly-in-order source) now pays one driver-side
+    // emptiness probe on the pinned batch-scoped key set and takes the
+    // mergeHistory plan outright. Data-dependent planning is fine here:
+    // the operator's home is a foreachBatch fold, where each micro-batch
+    // plans independently anyway.
+    if (lateKeys.isEmpty)
+      return mergeHistory(existing, batch, keyCols, tsCol, valueCols)
     val inOrder = batch.join(lateKeys, keyCols, "left_anti")
     val lateBatch = batch.join(lateKeys, keyCols, "left_semi")
     // Fast path: the incremental fold (its in-order guard now holds by

@@ -62,6 +62,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(prefixLow == naiveLow)
   }
 
+  test("positional filter keeps a pair at exactly J == threshold (r11)") {
+    // 11 tokens, last one differs: 9 shingles each, 8 shared, union 10 —
+    // J = 0.8 EXACTLY at the 0.8 threshold. The prefix-length floor and
+    // the positional bound 1 + min(n_a − rk_a, n_b − rk_b) ≥
+    // τ/(1+τ)·(n_a + n_b) both sit at their boundary here (overlap 8,
+    // requirement 0.444×18 = 8.0): any float slop in the conservative
+    // direction is fine, slop that loses the pair is a regression this
+    // test catches.
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base tailx"), (2L, s"$base taily"),
+      (3L, "completely different words here with no overlap at all end"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(math.abs(got.head._3 - 0.8) < 1e-12)
+  }
+
   test("minhashPairs recall >= 0.8 vs exact jaccard pairs on the fixture corpus") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
