@@ -189,7 +189,67 @@ object Cdc {
     * semi-join prunes instead of scanning. */
   def mergeHistoryWithLate(existing: DataFrame, raw: DataFrame,
       batch: DataFrame, keyCols: Seq[String], tsCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String]): DataFrame =
+    mergeHistoryWithLateImpl(existing, batch, keyCols, tsCol,
+      valueCols)(_ => raw)
+
+  /** Deterministic key-bucket column for laying the raw version log out
+    * as a PARTITIONED store: `pmod(xxhash64(keys), nBuckets)`. Write the
+    * log once with
+    * `raw.withColumn("kbucket", Cdc.rawBucket(keyCols, n))
+    *   .repartition(col("kbucket")).write.partitionBy("kbucket")` (the
+    * repartition keeps each bucket to one writer — without it every
+    * write task emits a file per bucket and the store shatters into
+    * tasks×buckets small files) and the late-repair path
+    * ([[mergeHistoryWithLatePruned]]) turns its raw scan into a
+    * partition-pruned read of only the late keys' buckets — the
+    * mechanism SCALING.md probe 19 named as the unpruned scan's floor.
+    * Size `nBuckets` well ABOVE the expected late keys per fold: the
+    * prune reads every bucket the IN-list names, so uniformly-spread
+    * late keys cover all buckets once their count nears `nBuckets`
+    * (probe 19c measures exactly that saturation); operationally, late
+    * data usually clusters (one lagging shard/source), which is where
+    * the layout pays regardless of the count. */
+  def rawBucket(keyCols: Seq[String], nBuckets: Int): Column = {
+    require(keyCols.nonEmpty, "keys required")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))
+  }
+
+  /** [[mergeHistoryWithLate]] against a KEY-BUCKETED raw store: `raw`
+    * must carry `bucketCol` == [[rawBucket]](keyCols, nBuckets) — the
+    * partition column of the stored log. The repair path computes the
+    * late keys' distinct buckets (a driver-side collect BOUNDED by
+    * min(nBuckets, |late keys|); `nBuckets` is capped so this is always
+    * a small array) and filters the raw scan on them BEFORE the
+    * semi-join, so a partitioned parquet/table source prunes to the
+    * late buckets statically — the 100 TB raw log is READ, not just
+    * joined, proportionally to the late keys. Results are identical to
+    * [[mergeHistoryWithLate]] (every late key's rows live in its
+    * bucket, and the semi-join still scopes exactly; law-pinned in
+    * CdcSpec). */
+  def mergeHistoryWithLatePruned(existing: DataFrame, raw: DataFrame,
+      batch: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], nBuckets: Int,
+      bucketCol: String = "kbucket"): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"nBuckets must be in (0, 2^20]: $nBuckets")
+    require(raw.columns.contains(bucketCol),
+      s"raw store must carry its partition column '$bucketCol' " +
+        s"(write it with rawBucket(keyCols, $nBuckets))")
+    mergeHistoryWithLateImpl(existing, batch, keyCols, tsCol,
+      valueCols) { lateKeys =>
+      val buckets = lateKeys
+        .select(rawBucket(keyCols, nBuckets).as("__b")).distinct()
+        .collect().map(_.getLong(0))
+      raw.filter(col(bucketCol).isin(buckets: _*)).drop(bucketCol)
+    }
+  }
+
+  private def mergeHistoryWithLateImpl(existing: DataFrame,
+      batch: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String])(
+      rawForLate: DataFrame => DataFrame): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "keys and values required")
     val keys = keyCols.map(col)
     val versionCols = (keyCols ++ valueCols).map(col) :+ col(tsCol)
@@ -227,8 +287,9 @@ object Cdc {
     // construction). Late keys' existing rows ride through unchanged...
     val base = mergeHistory(existing, inOrder, keyCols, tsCol, valueCols)
     // ...and are REPLACED by the recompress of raw ∪ batch, scoped to
-    // the late keys.
-    val lateAll = raw.join(lateKeys, keyCols, "left_semi")
+    // the late keys. `rawForLate` lets the bucketed variant prune the
+    // raw SCAN to the late keys' partitions before this semi-join.
+    val lateAll = rawForLate(lateKeys).join(lateKeys, keyCols, "left_semi")
       .select(versionCols: _*)
       .unionByName(lateBatch.select(versionCols: _*))
     val repaired = compressHistory(lateAll, keyCols, tsCol, valueCols)

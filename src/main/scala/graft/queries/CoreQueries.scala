@@ -854,6 +854,44 @@ object CoreQueries extends graft.QueryModule {
       folded.orderBy($"key", $"valid_from")
     },
 
+    // The late-repair fold against a KEY-BUCKETED raw store (r11): the
+    // raw version log is written ONCE as a kbucket-partitioned parquet
+    // store (kbucket = Cdc.rawBucket — the 100 TB layout SCALING.md
+    // probe 19 prescribes), and each fold repairs through
+    // Cdc.mergeHistoryWithLatePruned, whose raw read partition-prunes
+    // to the late keys' buckets instead of scanning the log. Same
+    // whole-history-compress oracle as the unpruned late gate: the
+    // bucketing must be invisible in the result.
+    "stream_scd2_bucketed_batches" -> { (s, dir) =>
+      import s.implicits._
+      val history = Tables.orders(s, dir)
+        .select($"o_custkey".as("key"), $"o_orderkey".as("version"),
+          $"o_totalprice".as("amount"))
+      val nBuckets = 32
+      val rawDir = java.nio.file.Files
+        .createTempDirectory("graft_rawstore").toString
+      history
+        .withColumn("kbucket",
+          graft.ops.Cdc.rawBucket(Seq("key"), nBuckets))
+        .repartition(col("kbucket")) // one writer per bucket, no file shatter
+        .write.mode("overwrite").partitionBy("kbucket").parquet(rawDir)
+      val stored = s.read.parquet(rawDir)
+      val empty = graft.ops.Cdc.compressHistory(history.limit(0),
+        Seq("key"), "version", Seq("amount"))
+      val folded = (0L until 4L).foldLeft(empty) { (acc, b) =>
+        val batch = history.filter(pmod($"version", lit(4L)) === b)
+        val raw = stored.filter(pmod($"version", lit(4L)) < b)
+        graft.ops.Cdc.mergeHistoryWithLatePruned(acc, raw, batch,
+          Seq("key"), "version", Seq("amount"), nBuckets)
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      }
+      ExtensionQueries.materializedThen(s,
+        folded.orderBy($"key", $"valid_from")) {
+        ExtensionQueries.deleteTree(rawDir)
+      }
+    },
+
     // Data-quality contract checks over orders: the DDL's implicit
     // contracts (PK unique+non-null, FK to customer) plus value
     // contracts (status domain, price range, no future dates) evaluated
@@ -1496,6 +1534,22 @@ object CoreQueries extends graft.QueryModule {
     // folds four in-order batches through Cdc.mergeHistory; the oracle
     // is the whole-history compress.
     "stream_scd2_batches" ->
+      """WITH h AS (SELECT o_custkey AS key, o_orderkey AS version,
+        |  o_totalprice AS amount FROM orders),
+        |c AS (SELECT key, version, amount,
+        |  lag(amount) OVER (PARTITION BY key ORDER BY version) AS prev
+        |  FROM h),
+        |ch AS (SELECT key, version, amount FROM c
+        |  WHERE prev IS NULL OR amount IS DISTINCT FROM prev)
+        |SELECT key, amount, version AS valid_from,
+        |  lead(version) OVER (PARTITION BY key ORDER BY version) AS valid_to,
+        |  lead(version) OVER (PARTITION BY key ORDER BY version) IS NULL
+        |    AS is_current
+        |FROM ch ORDER BY key, valid_from""".stripMargin,
+
+    // The bucketed raw store must be invisible in the result: same
+    // whole-history compress oracle as the late gate below.
+    "stream_scd2_bucketed_batches" ->
       """WITH h AS (SELECT o_custkey AS key, o_orderkey AS version,
         |  o_totalprice AS amount FROM orders),
         |c AS (SELECT key, version, amount,

@@ -27,7 +27,7 @@ object ExtensionQueries extends graft.QueryModule {
     * gate query's OUTPUT is a narrow bounded result (ids, per-key
     * aggregates), never the corpus — the corpus-sized state lives in
     * the temp warehouse this helper deletes. */
-  private def materializedThen(s: SparkSession, df: DataFrame)(
+  private[queries] def materializedThen(s: SparkSession, df: DataFrame)(
       cleanup: => Unit): DataFrame =
     try {
       val rows = df.collect()
@@ -39,7 +39,7 @@ object ExtensionQueries extends graft.QueryModule {
       }
 
   /** Best-effort recursive delete of a gate query's temp directory. */
-  private def deleteTree(dir: String): Unit = {
+  private[queries] def deleteTree(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(p))
       java.nio.file.Files.walk(p)

@@ -148,6 +148,43 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
         Seq("k"), "v", Seq("value"))))
   }
 
+  test("mergeHistoryWithLatePruned == unpruned over a bucketed raw store (r11)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, String, Int, Option[Int], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    // Includes the resurrect shape (key 1) so the pruned path is proven
+    // on the case that REQUIRES the raw store, plus an untouched key (3)
+    // whose bucket must not be read.
+    val raw = Seq(
+      (1L, 10, "a"), (1L, 20, "a"), (1L, 30, "b"),
+      (2L, 10, "p"), (2L, 20, "q"),
+      (3L, 10, "x"), (3L, 20, "y"),
+    ).toDF("k", "v", "value")
+    val batch = Seq((1L, 15, "b"), (2L, 30, "r")).toDF("k", "v", "value")
+    val existing = Cdc.compressHistory(raw, Seq("k"), "v", Seq("value"))
+    val nBuckets = 8
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rawbucket").toString
+    raw.withColumn("kbucket", Cdc.rawBucket(Seq("k"), nBuckets))
+      .write.mode("overwrite").partitionBy("kbucket").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val pruned = Cdc.mergeHistoryWithLatePruned(existing, stored, batch,
+      Seq("k"), "v", Seq("value"), nBuckets)
+    assert(rows(pruned) === rows(Cdc.mergeHistoryWithLate(existing, raw,
+      batch, Seq("k"), "v", Seq("value"))))
+    // The raw read is PARTITION-pruned: its scan carries a kbucket
+    // partition filter (the IN list of the late keys' buckets), so a
+    // partitioned store reads only those directories.
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*kbucket"
+      .r.findFirstIn(planStr).isDefined,
+      s"expected a kbucket partition filter on the raw scan:\n$planStr")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("mergeHistory raises loudly on an out-of-order batch row") {
     // Contract guard (r9 verdict): a batch ts at-or-before the key's
     // current valid_from must FAIL the job, not silently corrupt

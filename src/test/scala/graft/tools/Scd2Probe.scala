@@ -19,12 +19,20 @@ import org.apache.spark.storage.StorageLevel
   *    the operator's contract shape (O(batch + late keys' raw rows)).
   *    D = 100 ⇒ ~1% late keys.
   *
-  * Usage: Test/runMain graft.tools.Scd2Probe <sfDir> <mem|disk> [interleave|trickle:D]
+  * A 4th arg `pruned:<nBuckets>` (r11) folds through
+  * [[graft.ops.Cdc.mergeHistoryWithLatePruned]] against a one-time
+  * kbucket-PARTITIONED parquet write of the raw log, so the repair's
+  * raw read partition-prunes to the late keys' buckets — the A/B for
+  * SCALING.md probe 19c.
+  *
+  * Usage: Test/runMain graft.tools.Scd2Probe <sfDir> <mem|disk> [interleave|trickle:D] [pruned:N]
   */
 object Scd2Probe {
   def main(args: Array[String]): Unit = {
     val Array(dir, mode) = args.take(2)
     val arrival = if (args.length > 2) args(2) else "interleave"
+    val pruned: Option[Int] = args.drop(3).headOption
+      .map(_.stripPrefix("pruned:").toInt)
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
         String.valueOf(Runtime.getRuntime.availableProcessors())))
@@ -56,17 +64,46 @@ object Scd2Probe {
     def pin(df: org.apache.spark.sql.DataFrame) =
       if (mode == "disk") df.localCheckpoint(true, StorageLevel.DISK_ONLY)
       else df.localCheckpoint()
+    // pruned mode: materialize the raw log ONCE as a kbucket-partitioned
+    // store (what a warehouse's staged-batch log looks like on disk) and
+    // fold through the partition-pruning repair. The write cost is
+    // reported separately — it is the store's layout cost, not a fold's.
+    val storedTagged = pruned.map { n =>
+      val t0 = System.nanoTime()
+      val rawDir = java.nio.file.Files
+        .createTempDirectory("graft_rawstore_probe").toString
+      tagged
+        .withColumn("kbucket", graft.ops.Cdc.rawBucket(Seq("key"), n))
+        .repartition(col("kbucket"))
+        .write.mode("overwrite").partitionBy("kbucket").parquet(rawDir)
+      println(f"""{"probe":"scd2","arrival":"$arrival","stage":"bucketed_write","nBuckets":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"mode":"$mode"}""")
+      (spark.read.parquet(rawDir), rawDir)
+    }
     val empty = graft.ops.Cdc.compressHistory(history.limit(0),
       Seq("key"), "version", Seq("amount"))
     var acc = empty
     for (b <- 0L until 4L) {
       val t0 = System.nanoTime()
       val batch = tagged.filter($"__arrive" === b).drop("__arrive")
-      val raw = tagged.filter($"__arrive" < b).drop("__arrive")
-      acc = pin(graft.ops.Cdc.mergeHistoryWithLate(acc, raw, batch,
-        Seq("key"), "version", Seq("amount")))
+      acc = pin(storedTagged match {
+        case Some((stored, _)) =>
+          val raw = stored.filter($"__arrive" < b).drop("__arrive")
+          graft.ops.Cdc.mergeHistoryWithLatePruned(acc, raw, batch,
+            Seq("key"), "version", Seq("amount"), pruned.get)
+        case None =>
+          val raw = tagged.filter($"__arrive" < b).drop("__arrive")
+          graft.ops.Cdc.mergeHistoryWithLate(acc, raw, batch,
+            Seq("key"), "version", Seq("amount"))
+      })
       val n = acc.count()
-      println(f"""{"probe":"scd2","arrival":"$arrival","fold":$b,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"mode":"$mode"}""")
+      val tag = pruned.map(n => s""","pruned":$n""").getOrElse("")
+      println(f"""{"probe":"scd2","arrival":"$arrival","fold":$b,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"mode":"$mode"$tag}""")
+    }
+    storedTagged.foreach { case (_, d) =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(d))
     }
     spark.stop()
   }
