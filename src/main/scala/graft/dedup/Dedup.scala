@@ -262,10 +262,16 @@ object Dedup {
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // n_sh rides the SAME window pass as rk (unbounded frame over the
+    // same (id) partitioning + (df, shingle) sort), instead of joining
+    // the separately-aggregated sizes table back by id — one
+    // corpus-sized exchange fewer in the index stage (r11; `sizes`
+    // itself is still used below, where it joins the tiny verified set).
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
     val ranked = sh.join(dfs, Seq("shingle"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
-      .join(sizes, Seq("id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("rk") <=
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
       .select(col("id"), col("shingle"), col("rk"), col("n_sh"))

@@ -68,10 +68,12 @@ object ClustersProbe {
     // s2: the PPJoin prefix index (mirrors jaccardPairsPrefix).
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("shingle"))
     val ranked = stage("s2_prefix_index")(sh.join(dfs, Seq("shingle"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
-      .join(sizes, Seq("id"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n_sh", count(lit(1)).over(wRank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("rk") <=
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
       .select(col("id"), col("shingle"), col("rk"), col("n_sh")))
