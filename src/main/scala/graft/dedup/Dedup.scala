@@ -294,9 +294,17 @@ object Dedup {
     // τ/(1+τ)·(n_a+n_b), so an emission whose bound falls short is
     // dropped; the pair survives iff ANY of its emissions passes — safe,
     // because a true pair's minimal shared emission always does (its
-    // bound ≥ the true overlap ≥ the requirement). No ceil on the
-    // requirement: float error can only ADD candidates, never lose a
-    // true pair (same direction as the prefix-length floor above). The
+    // bound ≥ the true overlap ≥ the requirement). The requirement is
+    // computed MINUS 1e-6: τ/(1+τ) is not exactly representable and its
+    // product can round UP past the exact rational bound (measured:
+    // τ=0.8, n_a+n_b=63 → 28.000000000000004 > the exact 28, silently
+    // dropping a true pair at J == τ — the r11 review find, now a
+    // DedupSpec regression case). The epsilon dwarfs the product's
+    // absolute float error (≤ ~4e-7 even at 10⁹ shingles/doc) while
+    // admitting at most a 1e-6-wide sliver of extra candidates, which
+    // the exact verify below discards — float error can then only ADD
+    // candidates, never lose a true pair (the same conservative
+    // direction as the prefix-length floor above). The
     // r11 cluster bisect measured the verify joins below at 71% of the
     // composed query's 100× wall with 0.18% candidate precision — this
     // filter kills the deep-prefix false candidates BEFORE the distinct
@@ -308,7 +316,7 @@ object Dedup {
       .filter(lit(1) +
         least(col("a.n_sh") - col("a.rk"), col("b.n_sh") - col("b.rk")) >=
         lit(threshold / (1.0 + threshold)) *
-          (col("a.n_sh") + col("b.n_sh")))
+          (col("a.n_sh") + col("b.n_sh")) - lit(1e-6))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val shared = cand

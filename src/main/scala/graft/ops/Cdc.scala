@@ -183,7 +183,14 @@ object Cdc {
     * short-circuits to the [[mergeHistory]] plan after one driver-side
     * emptiness probe on the batch-scoped late-key set, so a
     * mostly-in-order source pays the premium only on the folds that
-    * need the repair. Prefer [[mergeHistory]] when the source CONTRACTS
+    * need the repair. NOTE the API consequence: the call is EAGER — it
+    * materializes the late-key set (and with it the batch/existing
+    * split joins) at CALL time to pick the plan, so this is a
+    * fold-step operator for foreachBatch-style sinks, not a lazy plan
+    * builder; the split is frozen from the inputs' call-time contents
+    * (re-reading a mutated source at execution time would route a new
+    * late row down the in-order path and trip its guard). Prefer
+    * [[mergeHistory]] when the source CONTRACTS
     * in-order delivery (it raises on violation rather than repairing);
     * at 100 TB, partition the raw store by key bucket so the late-key
     * semi-join prunes instead of scanning. */
@@ -213,7 +220,18 @@ object Cdc {
   def rawBucket(keyCols: Seq[String], nBuckets: Int): Column = {
     require(keyCols.nonEmpty, "keys required")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))
+    // Keys are hashed through a canonical STRING cast: xxhash64 is
+    // TYPE-sensitive (long 5 and int 5 hash differently), and the
+    // store's buckets are computed at write time while the probe side
+    // is computed from a later batch's lateKeys — a type drift between
+    // the two (int vs long key after a schema evolution) would
+    // otherwise build a wrong IN-list and silently select the wrong
+    // partitions (the repair would then rebuild late keys from batch
+    // rows alone). The cast makes all integer-typed keys agree; the
+    // residual contract (don't flip a key between, say, decimal
+    // scales across writes) is documented rather than checkable here.
+    pmod(xxhash64(keyCols.map(c => col(c).cast("string")): _*),
+      lit(nBuckets.toLong))
   }
 
   /** [[mergeHistoryWithLate]] against a KEY-BUCKETED raw store: `raw`

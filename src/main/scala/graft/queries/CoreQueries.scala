@@ -870,25 +870,34 @@ object CoreQueries extends graft.QueryModule {
       val nBuckets = 32
       val rawDir = java.nio.file.Files
         .createTempDirectory("graft_rawstore").toString
-      history
-        .withColumn("kbucket",
-          graft.ops.Cdc.rawBucket(Seq("key"), nBuckets))
-        .repartition(col("kbucket")) // one writer per bucket, no file shatter
-        .write.mode("overwrite").partitionBy("kbucket").parquet(rawDir)
-      val stored = s.read.parquet(rawDir)
-      val empty = graft.ops.Cdc.compressHistory(history.limit(0),
-        Seq("key"), "version", Seq("amount"))
-      val folded = (0L until 4L).foldLeft(empty) { (acc, b) =>
-        val batch = history.filter(pmod($"version", lit(4L)) === b)
-        val raw = stored.filter(pmod($"version", lit(4L)) < b)
-        graft.ops.Cdc.mergeHistoryWithLatePruned(acc, raw, batch,
-          Seq("key"), "version", Seq("amount"), nBuckets)
-          .localCheckpoint(true,
-            org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      }
-      ExtensionQueries.materializedThen(s,
-        folded.orderBy($"key", $"valid_from")) {
-        ExtensionQueries.deleteTree(rawDir)
+      // Everything from the corpus-sized write through the eagerly-
+      // executing folds runs BEFORE materializedThen's own finally
+      // exists, so a mid-fold failure (disk full, OOM at probe scale)
+      // must not leak the store: delete-and-rethrow on that window.
+      try {
+        history
+          .withColumn("kbucket",
+            graft.ops.Cdc.rawBucket(Seq("key"), nBuckets))
+          .repartition(col("kbucket")) // one writer per bucket
+          .write.mode("overwrite").partitionBy("kbucket").parquet(rawDir)
+        val stored = s.read.parquet(rawDir)
+        val empty = graft.ops.Cdc.compressHistory(history.limit(0),
+          Seq("key"), "version", Seq("amount"))
+        val folded = (0L until 4L).foldLeft(empty) { (acc, b) =>
+          val batch = history.filter(pmod($"version", lit(4L)) === b)
+          val raw = stored.filter(pmod($"version", lit(4L)) < b)
+          graft.ops.Cdc.mergeHistoryWithLatePruned(acc, raw, batch,
+            Seq("key"), "version", Seq("amount"), nBuckets)
+            .localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        }
+        ExtensionQueries.materializedThen(s,
+          folded.orderBy($"key", $"valid_from")) {
+          ExtensionQueries.deleteTree(rawDir)
+        }
+      } catch { case t: Throwable =>
+        try ExtensionQueries.deleteTree(rawDir) catch { case _: Throwable => }
+        throw t
       }
     },
 

@@ -39,13 +39,8 @@ object ExtensionQueries extends graft.QueryModule {
       }
 
   /** Best-effort recursive delete of a gate query's temp directory. */
-  private[queries] def deleteTree(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-  }
+  private[queries] def deleteTree(dir: String): Unit =
+    graft.util.FsUtil.deleteTree(dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

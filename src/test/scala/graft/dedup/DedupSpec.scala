@@ -79,6 +79,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Double)].collect().toSet
     assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)))
     assert(math.abs(got.head._3 - 0.8) < 1e-12)
+
+    // The FLOAT-ROUNDING shape (r11 review find): at n_a + n_b = 63 the
+    // double product τ/(1+τ)·63 = 28.000000000000004 rounds ABOVE the
+    // exact rational bound 28, so without the filter's 1e-6 slack this
+    // true pair at exactly J = 28/35 = 0.8 was silently dropped (the
+    // n_a+n_b=18 case above passes by rounding luck; 63/117/126/135 do
+    // not). 30 shared tokens + 3 vs 4 unique tails → 31- and 32-shingle
+    // docs sharing 28.
+    val base63 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs63 = Seq(
+      (1L, s"$base63 a1 a2 a3"), (2L, s"$base63 b1 b2 b3 b4"),
+    ).toDF("doc_id", "text")
+    val got63 = Dedup.jaccardPairsPrefix(docs63, "text", "doc_id", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got63.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      "true pair at J == τ with n_a+n_b = 63 must survive the positional filter")
+    assert(math.abs(got63.head._3 - 0.8) < 1e-12)
   }
 
   test("minhashPairs recall >= 0.8 vs exact jaccard pairs on the fixture corpus") {

@@ -179,10 +179,7 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert("PartitionFilters: \\[[^\\]]*kbucket"
       .r.findFirstIn(planStr).isDefined,
       s"expected a kbucket partition filter on the raw scan:\n$planStr")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(dir))
+    graft.util.FsUtil.deleteTree(dir)
   }
 
   test("mergeHistory raises loudly on an out-of-order batch row") {

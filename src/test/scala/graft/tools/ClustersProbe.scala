@@ -87,7 +87,7 @@ object ClustersProbe {
       .filter(lit(1) +
         least(col("a.n_sh") - col("a.rk"), col("b.n_sh") - col("b.rk")) >=
         lit(threshold / (1.0 + threshold)) *
-          (col("a.n_sh") + col("b.n_sh")))
+          (col("a.n_sh") + col("b.n_sh")) - lit(1e-6))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val nRaw = rawCand.count()
     println(f"""{"probe":"clusters","stage":"s3_raw_emission","rows":$nRaw,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"dir":"$dir"}""")

@@ -61,11 +61,19 @@ object EmbSkewProbe {
     report(s"kmeans$k",
       Knn.assignWith(emb, "vec_id", "embedding",
         Knn.kmeans(emb, "vec_id", "embedding", k, 3)), Seq("bucket"))
-    // Same adaptive bits rule as embeddingLshPairs.
+    // Same adaptive bits rule as embeddingLshPairs (the LIBRARY path)...
     val bits = math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
     report(s"lsh24x$bits",
       Knn.lshBucketTable(emb, "vec_id", "embedding", 24, bits, 64),
       Seq("t", "bucket"))
+    // ...and the REGISTERED dedup_embedding_lsh gate's pinned bits=6
+    // (its DuckDB-determinism config — identical to adaptive at
+    // oracle/bench scale, bucket-starved above it; r11 review find:
+    // the receipts must cover the geometry the gate actually runs).
+    if (bits != 6)
+      report("lsh24x6_gate",
+        Knn.lshBucketTable(emb, "vec_id", "embedding", 24, 6, 64),
+        Seq("t", "bucket"))
     spark.stop()
   }
 }

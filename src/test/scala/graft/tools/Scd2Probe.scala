@@ -99,12 +99,7 @@ object Scd2Probe {
       val tag = pruned.map(n => s""","pruned":$n""").getOrElse("")
       println(f"""{"probe":"scd2","arrival":"$arrival","fold":$b,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"mode":"$mode"$tag}""")
     }
-    storedTagged.foreach { case (_, d) =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(d))
-    }
+    storedTagged.foreach { case (_, d) => graft.util.FsUtil.deleteTree(d) }
     spark.stop()
   }
 }

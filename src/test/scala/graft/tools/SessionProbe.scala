@@ -53,10 +53,7 @@ object SessionProbe {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"probe":"session","provider":"$provider","events":$nEvents,"sessions":$nSessions,"sec":$sec%.3f,"dir":"$dir"}""")
     spark.catalog.dropTempView("sessprobe")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(streamDir))
+    graft.util.FsUtil.deleteTree(streamDir)
     spark.stop()
   }
 }
