@@ -172,7 +172,32 @@ object Bench {
     // falls back to the r8 in-process end-of-suite context if the
     // child JVM cannot be launched or dies — a measurement aid must
     // never fail the contract run. Calibration in SCALING.md.
-    val headlineNames = (flagships ++
+    // Round-over-round MOVERS join the isolated set (r12, r11 verdict
+    // #2): the fork-isolated second context used to cover only
+    // flagships + this run's top-20 by absolute time, so a sub-4 s
+    // query that regressed >2x vs last round never got a fresh-JVM
+    // re-time and stayed unarbitrated drift for a full round. The
+    // committed BENCH_FULL_LOCAL.json is the previous full-suite warmed
+    // map on this code line; any query >=0.5 s whose warmed time grew
+    // >2x vs it is re-timed isolated this run (capped at 12, worst
+    // ratios first, so a VM-wide slowdown cannot double the fork run).
+    val prevFull: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("BENCH_FULL_LOCAL.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val qs = s.indexOf("\"queries\":")
+        if (qs < 0) Map.empty
+        else """"(\w+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(s.substring(qs))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val movers = pass1
+      .filter { case (n, t) =>
+        t >= 0.5 && prevFull.get(n).exists(prev => prev > 0 && t > 2 * prev) }
+      .sortBy { case (n, t) => (-(t / prevFull(n)), n) }
+      .take(12).map(_._1)
+    val headlineNames = (flagships ++ movers ++
       pass1.sortBy { case (n, t) => (-t, n) }.take(20).map(_._1)).distinct
         .filter(pass1.toMap.contains)
     // While the child runs, this parent (same -Xmx, heap populated by

@@ -183,7 +183,12 @@ object Cdc {
     * short-circuits to the [[mergeHistory]] plan after one driver-side
     * emptiness probe on the batch-scoped late-key set, so a
     * mostly-in-order source pays the premium only on the folds that
-    * need the repair. NOTE the API consequence: the call is EAGER — it
+    * need the repair; since r12 (probe 19e) the detection itself is
+    * one batch min-ts aggregate plus a join against the `valid_from >=
+    * batchMin` slice of the current rows — empty-to-tiny under an
+    * in-order source — instead of a batch-keys current-row
+    * reconstruction, closing most of the detection floor probe 19b
+    * left (the restriction is exact: late ⇒ cur_from ≥ ts ≥ batchMin). NOTE the API consequence: the call is EAGER — it
     * materializes the late-key set (and with it the batch/existing
     * split joins) at CALL time to pick the plan, so this is a
     * fold-step operator for foreachBatch-style sinks, not a lazy plan
@@ -237,15 +242,39 @@ object Cdc {
   /** [[mergeHistoryWithLate]] against a KEY-BUCKETED raw store: `raw`
     * must carry `bucketCol` == [[rawBucket]](keyCols, nBuckets) — the
     * partition column of the stored log. The repair path computes the
-    * late keys' distinct buckets (a driver-side collect BOUNDED by
-    * min(nBuckets, |late keys|); `nBuckets` is capped so this is always
-    * a small array) and filters the raw scan on them BEFORE the
-    * semi-join, so a partitioned parquet/table source prunes to the
-    * late buckets statically — the 100 TB raw log is READ, not just
-    * joined, proportionally to the late keys. Results are identical to
-    * [[mergeHistoryWithLate]] (every late key's rows live in its
-    * bucket, and the semi-join still scopes exactly; law-pinned in
-    * CdcSpec). */
+    * late keys' distinct buckets (a driver-side collect bounded by
+    * min(nBuckets, |late keys|)) and filters the raw scan on them
+    * BEFORE the semi-join, so a partitioned parquet/table source prunes
+    * to the late buckets statically — the 100 TB raw log is READ, not
+    * just joined, proportionally to the late keys. Results are
+    * identical to [[mergeHistoryWithLate]] (every late key's rows live
+    * in its bucket, and the semi-join still scopes exactly; law-pinned
+    * in CdcSpec).
+    *
+    * Two r12 hardenings (ADVICE):
+    *
+    *  - SATURATION FALLBACK: once the late keys' bucket list covers
+    *    most of the store (> half of `nBuckets`, or more IN-list
+    *    literals than [[inListMax]]), the filter prunes almost nothing
+    *    while bloating the plan and paying O(list) per-partition
+    *    evaluation — probe 19c measured that regime at par with the
+    *    plain scan — so the operator SKIPS the filter and lets the
+    *    semi-join scope alone, exactly [[mergeHistoryWithLate]]'s plan.
+    *  - LAYOUT GUARD: a caller whose `nBuckets` (or key order/type)
+    *    differs from the write-time [[rawBucket]] layout would build an
+    *    IN-list that selects the WRONG partitions; the late-key
+    *    semi-join would then find no raw rows and the repair would
+    *    silently recompress from batch rows alone, dropping resurrect
+    *    change points. Before replacing any history, the pruned slice
+    *    is checked to contain >= 1 raw row for EVERY late key — by the
+    *    operator's own contract (`existing` == compressHistory(raw)) a
+    *    late key always has raw versions, and a key's rows all live in
+    *    ONE bucket, so presence of any row proves the key's whole
+    *    history was read. The check is one count over the pruned slice
+    *    (late-proportional when the layout is right, near-empty when it
+    *    is wrong) and raises instead of corrupting; it is skipped in
+    *    the saturation regime, where no pruning happens and the
+    *    unpruned semantics need no layout at all. */
   def mergeHistoryWithLatePruned(existing: DataFrame, raw: DataFrame,
       batch: DataFrame, keyCols: Seq[String], tsCol: String,
       valueCols: Seq[String], nBuckets: Int,
@@ -260,9 +289,28 @@ object Cdc {
       val buckets = lateKeys
         .select(rawBucket(keyCols, nBuckets).as("__b")).distinct()
         .collect().map(_.getLong(0))
-      raw.filter(col(bucketCol).isin(buckets: _*)).drop(bucketCol)
+      if (buckets.length > inListMax || buckets.length.toLong * 2 >= nBuckets) {
+        raw.drop(bucketCol)
+      } else {
+        val pruned = raw.filter(col(bucketCol).isin(buckets: _*))
+        val missing = lateKeys.join(
+          pruned.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti").count()
+        require(missing == 0L,
+          s"mergeHistoryWithLatePruned: $missing late key(s) have no rows " +
+            s"in the pruned raw slice — the store's $bucketCol layout does " +
+            s"not match rawBucket(${keyCols.mkString(",")}, $nBuckets) " +
+            "(nBuckets or key order/type drift between write and read), " +
+            "or the raw log is missing history the SCD2 table implies")
+        pruned.drop(bucketCol)
+      }
     }
   }
+
+  /** IN-list size ceiling for [[mergeHistoryWithLatePruned]]'s bucket
+    * filter: past a few thousand literals the predicate costs O(list)
+    * per partition while pruning a shrinking remainder. */
+  private val inListMax = 4096
 
   private def mergeHistoryWithLateImpl(existing: DataFrame,
       batch: DataFrame, keyCols: Seq[String], tsCol: String,
@@ -271,20 +319,35 @@ object Cdc {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "keys and values required")
     val keys = keyCols.map(col)
     val versionCols = (keyCols ++ valueCols).map(col) :+ col(tsCol)
-    // Current change point per touched key — the in-order boundary.
-    val cur = existing.filter(col("is_current"))
-      .join(batch.select(keys: _*).distinct(), keyCols, "left_semi")
-      .select(keyCols.map(col) :+ col("valid_from").as("__cur_from"): _*)
     // A key is LATE iff ANY of its batch rows sits at or before its
     // current valid_from: one late row invalidates the whole key's
     // incremental fold, so the split is per key, not per row. New keys
     // (no current row) are never late.
+    //
+    // DETECTOR (r12, SCALING.md probe 19e — r11 verdict #3): a key can
+    // be late only if its current `valid_from` is AT OR ABOVE the
+    // batch's minimum ts (late needs ts <= valid_from and every batch
+    // ts >= min). So instead of reconstructing the batch keys'
+    // current-row slice (distinct batch keys + semi-join + wide join —
+    // a per-fold corpus-history cost paid even when nothing is late),
+    // take one cheap aggregate on the batch and join it against the
+    // SUSPECT slice of the current rows — `valid_from >= batchMin` —
+    // which under a mostly-in-order source is empty or tiny (the
+    // batch's min ts exceeds every historical change point), so the
+    // join broadcasts a near-empty side. The restriction is EXACT, not
+    // a heuristic: late ⇒ cur_from >= ts >= batchMin ⇒ suspect.
+    val batchMinTs = batch.agg(min(col(tsCol))).head.get(0)
+    if (batchMinTs == null) // empty (or all-null-ts) batch: nothing is late
+      return mergeHistory(existing, batch, keyCols, tsCol, valueCols)
+    val suspects = existing
+      .filter(col("is_current") && col("valid_from") >= lit(batchMinTs))
+      .select(keyCols.map(col) :+ col("valid_from").as("__cur_from"): _*)
     // Pinned (eager, batch-scoped — at most the batch's distinct keys,
     // the "batch-sized diamond pin" class of the probe-16 rule): FOUR
     // plan branches read lateKeys below, and the pin also lets the
     // fold's shape be decided by the data it actually carries.
-    val lateKeys = batch.join(cur, keyCols, "left")
-      .filter(col("__cur_from").isNotNull && col(tsCol) <= col("__cur_from"))
+    val lateKeys = batch.join(suspects, keyCols, "inner")
+      .filter(col(tsCol) <= col("__cur_from"))
       .select(keys: _*).distinct()
       .localCheckpoint(true)
     // SHORT-CIRCUIT (r11, SCALING.md probe 19b): probe 19 measured the

@@ -615,16 +615,21 @@ object ExtensionQueries extends graft.QueryModule {
     // projection candidates, exact-cosine verify (precision 1.0, LSH
     // recall). Deterministic md5-derived hyperplanes, so the oracle
     // replays plane -> signature -> candidate -> verify end to end.
-    // bits = 6 pinned explicitly: the DuckDB oracle replays a FIXED
-    // B=6 geometry, and the library's auto-sizing default would silently
-    // flip to B=7 the moment the fixture crosses 2048 rows (sf0.1 has
-    // 2000). Auto-sizing stays the library default; the oracle-gated
-    // query pins it (Dedup.embeddingLshPairs doc).
+    // bits = 0 = the ADAPTIVE rule B = max(6, ceil(log2(n/32))) — the
+    // registered plan IS the scale plan (r12, closing r11 verdict #1:
+    // the previously-pinned bits=6 kept 2^6 buckets per table at every
+    // N, so per-cell population grew ∝ N and the gate aborted at
+    // embskew 30× with 79 GB of spill while the adaptive library path
+    // stayed candidate-proportional). The DuckDB oracle derives the
+    // SAME B from count(*) in a scalar-subquery CTE, so determinism is
+    // preserved without freezing the geometry; at every gate scale
+    // (sf0.001/0.01/0.1 = 20/200/2000 vectors) the rule yields exactly
+    // 6, so the result set is unchanged from the pinned-bits rounds.
     // NARROW+SALTED form (r10): law-pinned equal to embeddingLshPairs,
     // 3× faster at the 100× corpus (SCALING.md probe 15).
     "dedup_embedding_lsh" -> { (s, dir) =>
       graft.dedup.Dedup.embeddingLshPairsSalted(Tables.embeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.4, dims = 64, bits = 6)
+        "vec_id", "embedding", threshold = 0.4, dims = 64, bits = 0)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -3262,16 +3267,29 @@ object ExtensionQueries extends graft.QueryModule {
     "dedup_embedding_lsh" -> {
       // Same md5-derived plane/signature machinery as the knn_lsh_topk
       // oracle; here the candidate join is the bucket SELF-join and the
-      // verify is the thresholded exact cosine.
-      val T = 24; val B = 6; val D = 64
-      s"""WITH planes AS (
-         |  SELECT CAST(i // $B AS INT) AS t, CAST(i % $B AS INT) AS p,
+      // verify is the thresholded exact cosine. The signature WIDTH is
+      // not pinned (r12): `nb` derives B = max(6, ceil(log2(n/32)))
+      // from count(*) — the library's adaptive rule
+      // (Dedup.embeddingLshPairs), so the oracle replays the geometry
+      // the registered query actually runs at ANY corpus size instead
+      // of freezing the one that matched at 2k vectors. The md5 plane
+      // weights depend only on (t, p, d), so B decides how many planes
+      // exist, never their values. (Boundary note: at exact powers of
+      // two DuckDB's log2 and Scala's log(n)/log(2) could in principle
+      // round across the ceil boundary; every gate corpus sits far from
+      // one, and the library's autoBits spec pins the Scala side.)
+      val T = 24; val D = 64
+      s"""WITH nb AS (
+         |  SELECT GREATEST(6, CAST(ceil(log2(count(*) / 32.0)) AS INT)) AS nbits
+         |  FROM embeddings),
+         |planes AS (
+         |  SELECT CAST(i // nbits AS INT) AS t, CAST(i % nbits AS INT) AS p,
          |    list(w ORDER BY d) AS w
          |  FROM (
-         |    SELECT i, d,
-         |      (('0x' || substr(md5('lsh:' || (i // $B) || ':' || (i % $B) || ':' || d), 1, 13))::BIGINT
+         |    SELECT i, d, nbits,
+         |      (('0x' || substr(md5('lsh:' || (i // nbits) || ':' || (i % nbits) || ':' || d), 1, 13))::BIGINT
          |        / 4503599627370496.0) * 2.0 - 1.0 AS w
-         |    FROM (SELECT unnest(range(${T * B})) AS i)
+         |    FROM (SELECT unnest(range($T * nbits)) AS i, nbits FROM nb)
          |    CROSS JOIN (SELECT unnest(range($D)) AS d))
          |  GROUP BY 1, 2),
          |vecs AS (

@@ -182,6 +182,69 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     graft.util.FsUtil.deleteTree(dir)
   }
 
+  test("mergeHistoryWithLatePruned raises on layout drift instead of corrupting (r12 advice)") {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    // A store whose kbucket column disagrees with rawBucket(keyCols,
+    // nBuckets) — every bucket shifted by one stands in for any
+    // nBuckets / key-order / key-type drift between write and read.
+    // Without the guard, the IN-list selects partitions holding OTHER
+    // keys' rows, the late key's raw history is never read, and the
+    // repair silently recompresses from batch rows alone (dropping the
+    // resurrect change point). With it, the call fails loudly.
+    val raw = Seq(
+      (1L, 10, "a"), (1L, 20, "a"), (1L, 30, "b"),
+      (2L, 10, "p"),
+    ).toDF("k", "v", "value")
+    val batch = Seq((1L, 15, "b")).toDF("k", "v", "value")
+    val existing = Cdc.compressHistory(raw, Seq("k"), "v", Seq("value"))
+    val nBuckets = 8
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rawbucket_drift").toString
+    raw.withColumn("kbucket",
+        pmod(Cdc.rawBucket(Seq("k"), nBuckets) + lit(1L), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("kbucket").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Cdc.mergeHistoryWithLatePruned(existing, stored, batch,
+        Seq("k"), "v", Seq("value"), nBuckets)
+    }
+    assert(e.getMessage.contains("layout"), e.getMessage)
+    graft.util.FsUtil.deleteTree(dir)
+  }
+
+  test("mergeHistoryWithLatePruned saturation falls back to the plain scan (r12 advice)") {
+    // Once the late keys' buckets cover >= half the store, the IN-list
+    // prunes ~nothing while costing O(list) per partition (probe 19c's
+    // saturation regime) — the operator must skip the filter and still
+    // produce the unpruned result. nBuckets = 1 saturates with a single
+    // late key, and the fallback path must not demand a layout match
+    // (no pruning ⇒ no layout risk), so this also pins that the r12
+    // guard stays OUT of the saturated plan.
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, String, Int, Option[Int], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val raw = Seq(
+      (1L, 10, "a"), (1L, 20, "a"), (1L, 30, "b"),
+      (2L, 10, "p"), (2L, 20, "q"),
+    ).toDF("k", "v", "value")
+    val batch = Seq((1L, 15, "b")).toDF("k", "v", "value")
+    val existing = Cdc.compressHistory(raw, Seq("k"), "v", Seq("value"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rawbucket_sat").toString
+    raw.withColumn("kbucket", Cdc.rawBucket(Seq("k"), 1))
+      .write.mode("overwrite").partitionBy("kbucket").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val pruned = Cdc.mergeHistoryWithLatePruned(existing, stored, batch,
+      Seq("k"), "v", Seq("value"), 1)
+    assert(rows(pruned) === rows(Cdc.mergeHistoryWithLate(existing, raw,
+      batch, Seq("k"), "v", Seq("value"))))
+    // Saturated ⇒ no kbucket partition filter anywhere in the plan.
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*kbucket".r.findFirstIn(planStr).isEmpty,
+      s"saturated fallback must not carry a kbucket partition filter:\n$planStr")
+    graft.util.FsUtil.deleteTree(dir)
+  }
+
   test("mergeHistory raises loudly on an out-of-order batch row") {
     // Contract guard (r9 verdict): a batch ts at-or-before the key's
     // current valid_from must FAIL the job, not silently corrupt

@@ -66,12 +66,13 @@ object EmbSkewProbe {
     report(s"lsh24x$bits",
       Knn.lshBucketTable(emb, "vec_id", "embedding", 24, bits, 64),
       Seq("t", "bucket"))
-    // ...and the REGISTERED dedup_embedding_lsh gate's pinned bits=6
-    // (its DuckDB-determinism config — identical to adaptive at
-    // oracle/bench scale, bucket-starved above it; r11 review find:
-    // the receipts must cover the geometry the gate actually runs).
+    // ...which since r12 IS the registered dedup_embedding_lsh gate's
+    // geometry (bits = 0 adaptive; the DuckDB oracle derives the same B
+    // from count(*)). The fixed bits=6 row stays as the CONTRAST
+    // config — the pre-r12 pinned gate whose constant 2^6 buckets per
+    // table aborted at embskew 30× with 79 GB of spill (probe 20).
     if (bits != 6)
-      report("lsh24x6_gate",
+      report("lsh24x6_pinned",
         Knn.lshBucketTable(emb, "vec_id", "embedding", 24, 6, 64),
         Seq("t", "bucket"))
     spark.stop()

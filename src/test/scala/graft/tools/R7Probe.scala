@@ -10,10 +10,11 @@ import graft.model.Tables
 /** Round-7 scale probes (SCALING.md probe 4 + the BPE apply-leg probe).
   *
   * 1. `lsh <sfDir>` — warmed wall time of the LIBRARY-DEFAULT
-  *    (auto-bits) embeddingLshPairs at the given corpus. The registered
-  *    dedup_embedding_lsh query pins bits = 6 so its DuckDB oracle can
-  *    replay a fixed geometry; the scale path is the auto-sized default,
-  *    so the probe must call the library directly.
+  *    (auto-bits) embeddingLshPairs at the given corpus. (Historical
+  *    note: through r11 the registered dedup_embedding_lsh query pinned
+  *    bits = 6 for its DuckDB oracle, so this probe had to call the
+  *    library directly; since r12 the gate runs the auto-bits rule too
+  *    and the oracle derives B from count(*).)
   * 2. `bpe <sfDir>` — warmed wall time of the BPE APPLY leg over the
   *    corpus word types: chained-HOF at k=20 vs broadcast encoder at
   *    k=20 and k≥1000 (trained on the same corpus with minCount=1).

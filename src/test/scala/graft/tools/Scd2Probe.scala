@@ -17,7 +17,11 @@ import org.apache.spark.storage.StorageLevel
   *    key % D == 0 have their first-quartile versions DEFERRED to the
   *    last batch — so exactly ~1/D of keys arrive late, once, which is
   *    the operator's contract shape (O(batch + late keys' raw rows)).
-  *    D = 100 ⇒ ~1% late keys.
+  *    D = 100 ⇒ ~1% late keys;
+  *  - "lagshard:<S>": quartile-ordered like trickle, but the late keys
+  *    are ALL keys of rawBucket(key, S) bucket 0 — ~1/S of keys,
+  *    clustered in exactly one raw-store partition (probe 19d's one-
+  *    lagging-shard shape; pair with pruned:S).
   *
   * A 4th arg `pruned:<nBuckets>` (r11) folds through
   * [[graft.ops.Cdc.mergeHistoryWithLatePruned]] against a one-time
@@ -25,14 +29,19 @@ import org.apache.spark.storage.StorageLevel
   * raw read partition-prunes to the late keys' buckets — the A/B for
   * SCALING.md probe 19c.
   *
-  * Usage: Test/runMain graft.tools.Scd2Probe <sfDir> <mem|disk> [interleave|trickle:D] [pruned:N]
+  * Usage: Test/runMain graft.tools.Scd2Probe <sfDir> <mem|disk> [interleave|trickle:D|lagshard:S] [pruned:N]
   */
 object Scd2Probe {
   def main(args: Array[String]): Unit = {
     val Array(dir, mode) = args.take(2)
     val arrival = if (args.length > 2) args(2) else "interleave"
-    val pruned: Option[Int] = args.drop(3).headOption
-      .map(_.stripPrefix("pruned:").toInt)
+    val pruned: Option[Int] = args.drop(3).headOption.map { a =>
+      // Require the prefix explicitly: stripPrefix on a bare integer is
+      // a no-op, which would silently enable pruned mode (r11 advice).
+      require(a.startsWith("pruned:"),
+        s"unknown 4th arg: $a (expected pruned:<nBuckets>)")
+      a.stripPrefix("pruned:").toInt
+    }
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
         String.valueOf(Runtime.getRuntime.availableProcessors())))
@@ -42,19 +51,36 @@ object Scd2Probe {
         $"o_totalprice".as("amount"))
     // One arrival-batch index per row, computed once so `batch` and
     // `raw` are filters over the same deterministic column.
+    def quartileOf: org.apache.spark.sql.Column = {
+      val Array(q1, q2, q3) =
+        history.stat.approxQuantile("version", Array(0.25, 0.5, 0.75), 0.001)
+      when($"version" < q1, 0L)
+        .when($"version" < q2, 1L).when($"version" < q3, 2L).otherwise(3L)
+    }
     val arrive: org.apache.spark.sql.Column = arrival match {
       case "interleave" => pmod($"version", lit(4L))
       case s if s.startsWith("trickle:") =>
         val d = s.stripPrefix("trickle:").toLong
         require(d > 0, s"trickle denominator must be > 0: $d")
-        val Array(q1, q2, q3) =
-          history.stat.approxQuantile("version", Array(0.25, 0.5, 0.75), 0.001)
-        val quartile = when($"version" < q1, 0L)
-          .when($"version" < q2, 1L).when($"version" < q3, 2L).otherwise(3L)
         // Late keys' earliest-quartile rows arrive in the LAST batch —
         // at fold 3 those keys (and only those) take the repair path.
-        when(quartile === 0L && pmod($"key", lit(d)) === 0L, 3L)
-          .otherwise(quartile)
+        val q = quartileOf
+        when(q === 0L && pmod($"key", lit(d)) === 0L, 3L).otherwise(q)
+      case s if s.startsWith("lagshard:") =>
+        // ONE LAGGING SHARD (r12, probe 19d): the late keys are exactly
+        // the keys of raw-store bucket 0 under rawBucket(key, S) — the
+        // same hash the pruned repair's IN-list recomputes, so with
+        // pruned:S the repair fold names exactly ONE of S partitions.
+        // This is the operationally-common late shape (one replication
+        // slot / one source shard lagging) that probe 19c's UNIFORM
+        // trickle structurally cannot show: there 15k spread keys
+        // covered all 64 buckets and pruning was par by saturation.
+        val sh = s.stripPrefix("lagshard:").toLong
+        require(sh > 0, s"lagshard shard count must be > 0: $sh")
+        val q = quartileOf
+        when(q === 0L &&
+          pmod(xxhash64($"key".cast("string")), lit(sh)) === 0L, 3L)
+          .otherwise(q)
       case other => sys.error(s"unknown arrival mode: $other")
     }
     // `arrive` is a pure row function (quantile cuts are precomputed
