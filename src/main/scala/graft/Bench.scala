@@ -25,6 +25,18 @@ object Bench {
     * child's numbers to BENCH_ISOLATED.json for round-over-round
     * calibration.
     */
+  /** Parses the `"queries":{...}` map out of a contract-shaped line —
+    * the ONE parser for both the forked child's stdout and the
+    * committed BENCH_FULL_LOCAL.json sidecar (both come from the same
+    * line() template; two hand-rolled copies of this regex would let a
+    * shape change silently empty one of them). */
+  private def parseQueriesMap(s: String): Map[String, Double] = {
+    val qs = s.indexOf("\"queries\":")
+    if (qs < 0) Map.empty
+    else """"(\w+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(s.substring(qs))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   private def forkIsolated(names: Seq[String], sfDir: String,
                            cpus: String): Option[Map[String, Double]] = {
     if (sys.env.contains("SPARK_GRAFT_FORKED")) return None // no recursion
@@ -71,11 +83,8 @@ object Bench {
         }
         // Parse the child's "queries":{...} map — our own shape, emitted
         // by the shared line() template below (names are [A-Za-z0-9_]).
-        val qmap = last.substring(last.indexOf("\"queries\":"))
-        val pair = """"(\w+)":([0-9]+\.[0-9]+)""".r
-        val parsed = pair.findAllMatchIn(qmap)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter { case (n, _) => names.contains(n) }.toMap
+        val parsed = parseQueriesMap(last)
+          .filter { case (n, _) => names.contains(n) }
         if (parsed.isEmpty) { System.err.println("[bench] fork parse empty; falling back"); return None }
         try {
           val side = parsed.toSeq.sorted.map { case (k, v) =>
@@ -186,10 +195,13 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val qs = s.indexOf("\"queries\":")
-        if (qs < 0) Map.empty
-        else """"(\w+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(s.substring(qs))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // Scale guard: the sidecar carries the sf dir it was measured
+        // at; a baseline from any other scale would flag every query
+        // as a mover (and the run would then overwrite the file with
+        // the new scale's numbers) — cross-scale comparison is never
+        // meaningful, so treat it as no baseline.
+        if (!s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else parseQueriesMap(s)
       }
     } catch { case _: Throwable => Map.empty }
     val movers = pass1

@@ -253,13 +253,18 @@ object Cdc {
     *
     * Two r12 hardenings (ADVICE):
     *
-    *  - SATURATION FALLBACK: once the late keys' bucket list covers
-    *    most of the store (> half of `nBuckets`, or more IN-list
-    *    literals than [[inListMax]]), the filter prunes almost nothing
-    *    while bloating the plan and paying O(list) per-partition
-    *    evaluation — probe 19c measured that regime at par with the
-    *    plain scan — so the operator SKIPS the filter and lets the
-    *    semi-join scope alone, exactly [[mergeHistoryWithLate]]'s plan.
+    *  - SATURATION FALLBACK: once the late keys' bucket list covers at
+    *    least HALF the store (`buckets * 2 >= nBuckets` — the regime
+    *    probe 19c measured at par with the plain scan, where the filter
+    *    prunes a shrinking remainder), or exceeds [[inListMax]]
+    *    literals (a plan-size bound only: Catalyst converts the list to
+    *    an O(1)-lookup InSet, but a six-figure literal array still
+    *    bloats every plan string and broadcast), the operator SKIPS the
+    *    filter and lets the semi-join scope alone, exactly
+    *    [[mergeHistoryWithLate]]'s plan. Note the cap deliberately sits
+    *    high: a 10^6-bucket store with a few thousand late buckets is
+    *    exactly where pruning pays 100×, and falling back there would
+    *    de-optimize the regime the layout exists for.
     *  - LAYOUT GUARD: a caller whose `nBuckets` (or key order/type)
     *    differs from the write-time [[rawBucket]] layout would build an
     *    IN-list that selects the WRONG partitions; the late-key
@@ -308,9 +313,15 @@ object Cdc {
   }
 
   /** IN-list size ceiling for [[mergeHistoryWithLatePruned]]'s bucket
-    * filter: past a few thousand literals the predicate costs O(list)
-    * per partition while pruning a shrinking remainder. */
-  private val inListMax = 4096
+    * filter — a PLAN-SIZE bound, not an evaluation-cost one (Catalyst
+    * rewrites large IN lists to a hashed InSet, so per-row/partition
+    * cost is O(1) regardless of length; what grows is the literal
+    * array carried in every plan copy). 2^17 keeps the worst plan
+    * payload ~1 MB of longs while never binding below half-saturation
+    * for any store up to the 2^18-bucket scale — far above the sizing
+    * guidance (probe 19c: size nBuckets to the expected late-key
+    * regime; the 4096-dir layout already cost 441 s to write). */
+  private val inListMax = 1 << 17
 
   private def mergeHistoryWithLateImpl(existing: DataFrame,
       batch: DataFrame, keyCols: Seq[String], tsCol: String,
@@ -342,6 +353,14 @@ object Cdc {
     val suspects = existing
       .filter(col("is_current") && col("valid_from") >= lit(batchMinTs))
       .select(keyCols.map(col) :+ col("valid_from").as("__cur_from"): _*)
+    // EMPTY-SUSPECTS short-circuit (probe 19e): under in-order delivery
+    // the suspect slice is empty on EVERY fold, so checking it first
+    // skips the batch join, the distinct, and the late-key pin job
+    // outright — the whole detection is then the batch aggregate plus
+    // this one filtered pass over the current rows. A fold that does
+    // carry suspects pays one extra isEmpty probe on the (small) slice.
+    if (suspects.isEmpty)
+      return mergeHistory(existing, batch, keyCols, tsCol, valueCols)
     // Pinned (eager, batch-scoped — at most the batch's distinct keys,
     // the "batch-sized diamond pin" class of the probe-16 rule): FOUR
     // plan branches read lateKeys below, and the pin also lets the

@@ -3280,7 +3280,7 @@ object ExtensionQueries extends graft.QueryModule {
       // one, and the library's autoBits spec pins the Scala side.)
       val T = 24; val D = 64
       s"""WITH nb AS (
-         |  SELECT GREATEST(6, CAST(ceil(log2(count(*) / 32.0)) AS INT)) AS nbits
+         |  SELECT GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 1) / 32.0)) AS INT)) AS nbits
          |  FROM embeddings),
          |planes AS (
          |  SELECT CAST(i // nbits AS INT) AS t, CAST(i % nbits AS INT) AS p,

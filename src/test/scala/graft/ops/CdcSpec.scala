@@ -146,6 +146,21 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
         Seq("k"), "v", Seq("value"))) ===
       rows(Cdc.mergeHistory(table, inOrderOnly,
         Seq("k"), "v", Seq("value"))))
+    // SUSPECTS-nonempty but no late key (r12): key 8's current
+    // valid_from (5) sits at-or-above the batch min ts (2, key 7's
+    // in-order row), so key 8 enters the min-ts detector's suspect
+    // slice — but its own batch row (6) is in order, so the late-key
+    // set is still empty and the fold must equal plain mergeHistory.
+    // This drives the detector's second short-circuit branch, which
+    // the all-suspects-empty case above never reaches.
+    val table2 = Cdc.compressHistory(
+      Seq((7L, 1, "a"), (8L, 5, "x")).toDF("k", "v", "value"),
+      Seq("k"), "v", Seq("value"))
+    val mixedInOrder = Seq((7L, 2, "b"), (8L, 6, "y")).toDF("k", "v", "value")
+    assert(rows(Cdc.mergeHistoryWithLate(table2, all.limit(0), mixedInOrder,
+        Seq("k"), "v", Seq("value"))) ===
+      rows(Cdc.mergeHistory(table2, mixedInOrder,
+        Seq("k"), "v", Seq("value"))))
   }
 
   test("mergeHistoryWithLatePruned == unpruned over a bucketed raw store (r11)") {
