@@ -428,11 +428,20 @@ object Knn {
     * Scale: bucketing is one unshuffled pass over the corpus (planes
     * broadcast); the candidate join broadcasts the bucketed probe set, so
     * the only shuffle is the per-(query, neighbor) dedup aggregate on
-    * candidate rows — cost ∝ candidates, never |Q|×|N|. Defaults tuned on
-    * the embeddings fixture (near-random 64-dim vectors, planted pairs at
-    * cosine 0.4-0.6): T=24/B=6 recovers 81% of >=0.4-cosine pairs while
-    * generating 33% of all pairs as candidates; real clustered embedding
-    * corpora sit at much higher cosine and prune far harder.
+    * candidate rows — cost ∝ candidates, never |Q|×|N|. The default
+    * `bits = 0` AUTO-SIZES B = max(6, ⌈log₂(n/32)⌉) exactly like
+    * [[graft.dedup.Dedup.embeddingLshPairs]] (r12): a FIXED B holds
+    * 2^B buckets per table at every corpus size, so per-query candidate
+    * volume grows ∝ N/2^B per table and search degrades linearly toward
+    * brute force — auto mode keeps expected cell population ~32 and
+    * per-query cost ~flat (the standard signature-length-∝-log n
+    * prescription). Per-table recall for a neighbor at angle θ is
+    * (1-θ/π)^B, so a larger corpus's higher B trades per-table recall —
+    * compensate with `tables` or `probes` on recall-critical corpora,
+    * or pin `bits` explicitly. At the 2k-vector fixture auto resolves
+    * to B=6, where T=24/B=6 recovers 81% of >=0.4-cosine pairs while
+    * generating 33% of all pairs as candidates; real clustered
+    * embedding corpora sit at much higher cosine and prune far harder.
     *
     * `probes` > 0 turns on margin-ranked MULTI-PROBE on the query side
     * ([[lshBucketsProbed]]): each query additionally visits its `probes`
@@ -440,24 +449,30 @@ object Knn {
     * recall at ~(probes+1)× candidate cost WITHOUT growing the corpus
     * index — the knob to turn before adding tables. */
   def lshCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, dims: Int, tables: Int = 24, bits: Int = 6,
+      vecCol: String, k: Int, dims: Int, tables: Int = 24, bits: Int = 0,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative,
       dotFn: (Column, Column) => Column = VectorFunctions.dotNative,
       probes: Int = 0): DataFrame = {
-    require(probes >= 0 && probes <= bits,
-      s"probes must be in [0, bits=$bits]: $probes")
-    val planes = lshPlanes(corpus.sparkSession, tables, bits, dims)
+    val b =
+      if (bits > 0) bits
+      else {
+        val n = math.max(1L, corpus.count())
+        math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+      }
+    require(probes >= 0 && probes <= b,
+      s"probes must be in [0, bits=$b]: $probes")
+    val planes = lshPlanes(corpus.sparkSession, tables, b, dims)
     val cb = lshBuckets(
       corpus.select(col(idCol).as("vid"), col(vecCol).as("v")),
-      planes, tables, bits, dotFn)
+      planes, tables, b, dotFn)
     val qb = (if (probes == 0)
       lshBuckets(
         queries.select(col(idCol).as("vid"), col(vecCol).as("v")),
-        planes, tables, bits, dotFn)
+        planes, tables, b, dotFn)
     else
       lshBucketsProbed(
         queries.select(col(idCol).as("vid"), col(vecCol).as("v")),
-        planes, tables, bits, dotFn, probes))
+        planes, tables, b, dotFn, probes))
       .select(col("vid").as("query_id"), col("v").as("qv"),
         col("t"), col("bucket"))
     // A pair colliding in several tables must score once: dedup via the

@@ -783,10 +783,15 @@ object ExtensionQueries extends graft.QueryModule {
     },
 
     // LSH-bucketed approximate top-10 (sign-random-projection: 24 tables
-    // x 6-bit signatures from md5-derived hyperplanes — data-independent
-    // bucketing, the streaming-ingest-friendly ANN scale path). The full
-    // plane-generation -> signature -> candidate-join -> verify pipeline
-    // is oracle-replayed; recall vs brute force asserted in KnnSpec.
+    // x adaptive-width signatures from md5-derived hyperplanes —
+    // data-independent bucketing, the streaming-ingest-friendly ANN
+    // scale path). bits auto-size with count(*) (B = max(6,
+    // ceil(log2(n/32))), r12 — same rule and oracle derivation as
+    // dedup_embedding_lsh, so the registered plan is the one that
+    // holds per-query cost flat as the corpus grows; 6 at gate scale).
+    // The full plane-generation -> signature -> candidate-join ->
+    // verify pipeline is oracle-replayed; recall vs brute force
+    // asserted in KnnSpec.
     "knn_lsh_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Knn.lshCosine(emb, emb.filter(col("vec_id") < 5),
@@ -2275,7 +2280,11 @@ object ExtensionQueries extends graft.QueryModule {
     * per-query rank. Probes = 0 reproduces the original single-bucket
     * oracle. */
   private def lshTopkSql(probes: Int): String = {
-    val T = 24; val B = 6; val D = 64
+    // Signature width derived from count(*) exactly like the
+    // dedup_embedding_lsh oracle (r12): B = max(6, ceil(log2(n/32))) —
+    // the same adaptive rule Knn.lshCosine now runs, so the replay
+    // holds at ANY corpus size; at every gate corpus it yields 6.
+    val T = 24; val D = 64
     val fanout =
       if (probes == 0) ""
       else s"""
@@ -2288,14 +2297,17 @@ object ExtensionQueries extends graft.QueryModule {
          |          ORDER BY abs(dt), p) AS rn
          |      FROM qdots) WHERE rn <= $probes) f
          |  JOIN qsig s ON s.vec_id = f.vec_id AND s.t = f.t""".stripMargin
-    s"""WITH planes AS (
-       |  SELECT CAST(i // $B AS INT) AS t, CAST(i % $B AS INT) AS p,
+    s"""WITH nb AS (
+       |  SELECT GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 1) / 32.0)) AS INT)) AS nbits
+       |  FROM embeddings),
+       |planes AS (
+       |  SELECT CAST(i // nbits AS INT) AS t, CAST(i % nbits AS INT) AS p,
        |    list(w ORDER BY d) AS w
        |  FROM (
-       |    SELECT i, d,
-       |      (('0x' || substr(md5('lsh:' || (i // $B) || ':' || (i % $B) || ':' || d), 1, 13))::BIGINT
+       |    SELECT i, d, nbits,
+       |      (('0x' || substr(md5('lsh:' || (i // nbits) || ':' || (i % nbits) || ':' || d), 1, 13))::BIGINT
        |        / 4503599627370496.0) * 2.0 - 1.0 AS w
-       |    FROM (SELECT unnest(range(${T * B})) AS i)
+       |    FROM (SELECT unnest(range($T * nbits)) AS i, nbits FROM nb)
        |    CROSS JOIN (SELECT unnest(range($D)) AS d))
        |  GROUP BY 1, 2),
        |vecs AS (
