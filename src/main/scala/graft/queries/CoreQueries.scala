@@ -862,12 +862,40 @@ object CoreQueries extends graft.QueryModule {
     // to the late keys' buckets instead of scanning the log. Same
     // whole-history-compress oracle as the unpruned late gate: the
     // bucketing must be invisible in the result.
+    //
+    // ARRIVAL SHAPE (r12): one LAGGING SHARD, not the everything-late
+    // interleave the unpruned gate keeps as its worst case. Batches are
+    // version-quartile ordered (in-order per key by construction),
+    // except kbucket-0 keys' first-quartile rows arrive in the LAST
+    // batch. With everything late, the late keys' buckets SATURATE the
+    // store and the operator (correctly) falls back to the plain scan —
+    // so the interleave shape would register a gate that never prunes.
+    // This shape makes the registered plan exercise the mechanism the
+    // gate is named for: folds 1-2 take the in-order short-circuit, and
+    // fold 3's repair names exactly ONE of 32 kbucket partitions (the
+    // probe-19d shape). The oracle is the whole-history compress, which
+    // is arrival-shape independent — the laws guarantee any split folds
+    // to the same table.
     "stream_scd2_bucketed_batches" -> { (s, dir) =>
       import s.implicits._
       val history = Tables.orders(s, dir)
         .select($"o_custkey".as("key"), $"o_orderkey".as("version"),
           $"o_totalprice".as("amount"))
       val nBuckets = 32
+      // Deterministic quartile-by-version arrival: versions are order
+      // keys in [0, maxv] (o_orderkey STARTS AT ZERO in this data — a
+      // (v-1)-based formula floors to quartile -1 for version 0 and
+      // silently drops the row from every batch, caught by the oracle
+      // as a missing first change point), so floor(v*4 / (maxv+1))
+      // maps the full range onto waves 0..3 with no negative edge
+      // (v*4 is exact in double far past any corpus here). maxv is one
+      // cheap max() aggregate — the gate is already an eager fold chain.
+      val maxv = history.agg(max($"version")).head.getLong(0)
+      val quart = floor(($"version" * lit(4.0)) / lit(maxv.toDouble + 1.0))
+        .cast("long")
+      val lagging = graft.ops.Cdc.rawBucket(Seq("key"), nBuckets) === lit(0L)
+      val arrive = when(quart === lit(0L) && lagging, lit(3L)).otherwise(quart)
+      val tagged = history.withColumn("__arrive", arrive)
       val rawDir = java.nio.file.Files
         .createTempDirectory("graft_rawstore").toString
       // Everything from the corpus-sized write through the eagerly-
@@ -875,7 +903,7 @@ object CoreQueries extends graft.QueryModule {
       // exists, so a mid-fold failure (disk full, OOM at probe scale)
       // must not leak the store: delete-and-rethrow on that window.
       try {
-        history
+        tagged
           .withColumn("kbucket",
             graft.ops.Cdc.rawBucket(Seq("key"), nBuckets))
           .repartition(col("kbucket")) // one writer per bucket
@@ -884,8 +912,8 @@ object CoreQueries extends graft.QueryModule {
         val empty = graft.ops.Cdc.compressHistory(history.limit(0),
           Seq("key"), "version", Seq("amount"))
         val folded = (0L until 4L).foldLeft(empty) { (acc, b) =>
-          val batch = history.filter(pmod($"version", lit(4L)) === b)
-          val raw = stored.filter(pmod($"version", lit(4L)) < b)
+          val batch = tagged.filter($"__arrive" === b).drop("__arrive")
+          val raw = stored.filter($"__arrive" < b).drop("__arrive")
           graft.ops.Cdc.mergeHistoryWithLatePruned(acc, raw, batch,
             Seq("key"), "version", Seq("amount"), nBuckets)
             .localCheckpoint(true,
