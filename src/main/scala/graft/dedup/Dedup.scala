@@ -832,12 +832,8 @@ object Dedup {
         graft.functions.VectorFunctions.cosineNative,
       dotFn: (Column, Column) => Column =
         graft.functions.VectorFunctions.dotNative): DataFrame = {
-    val b =
-      if (bits > 0) bits
-      else {
-        val n = math.max(1L, corpus.count())
-        math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
-      }
+    val b = if (bits > 0) bits
+      else graft.functions.Knn.autoBits(corpus.count())
     val bucketed = graft.functions.Knn.lshBucketTable(
       corpus, idCol, vecCol, tables, b, dims, dotFn)
     bucketed.as("x")
@@ -875,12 +871,8 @@ object Dedup {
       dotFn: (Column, Column) => Column =
         graft.functions.VectorFunctions.dotNative,
       blockRows: Int = 1024): DataFrame = {
-    val b =
-      if (bits > 0) bits
-      else {
-        val n = math.max(1L, corpus.count())
-        math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
-      }
+    val b = if (bits > 0) bits
+      else graft.functions.Knn.autoBits(corpus.count())
     val bucketed = graft.functions.Knn.lshBucketTable(
       corpus, idCol, vecCol, tables, b, dims, dotFn)
     val cand = saltedCandidatePairs(

@@ -317,6 +317,29 @@ object Knn {
         col("rk"))
   }
 
+  /** THE adaptive LSH signature-width rule — B = max(6, ⌈log₂(n/32)⌉),
+    * the single implementation shared by search ([[lshCosine]]) and
+    * near-dup pair generation
+    * ([[graft.dedup.Dedup.embeddingLshPairs]]/`Salted`): buckets grow
+    * with the corpus so expected cell population stays ~32 and
+    * candidate volume stays ~linear (a FIXED B is the measured
+    * scale-killer — 2^B buckets per table at every N). Computed by
+    * INTEGER bit length, not floating logs: ⌈log₂(n/32)⌉ =
+    * ⌈log₂ n⌉ − 5 and ⌈log₂ n⌉ = bitLength(n−1), so the rule is exact
+    * at power-of-two boundaries where `log(n)/log(2)` can round across
+    * the ceil (measured: n = 32·2²⁹ gives 29.000000000000004). The
+    * DuckDB oracles derive the same B with float `log2`, which agrees
+    * with this integer form for every n below ~4e15 (a float-log2
+    * divergence needs the fractional part to vanish under one ulp) and
+    * EXACTLY at powers of two, where IEEE log2 is exact. */
+  def autoBits(n: Long): Int = {
+    val m = math.max(1L, n)
+    val ceilLog2 =
+      if (m <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(6, ceilLog2 - 5)
+  }
+
   /** Deterministic random-hyperplane table for cosine LSH: `tables`×`bits`
     * planes, each a `dims`-component weight array with components uniform
     * in [-1, 1) derived from md5("lsh:t:p:d") — a pure function of the
@@ -453,12 +476,7 @@ object Knn {
       cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative,
       dotFn: (Column, Column) => Column = VectorFunctions.dotNative,
       probes: Int = 0): DataFrame = {
-    val b =
-      if (bits > 0) bits
-      else {
-        val n = math.max(1L, corpus.count())
-        math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
-      }
+    val b = if (bits > 0) bits else autoBits(corpus.count())
     require(probes >= 0 && probes <= b,
       s"probes must be in [0, bits=$b]: $probes")
     val planes = lshPlanes(corpus.sparkSession, tables, b, dims)

@@ -881,15 +881,19 @@ object ExtensionQueries extends graft.QueryModule {
       val dot = graft.GraftFunctions.dotProduct _
       def ids(df: DataFrame, m: String) =
         df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      // Resolve the adaptive signature width ONCE for both LSH legs —
+      // bits = 0 would run the corpus count() action inside each call.
+      val lshBits = Knn.autoBits(emb.count())
       val exact = Knn.bruteForce(emb, qs, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id"))
       val methods =
         ids(Knn.ivf(emb, qs, "vec_id", "embedding", k = 10,
           centroids = 16, nprobe = 4, cosineFn = cos), "ivf")
         .union(ids(Knn.lshCosine(emb, qs, "vec_id", "embedding", k = 10,
-          dims = 64, cosineFn = cos, dotFn = dot), "lsh"))
+          dims = 64, bits = lshBits, cosineFn = cos, dotFn = dot), "lsh"))
         .union(ids(Knn.lshCosine(emb, qs, "vec_id", "embedding", k = 10,
-          dims = 64, cosineFn = cos, dotFn = dot, probes = 2), "lsh_mp"))
+          dims = 64, bits = lshBits, cosineFn = cos, dotFn = dot,
+          probes = 2), "lsh_mp"))
         .union(ids(Knn.pqTopK(emb, qs, "vec_id", "embedding", k = 10,
           m = 16, codebook = 16, dims = 64, dotFn = dot), "pq"))
         .union(ids(Knn.bruteForceQuantized(emb, qs, "vec_id", "embedding",
@@ -2279,11 +2283,22 @@ object ExtensionQueries extends graft.QueryModule {
     * 2^p for the first `probes`) — candidate join, exact-cosine verify,
     * per-query rank. Probes = 0 reproduces the original single-bucket
     * oracle. */
+  /** The DuckDB twin of [[graft.functions.Knn.autoBits]] as a CTE — the
+    * ONE copy both LSH oracles (pairs and top-k) interpolate, so a
+    * retune of the sizing rule edits exactly two sites: Knn.autoBits
+    * and this string. Float log2 here agrees with the Scala integer
+    * bit-length form for every n below ~4e15 and EXACTLY at powers of
+    * two (IEEE log2 of 2^k is exact); the GREATEST(count, 1) mirrors
+    * the Scala side's empty-corpus guard. */
+  private val lshNbCte: String =
+    "nb AS (\n" +
+    "  SELECT GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 1) / 32.0)) AS INT)) AS nbits\n" +
+    "  FROM embeddings)"
+
   private def lshTopkSql(probes: Int): String = {
-    // Signature width derived from count(*) exactly like the
-    // dedup_embedding_lsh oracle (r12): B = max(6, ceil(log2(n/32))) —
-    // the same adaptive rule Knn.lshCosine now runs, so the replay
-    // holds at ANY corpus size; at every gate corpus it yields 6.
+    // Signature width derived from count(*) via the shared nb CTE —
+    // the same adaptive rule Knn.lshCosine runs (6 at every gate
+    // corpus; see lshNbCte for the cross-engine boundary analysis).
     val T = 24; val D = 64
     val fanout =
       if (probes == 0) ""
@@ -2297,9 +2312,7 @@ object ExtensionQueries extends graft.QueryModule {
          |          ORDER BY abs(dt), p) AS rn
          |      FROM qdots) WHERE rn <= $probes) f
          |  JOIN qsig s ON s.vec_id = f.vec_id AND s.t = f.t""".stripMargin
-    s"""WITH nb AS (
-       |  SELECT GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 1) / 32.0)) AS INT)) AS nbits
-       |  FROM embeddings),
+    s"""WITH $lshNbCte,
        |planes AS (
        |  SELECT CAST(i // nbits AS INT) AS t, CAST(i % nbits AS INT) AS p,
        |    list(w ORDER BY d) AS w
@@ -3286,14 +3299,11 @@ object ExtensionQueries extends graft.QueryModule {
       // the registered query actually runs at ANY corpus size instead
       // of freezing the one that matched at 2k vectors. The md5 plane
       // weights depend only on (t, p, d), so B decides how many planes
-      // exist, never their values. (Boundary note: at exact powers of
-      // two DuckDB's log2 and Scala's log(n)/log(2) could in principle
-      // round across the ceil boundary; every gate corpus sits far from
-      // one, and the library's autoBits spec pins the Scala side.)
+      // exist, never their values. (Cross-engine boundary analysis on
+      // the shared lshNbCte: the Scala side is integer-exact and float
+      // log2 matches it everywhere practical, exactly at powers of two.)
       val T = 24; val D = 64
-      s"""WITH nb AS (
-         |  SELECT GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 1) / 32.0)) AS INT)) AS nbits
-         |  FROM embeddings),
+      s"""WITH $lshNbCte,
          |planes AS (
          |  SELECT CAST(i // nbits AS INT) AS t, CAST(i % nbits AS INT) AS p,
          |    list(w ORDER BY d) AS w

@@ -772,13 +772,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   test("embeddingLshPairs auto-sizes signature bits with corpus cardinality") {
     // Fixed-B geometry is the measured scale-killer (candidates ∝ N²
     // once cells saturate); auto mode must grow B so expected cell
-    // population stays ~32. Pin the floor and the growth points.
-    def autoBits(n: Long): Int =
-      math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+    // population stays ~32. Pin the floor and the growth points on the
+    // SHARED implementation (Knn.autoBits — r12: one copy for search
+    // and pair generation, integer bit-length so power-of-two
+    // boundaries cannot float-round across the ceil).
+    import graft.functions.Knn.autoBits
     assert(autoBits(1L) == 6 && autoBits(500L) == 6 && autoBits(2048L) == 6)
     assert(autoBits(20000L) == 10)
     assert(autoBits(2048L * 32) == 11)
     assert(autoBits(1000000L) == 15)
+    // Cross-check the bit-length form against an independent EXACT
+    // formulation — the smallest k with n <= 32·2^k — across a sweep
+    // including the power-of-two boundaries and their neighbors, the
+    // points where float logs fail in BOTH directions (32·2^29 computes
+    // 29.000000000000004 and over-ceils; 32·2^26 + 1 sits 6.7e-10 above
+    // the integer and any epsilon guard under-ceils it). No floats in
+    // either side of this law.
+    val probes = (1L to 70000L by 997L) ++
+      (0 to 40).map(k => 32L << k).flatMap(b => Seq(b - 1, b, b + 1))
+    probes.filter(_ >= 1L).foreach { n =>
+      val exact = math.max(6, (0 to 62).find(k => n <= (32L << k)).get)
+      assert(autoBits(n) == exact, s"autoBits($n) = ${autoBits(n)} vs $exact")
+    }
     // And the operator under auto mode equals the explicit-B call at
     // the fixture's cardinality (auto resolves to 6 here).
     val emb = graft.model.Tables.embeddings(spark, sf)

@@ -153,6 +153,23 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.4, s"lsh recall $recall") // measured 0.66 at T=24/B=6
   }
 
+  test("lshCosine auto-sizes signature bits; auto == pinned at fixture scale (r12)") {
+    // The search-side twin of DedupSpec's embeddingLshPairs autoBits
+    // law: bits = 0 resolves Knn.autoBits(n) — the ONE shared
+    // implementation — so the adaptive default must return exactly the
+    // result of pinning that resolved width (same planes, signatures,
+    // candidates, verify). Comparing against autoBits(count) rather
+    // than a literal 6 keeps the law scale-independent: it cannot
+    // silently break the day the fixture crosses a growth boundary.
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+    def p(bits: Int) = Knn.lshCosine(emb, queries, "vec_id", "embedding",
+        k = 10, dims = 64, bits = bits)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(p(0) == p(Knn.autoBits(emb.count())))
+  }
+
   test("multi-probe lifts LSH recall, monotone per query, probes bounded") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 10)
@@ -176,9 +193,13 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     // (knn_recall_at_k, r9).
     val recall = h2.size.toDouble / exact.size
     assert(recall >= 0.6, s"lsh_mp recall $recall")
+    // bits pinned explicitly: this asserts the probes<=bits VALIDATION,
+    // not the auto rule — with the r12 adaptive default the resolved B
+    // would drift to 7 the moment the fixture crossed 2048 vectors and
+    // probes = 7 would become legal (r12 review find).
     intercept[IllegalArgumentException](
       Knn.lshCosine(emb, queries, "vec_id", "embedding", k = 10,
-        dims = 64, probes = 7)) // probes > bits
+        dims = 64, bits = 6, probes = 7)) // probes > bits
   }
 
   test("lshCosine recovers >=70% of cosine>=0.4 pairs as candidates") {

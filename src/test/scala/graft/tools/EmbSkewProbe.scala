@@ -62,7 +62,7 @@ object EmbSkewProbe {
       Knn.assignWith(emb, "vec_id", "embedding",
         Knn.kmeans(emb, "vec_id", "embedding", k, 3)), Seq("bucket"))
     // Same adaptive bits rule as embeddingLshPairs (the LIBRARY path)...
-    val bits = math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+    val bits = Knn.autoBits(n)
     report(s"lsh24x$bits",
       Knn.lshBucketTable(emb, "vec_id", "embedding", 24, bits, 64),
       Seq("t", "bucket"))
