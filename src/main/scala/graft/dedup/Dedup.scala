@@ -824,8 +824,12 @@ object Dedup {
     * ~linear. This is the standard LSH prescription (signature length
     * ∝ log n); per-table recall for a pair at angle θ is (1-θ/π)^B, so
     * raising B trades recall per table — raise `tables` alongside for
-    * recall-critical corpora. Pass an explicit `bits > 0` to pin the
-    * geometry (what the fixed-text DuckDB oracle does). */
+    * recall-critical corpora. Pass an explicit `bits > 0` only to pin
+    * the geometry for a frozen index or an A/B; since r12 the
+    * registered gate AND its DuckDB oracle both run the adaptive rule
+    * (the oracle derives the same B from count(*)), so a pinned call
+    * diverges from the oracle once the corpus crosses a growth
+    * boundary. */
   def embeddingLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dims: Int, tables: Int = 24, bits: Int = 0,
       cosineFn: (Column, Column) => Column =

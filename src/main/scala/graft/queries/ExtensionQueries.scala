@@ -2276,13 +2276,6 @@ object ExtensionQueries extends graft.QueryModule {
        |LEFT JOIN agg sra ON sra.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
-  /** The LSH top-k replay, parameterized by the multi-probe budget:
-    * md5-derived planes, corpus sign-signature buckets, query buckets —
-    * plus, when probes > 0, the margin-ranked Hamming-1 fan-out (rank
-    * planes per (query, table) by (|dot|, p), XOR the base bucket with
-    * 2^p for the first `probes`) — candidate join, exact-cosine verify,
-    * per-query rank. Probes = 0 reproduces the original single-bucket
-    * oracle. */
   /** The DuckDB twin of [[graft.functions.Knn.autoBits]] as a CTE — the
     * ONE copy both LSH oracles (pairs and top-k) interpolate, so a
     * retune of the sizing rule edits exactly two sites: Knn.autoBits
@@ -2295,6 +2288,13 @@ object ExtensionQueries extends graft.QueryModule {
     "  SELECT GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 1) / 32.0)) AS INT)) AS nbits\n" +
     "  FROM embeddings)"
 
+  /** The LSH top-k replay, parameterized by the multi-probe budget:
+    * md5-derived planes, corpus sign-signature buckets, query buckets —
+    * plus, when probes > 0, the margin-ranked Hamming-1 fan-out (rank
+    * planes per (query, table) by (|dot|, p), XOR the base bucket with
+    * 2^p for the first `probes`) — candidate join, exact-cosine verify,
+    * per-query rank. Probes = 0 reproduces the original single-bucket
+    * oracle. */
   private def lshTopkSql(probes: Int): String = {
     // Signature width derived from count(*) via the shared nb CTE —
     // the same adaptive rule Knn.lshCosine runs (6 at every gate

@@ -791,7 +791,9 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val probes = (1L to 70000L by 997L) ++
       (0 to 40).map(k => 32L << k).flatMap(b => Seq(b - 1, b, b + 1))
     probes.filter(_ >= 1L).foreach { n =>
-      val exact = math.max(6, (0 to 62).find(k => n <= (32L << k)).get)
+      // Reference range capped at 57: 32L << 58 overflows Long, so a
+      // larger sweep must extend via bit arithmetic, not this shift.
+      val exact = math.max(6, (0 to 57).find(k => n <= (32L << k)).get)
       assert(autoBits(n) == exact, s"autoBits($n) = ${autoBits(n)} vs $exact")
     }
     // And the operator under auto mode equals the explicit-B call at
