@@ -441,7 +441,13 @@ object Knn {
           .as("bucket"))
   }
 
-  /** LSH-bucketed approximate top-k cosine neighbors: candidates are
+  /** LSH-bucketed approximate top-k cosine neighbors. NOTE the default
+    * `bits = 0` makes this call EAGER — it runs a `corpus.count()`
+    * action at plan-construction time to resolve the adaptive signature
+    * width (and `probes` validation then depends on corpus size); when
+    * one corpus is queried repeatedly, resolve the width ONCE with
+    * [[autoBits]] and pass `bits` explicitly (the knn_recall_at_k gate's
+    * pattern). Candidates are
     * corpus vectors sharing ANY of `tables` B-bit sign-signature buckets
     * with the query (collision prob per table = (1 - θ/π)^B), verified
     * with the exact cosine and ranked per query. Returns up to k rows per

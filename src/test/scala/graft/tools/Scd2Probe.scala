@@ -29,19 +29,35 @@ import org.apache.spark.storage.StorageLevel
   * raw read partition-prunes to the late keys' buckets — the A/B for
   * SCALING.md probe 19c.
   *
-  * Usage: Test/runMain graft.tools.Scd2Probe <sfDir> <mem|disk> [interleave|trickle:D|lagshard:S] [pruned:N]
+  * r13 arms (probe 19f — r12 verdict #3, the WithLate 0%-late floor's
+  * pushdown claim): mode `stored` pins the folded base as a PARQUET
+  * table between folds (write + read-back, the warehouse shape) instead
+  * of a localCheckpoint, so the detector's
+  * `is_current && valid_from >= batchMin` suspect filter actually
+  * pushes to a columnar scan; the extra arg `plain` folds through pure
+  * [[graft.ops.Cdc.mergeHistory]] (requires an in-order arrival mode),
+  * giving the same-session premium denominator in BOTH base regimes.
+  *
+  * Usage: Test/runMain graft.tools.Scd2Probe <sfDir> <mem|disk|stored> [interleave|inorder|trickle:D|lagshard:S] [pruned:N] [plain]
   */
 object Scd2Probe {
   def main(args: Array[String]): Unit = {
     val Array(dir, mode) = args.take(2)
+    require(Set("mem", "disk", "stored")(mode), s"unknown mode: $mode")
     val arrival = if (args.length > 2) args(2) else "interleave"
-    val pruned: Option[Int] = args.drop(3).headOption.map { a =>
-      // Require the prefix explicitly: stripPrefix on a bare integer is
-      // a no-op, which would silently enable pruned mode (r11 advice).
-      require(a.startsWith("pruned:"),
-        s"unknown 4th arg: $a (expected pruned:<nBuckets>)")
-      a.stripPrefix("pruned:").toInt
+    val extras = args.drop(3).toSeq
+    val plain = extras.contains("plain")
+    val pruned: Option[Int] = extras.filterNot(_ == "plain") match {
+      case Seq() => None
+      case Seq(a) =>
+        // Require the prefix explicitly: stripPrefix on a bare integer is
+        // a no-op, which would silently enable pruned mode (r11 advice).
+        require(a.startsWith("pruned:"),
+          s"unknown arg: $a (expected pruned:<nBuckets> or plain)")
+        Some(a.stripPrefix("pruned:").toInt)
+      case other => sys.error(s"too many args: ${other.mkString(" ")}")
     }
+    require(!(plain && pruned.isDefined), "plain and pruned are exclusive")
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
         String.valueOf(Runtime.getRuntime.availableProcessors())))
@@ -59,6 +75,10 @@ object Scd2Probe {
     }
     val arrive: org.apache.spark.sql.Column = arrival match {
       case "interleave" => pmod($"version", lit(4L))
+      // Pure quartile order, NO deferral — the only arrival the plain
+      // mergeHistory arm accepts (custkey 0 exists in this data, so
+      // even trickle:10⁹ defers one key and the in-order guard raises).
+      case "inorder" => quartileOf
       case s if s.startsWith("trickle:") =>
         val d = s.stripPrefix("trickle:").toLong
         require(d > 0, s"trickle denominator must be > 0: $d")
@@ -87,9 +107,21 @@ object Scd2Probe {
     // literals), so batch/raw stay scan-pruned filters on the source —
     // nothing pinned, same as the r10 probe.
     val tagged = history.withColumn("__arrive", arrive)
-    def pin(df: org.apache.spark.sql.DataFrame) =
-      if (mode == "disk") df.localCheckpoint(true, StorageLevel.DISK_ONLY)
-      else df.localCheckpoint()
+    // `stored` mode: the fold base round-trips a parquet table per fold
+    // (the warehouse shape — the detector's suspect filter pushes to the
+    // scan). Each fold's store replaces the previous one; all are
+    // deleted at exit.
+    var baseDirs = List.empty[String]
+    def pin(df: org.apache.spark.sql.DataFrame) = mode match {
+      case "stored" =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_scd2_base").toString
+        df.write.mode("overwrite").parquet(d)
+        baseDirs ::= d
+        spark.read.parquet(d)
+      case "disk" => df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+      case _ => df.localCheckpoint()
+    }
     // pruned mode: materialize the raw log ONCE as a kbucket-partitioned
     // store (what a warehouse's staged-batch log looks like on disk) and
     // fold through the partition-pruning repair. The write cost is
@@ -112,6 +144,9 @@ object Scd2Probe {
       val t0 = System.nanoTime()
       val batch = tagged.filter($"__arrive" === b).drop("__arrive")
       acc = pin(storedTagged match {
+        case _ if plain =>
+          graft.ops.Cdc.mergeHistory(acc, batch,
+            Seq("key"), "version", Seq("amount"))
         case Some((stored, _)) =>
           val raw = stored.filter($"__arrive" < b).drop("__arrive")
           graft.ops.Cdc.mergeHistoryWithLatePruned(acc, raw, batch,
@@ -122,10 +157,12 @@ object Scd2Probe {
             Seq("key"), "version", Seq("amount"))
       })
       val n = acc.count()
-      val tag = pruned.map(n => s""","pruned":$n""").getOrElse("")
+      val tag = pruned.map(n => s""","pruned":$n""").getOrElse("") +
+        (if (plain) ""","op":"plain"""" else "")
       println(f"""{"probe":"scd2","arrival":"$arrival","fold":$b,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"mode":"$mode"$tag}""")
     }
     storedTagged.foreach { case (_, d) => graft.util.FsUtil.deleteTree(d) }
+    baseDirs.foreach(graft.util.FsUtil.deleteTree)
     spark.stop()
   }
 }
