@@ -340,6 +340,57 @@ object Knn {
     math.max(6, ceilLog2 - 5)
   }
 
+  /** THE width-scaled multi-probe budget — the recall compensation that
+    * rides [[autoBits]] (r13, SCALING.md probe 20e): as the adaptive
+    * width grows with the corpus, per-table collision probability
+    * (1-θ/π)^B shrinks, and the measured search recall@10 of the
+    * registered geometry fell 0.87 (B=6 ceiling) → 0.11 at B=13 on a
+    * near-random corpus. Probing each query's least-|margin| Hamming-1
+    * buckets recovers most of it at ~no wall cost (candidates stay
+    * output-proportional because each probed bucket holds ~32 rows by
+    * the autoBits invariant): probes = B−4 measured 0.50 at B=13 and
+    * 0.76 at B=11 vs 0.20/0.47 for DOUBLING tables at 2× bucketing
+    * cost. The rule is 2 extra probes at the gate-scale floor (B=6 —
+    * exactly the registered multi-probe gate's historical budget, so
+    * gate results are unchanged) plus one probe per width step beyond
+    * it: min(B, max(2, B−4)) ≡ B−4 for every B the autoBits floor can
+    * produce (B ≥ 6). The DuckDB oracles derive the same budget as
+    * `nbits - 4` from the shared nb CTE. */
+  def autoProbes(bits: Int): Int = math.min(bits, math.max(2, bits - 4))
+
+  /** Smallest table count whose UNION recall reaches `targetRecall` for
+    * a pair at `designCosine` under B-bit signatures —
+    * T = ⌈ln(1−r) / ln(1−p₁^B)⌉ with p₁ = 1 − acos(c)/π, the standard
+    * sign-random-projection union bound. Probe 20e measured the
+    * analytic curve EXACT against ground truth at B ∈ {6, 11, 13}
+    * (e.g. pair recall at the 0.4 band: predicted 0.0716, measured
+    * 0.0764 at B=13; predicted 0.8196, measured 0.8202 at B=6), so
+    * this calibration is trustworthy without a per-corpus probe: size
+    * `tables` for the SIMILARITY YOU MUST NOT MISS, not for the
+    * threshold you merely filter at. At the near-dup design point
+    * (c = 0.9) the default T=24 holds recall ≥ 0.95 through B=14
+    * (~500k vectors); past that this function says what the recall
+    * target costs — and when it says hundreds of tables (low design
+    * cosine at large B), the engine's answer is the trained SemDeDup /
+    * incremental-index routes, not more LSH tables. */
+  def tablesFor(designCosine: Double, bits: Int,
+      targetRecall: Double): Int = {
+    require(designCosine > -1.0 && designCosine <= 1.0,
+      s"designCosine must be in (-1, 1]: $designCosine")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1): $targetRecall")
+    require(bits > 0 && bits <= 63, s"bits must be in (0, 63]: $bits")
+    val p1 = 1.0 - math.acos(designCosine) / math.Pi
+    val pTable = math.pow(p1, bits)
+    require(pTable > 0.0,
+      s"zero per-table collision probability at cosine=$designCosine, bits=$bits")
+    val t = math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable))
+    require(t <= Int.MaxValue,
+      s"no practical table count reaches recall $targetRecall at " +
+        s"cosine=$designCosine, bits=$bits (T would be $t)")
+    math.max(1, t.toInt)
+  }
+
   /** Deterministic random-hyperplane table for cosine LSH: `tables`×`bits`
     * planes, each a `dims`-component weight array with components uniform
     * in [-1, 1) derived from md5("lsh:t:p:d") — a pure function of the
@@ -476,27 +527,31 @@ object Knn {
     * ([[lshBucketsProbed]]): each query additionally visits its `probes`
     * least-confident Hamming-1 neighbor buckets per table, lifting
     * recall at ~(probes+1)× candidate cost WITHOUT growing the corpus
-    * index — the knob to turn before adding tables. */
+    * index — the knob to turn before adding tables. `probes = -1`
+    * scales the budget WITH the resolved width ([[autoProbes]], r13):
+    * the compensation probe 20e measured as the best recall/cost lift
+    * at the large-B operating points the adaptive width produces. */
   def lshCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dims: Int, tables: Int = 24, bits: Int = 0,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative,
       dotFn: (Column, Column) => Column = VectorFunctions.dotNative,
       probes: Int = 0): DataFrame = {
     val b = if (bits > 0) bits else autoBits(corpus.count())
-    require(probes >= 0 && probes <= b,
-      s"probes must be in [0, bits=$b]: $probes")
+    val p = if (probes == -1) autoProbes(b) else probes
+    require(p >= 0 && p <= b,
+      s"probes must be in [0, bits=$b] or -1 (auto): $probes")
     val planes = lshPlanes(corpus.sparkSession, tables, b, dims)
     val cb = lshBuckets(
       corpus.select(col(idCol).as("vid"), col(vecCol).as("v")),
       planes, tables, b, dotFn)
-    val qb = (if (probes == 0)
+    val qb = (if (p == 0)
       lshBuckets(
         queries.select(col(idCol).as("vid"), col(vecCol).as("v")),
         planes, tables, b, dotFn)
     else
       lshBucketsProbed(
         queries.select(col(idCol).as("vid"), col(vecCol).as("v")),
-        planes, tables, b, dotFn, probes))
+        planes, tables, b, dotFn, p))
       .select(col("vid").as("query_id"), col("v").as("qv"),
         col("t"), col("bucket"))
     // A pair colliding in several tables must score once: dedup via the

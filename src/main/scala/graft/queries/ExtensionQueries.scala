@@ -801,18 +801,23 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
-    // Multi-probe LSH (r9): each query additionally visits its 2
+    // Multi-probe LSH (r9): each query additionally visits its
     // least-|margin| Hamming-1 neighbor buckets per table — the recall
     // lift at fixed table count. The probe sequence (margin ranking +
     // XOR fan-out) is itself oracle-replayed; the recall lift over the
     // single-probe row is visible in knn_recall_at_k and floor-pinned
-    // in KnnSpec.
+    // in KnnSpec. probes = -1 = the WIDTH-SCALED budget (Knn.autoProbes
+    // = B-4, r13 — probe 20e: a fixed 2-probe budget left recall at
+    // 0.28 at the B=13 operating point the adaptive width produces,
+    // while B-4 probes measured 0.50 at ~no wall cost; 2 at every gate
+    // corpus, where B=6, so gate results are unchanged). The DuckDB
+    // oracle derives the same budget as nbits-4 from the shared nb CTE.
     "knn_lsh_mp_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Knn.lshCosine(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, dims = 64,
         cosineFn = graft.GraftFunctions.cosineSim,
-        dotFn = graft.GraftFunctions.dotProduct, probes = 2)
+        dotFn = graft.GraftFunctions.dotProduct, probes = -1)
         .orderBy(col("query_id"), col("rk"))
     },
 
@@ -893,7 +898,7 @@ object ExtensionQueries extends graft.QueryModule {
           dims = 64, bits = lshBits, cosineFn = cos, dotFn = dot), "lsh"))
         .union(ids(Knn.lshCosine(emb, qs, "vec_id", "embedding", k = 10,
           dims = 64, bits = lshBits, cosineFn = cos, dotFn = dot,
-          probes = 2), "lsh_mp"))
+          probes = Knn.autoProbes(lshBits)), "lsh_mp"))
         .union(ids(Knn.pqTopK(emb, qs, "vec_id", "embedding", k = 10,
           m = 16, codebook = 16, dims = 64, dotFn = dot), "pq"))
         .union(ids(Knn.bruteForceQuantized(emb, qs, "vec_id", "embedding",
@@ -2288,20 +2293,23 @@ object ExtensionQueries extends graft.QueryModule {
     "  SELECT GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 1) / 32.0)) AS INT)) AS nbits\n" +
     "  FROM embeddings)"
 
-  /** The LSH top-k replay, parameterized by the multi-probe budget:
+  /** The LSH top-k replay, parameterized by the multi-probe budget AS
+    * A SQL EXPRESSION ("0" = single-bucket; the mp gate passes
+    * "(SELECT nbits - 4 FROM nb)" — Knn.autoProbes' width-scaled
+    * budget derived from the SAME count(*) CTE that sizes the
+    * signatures, so the oracle follows the adaptive rule end to end):
     * md5-derived planes, corpus sign-signature buckets, query buckets —
-    * plus, when probes > 0, the margin-ranked Hamming-1 fan-out (rank
-    * planes per (query, table) by (|dot|, p), XOR the base bucket with
-    * 2^p for the first `probes`) — candidate join, exact-cosine verify,
-    * per-query rank. Probes = 0 reproduces the original single-bucket
-    * oracle. */
-  private def lshTopkSql(probes: Int): String = {
+    * plus the margin-ranked Hamming-1 fan-out (rank planes per
+    * (query, table) by (|dot|, p), XOR the base bucket with 2^p for
+    * the first `probes`) — candidate join, exact-cosine verify,
+    * per-query rank. */
+  private def lshTopkSql(probesSql: String): String = {
     // Signature width derived from count(*) via the shared nb CTE —
     // the same adaptive rule Knn.lshCosine runs (6 at every gate
     // corpus; see lshNbCte for the cross-engine boundary analysis).
     val T = 24; val D = 64
     val fanout =
-      if (probes == 0) ""
+      if (probesSql == "0") ""
       else s"""
          |  UNION ALL
          |  SELECT f.vec_id, f.t, xor(s.bucket, CAST(pow(2, f.p) AS BIGINT))
@@ -2310,7 +2318,7 @@ object ExtensionQueries extends graft.QueryModule {
          |      SELECT vec_id, t, p,
          |        row_number() OVER (PARTITION BY vec_id, t
          |          ORDER BY abs(dt), p) AS rn
-         |      FROM qdots) WHERE rn <= $probes) f
+         |      FROM qdots) WHERE rn <= $probesSql) f
          |  JOIN qsig s ON s.vec_id = f.vec_id AND s.t = f.t""".stripMargin
     s"""WITH $lshNbCte,
        |planes AS (
@@ -3240,12 +3248,15 @@ object ExtensionQueries extends graft.QueryModule {
     // sign-signature buckets, candidate join across tables, exact-cosine
     // verification, per-query top-10. Identical arithmetic order —
     // weights, dots, and pow(2, p) are the same IEEE double ops.
-    "knn_lsh_topk" -> lshTopkSql(probes = 0),
+    "knn_lsh_topk" -> lshTopkSql(probesSql = "0"),
 
     // The margin-ranked multi-probe variant: the oracle additionally
     // replays, per (query, table), the |dot| ranking of the planes and
     // the XOR bucket fan-out — the probe sequence itself is gated.
-    "knn_lsh_mp_topk" -> lshTopkSql(probes = 2),
+    // nbits - 4 ≡ Knn.autoProbes(B) for every B the autoBits floor can
+    // produce (B >= 6) — 2 at every gate corpus, scaling with the
+    // width past it (r13, probe 20e).
+    "knn_lsh_mp_topk" -> lshTopkSql(probesSql = "(SELECT nbits - 4 FROM nb)"),
 
     "text_langid" -> {
       val perLang = TextFunctions.LangMarkers.toSeq.sortBy(_._1).map {

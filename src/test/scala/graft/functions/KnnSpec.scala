@@ -202,6 +202,39 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
         dims = 64, bits = 6, probes = 7)) // probes > bits
   }
 
+  test("autoProbes law, probes = -1 resolution, tablesFor calibration (r13)") {
+    // The width-scaled budget is B-4 on the whole reachable domain
+    // (autoBits floors at 6), always within [0, B], and grows one
+    // probe per width step — the probe-20e compensation rule.
+    (6 to 63).foreach { b =>
+      assert(Knn.autoProbes(b) == b - 4, s"autoProbes($b)")
+      assert(Knn.autoProbes(b) >= 0 && Knn.autoProbes(b) <= b)
+    }
+    // probes = -1 resolves the SAME rule: identical results to passing
+    // the resolved budget explicitly (same planes, same fan-out).
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+    val b = Knn.autoBits(emb.count())
+    def p(probes: Int) = Knn.lshCosine(emb, queries, "vec_id", "embedding",
+        k = 10, dims = 64, bits = b, probes = probes)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(p(-1) == p(Knn.autoProbes(b)))
+    // tablesFor pins: independently-computed values of
+    // ceil(ln(1-r)/ln(1-p1^B)) at the near-dup design point (c = 0.9:
+    // p1 = 0.85644) — T=24 comfortably covers B=13 (needs 21), while
+    // B=6 needs only 6; and the function is monotone in bits and
+    // target on a sweep.
+    assert(Knn.tablesFor(0.9, 13, 0.95) == 21)
+    assert(Knn.tablesFor(0.9, 6, 0.95) == 6)
+    (6 until 20).foreach { bb =>
+      assert(Knn.tablesFor(0.9, bb + 1, 0.9) >= Knn.tablesFor(0.9, bb, 0.9))
+      assert(Knn.tablesFor(0.9, bb, 0.95) >= Knn.tablesFor(0.9, bb, 0.9))
+    }
+    intercept[IllegalArgumentException](Knn.tablesFor(0.9, 13, 1.0))
+    intercept[IllegalArgumentException](Knn.tablesFor(1.5, 13, 0.9))
+  }
+
   test("lshCosine recovers >=70% of cosine>=0.4 pairs as candidates") {
     val emb = Tables.embeddings(spark, sf)
     // Ground-truth near-dup pairs (the dedup use case LSH exists for).

@@ -47,7 +47,12 @@ object BpeBatchedProbe {
       spark.range(nTypes.toLong).select(
         substring(md5(concat(col("id").cast("string"), lit(":bpe13"))),
           1, 16).as("w"),
-        greatest(lit(1L), lit(nTypes.toLong) / (col("id") + 1)).as("freq"))
+        // Spark's / on integral types is DOUBLE division: floor+cast
+        // keeps the Zipf profile integral (freq: BIGINT, the train
+        // contract).
+        greatest(lit(1L),
+          floor(lit(nTypes.toDouble) / (col("id") + 1)).cast("long"))
+          .as("freq"))
         .groupBy("w").agg(sum("freq").as("freq"))
         .repartition(32)
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
