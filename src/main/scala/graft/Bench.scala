@@ -220,17 +220,20 @@ object Bench {
     // suite-position inflation (up to 6.8x, zero code change) as a >2x
     // "regression" — crowding the 12-slot cap and evicting genuine
     // sub-top-20 movers (r12 ADVICE).
-    val alwaysHeadlined = (flagships ++
-      pass1.sortBy { case (n, t) => (-t, n) }.take(20).map(_._1)).toSet
+    // ONE top-20 definition: the mover exclusion below and headlineNames
+    // must use the same set, or an edit to one silently re-opens the
+    // crowding this exclusion fixes.
+    val top20Pass1 = pass1.sortBy { case (n, t) => (-t, n) }.take(20)
+      .map(_._1)
+    val alwaysHeadlined = (flagships ++ top20Pass1).toSet
     val movers = pass1
       .filter { case (n, t) =>
         !alwaysHeadlined(n) && t >= 0.5 &&
           prevFull.get(n).exists(prev => prev > 0 && t > 2 * prev) }
       .sortBy { case (n, t) => (-(t / prevFull(n)), n) }
       .take(12).map(_._1)
-    val headlineNames = (flagships ++ movers ++
-      pass1.sortBy { case (n, t) => (-t, n) }.take(20).map(_._1)).distinct
-        .filter(pass1.toMap.contains)
+    val headlineNames = (flagships ++ movers ++ top20Pass1).distinct
+      .filter(pass1.toMap.contains)
     // While the child runs, this parent (same -Xmx, heap populated by
     // the 200-query suite) stays resident — peak host footprint is ~2×
     // the contract heap (2×8 g against 128 g here; a host sized near
@@ -323,6 +326,21 @@ object Bench {
             f"ratio $medianRatio%.2f vs committed baseline > 1.2); keeping " +
             "the committed BENCH_FULL_LOCAL.json, writing " +
             "BENCH_FULL_REJECTED.json instead")
+          // The fork already wrote this run's fresh-JVM numbers to
+          // BENCH_ISOLATED.json (it runs before the session's health is
+          // known) — park those too, or a degraded session refreshes one
+          // committed calibration artifact while the guard rejects the
+          // other.
+          try {
+            val iso = java.nio.file.Paths.get("BENCH_ISOLATED.json")
+            if (java.nio.file.Files.exists(iso))
+              java.nio.file.Files.move(iso,
+                java.nio.file.Paths.get("BENCH_ISOLATED_REJECTED.json"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.write(iso,
+              "{\"source\":\"rejected-degraded-session\",\"queries\":{}}\n"
+                .getBytes("UTF-8"))
+          } catch { case _: Throwable => }
           "BENCH_FULL_REJECTED.json"
         } else "BENCH_FULL_LOCAL.json"
       val p = java.nio.file.Paths.get(target)

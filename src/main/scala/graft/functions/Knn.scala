@@ -368,11 +368,12 @@ object Knn {
     * this calibration is trustworthy without a per-corpus probe: size
     * `tables` for the SIMILARITY YOU MUST NOT MISS, not for the
     * threshold you merely filter at. At the near-dup design point
-    * (c = 0.9) the default T=24 holds recall ≥ 0.95 through B=14
-    * (~500k vectors); past that this function says what the recall
-    * target costs — and when it says hundreds of tables (low design
-    * cosine at large B), the engine's answer is the trained SemDeDup /
-    * incremental-index routes, not more LSH tables. */
+    * (c = 0.9) the default T=24 holds recall ≥ 0.95 through B=13
+    * (~262k vectors: T(0.9, 13, 0.95) = 21 but T(0.9, 14, 0.95) = 25 —
+    * both KnnSpec-pinned); past that this function says what the
+    * recall target costs — and when it says hundreds of tables (low
+    * design cosine at large B), the engine's answer is the trained
+    * SemDeDup / incremental-index routes, not more LSH tables. */
   def tablesFor(designCosine: Double, bits: Int,
       targetRecall: Double): Int = {
     require(designCosine > -1.0 && designCosine <= 1.0,

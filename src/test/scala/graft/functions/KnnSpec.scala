@@ -226,6 +226,10 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     // B=6 needs only 6; and the function is monotone in bits and
     // target on a sweep.
     assert(Knn.tablesFor(0.9, 13, 0.95) == 21)
+    // The default-coverage BOUNDARY: T=24 covers the design point only
+    // through B=13; B=14 already needs 25 tables (the scaladoc's
+    // ~262k-vector coverage claim, pinned on both sides).
+    assert(Knn.tablesFor(0.9, 14, 0.95) == 25)
     assert(Knn.tablesFor(0.9, 6, 0.95) == 6)
     (6 until 20).foreach { bb =>
       assert(Knn.tablesFor(0.9, bb + 1, 0.9) >= Knn.tablesFor(0.9, bb, 0.9))

@@ -99,7 +99,9 @@ object BpeBatchedProbe {
       f""""mean_last_20":${
         batches.takeRight(20).sum.toDouble / math.min(20, batches.size)}%.1f,""" +
       f""""dist_sec":$tDist%.2f,"local_sec":$tLocal%.2f,""" +
-      f""""tables_equal":$same}""")
+      // null, not true, when the driver-tier arm was skipped: the
+      // receipt must not assert a verification that never ran.
+      s""""tables_equal":${if (big) "null" else same.toString}}""")
     spark.stop()
   }
 }

@@ -70,11 +70,14 @@ object RecallProbe {
     }
 
     searchArm("registered_topk", 24, bAuto, 0) // knn_lsh_topk geometry
-    searchArm("registered_mp", 24, bAuto, 2) // knn_lsh_mp_topk geometry
-    // Compensation candidates: probes scaled with the width growth
-    // (B-6 extra flips beyond the gate-scale default), tables doubled.
+    // knn_lsh_mp_topk's REGISTERED geometry since r13: the width-scaled
+    // autoProbes budget (this probe's own r13 measurements picked it).
+    searchArm("registered_mp_auto", 24, bAuto, Knn.autoProbes(bAuto))
+    // Contrast arms: the r12 fixed-2 budget the registration replaced,
+    // a double budget, tables doubled, and the pinned gate-scale width
+    // (the recall ceiling, at unbounded candidate cost).
     if (bAuto > 6) {
-      searchArm("probes_scaled", 24, bAuto, math.min(bAuto, 2 + (bAuto - 6)))
+      searchArm("fixed2_mp_r12", 24, bAuto, 2)
       searchArm("probes_scaled2x", 24, bAuto,
         math.min(bAuto, 2 * (bAuto - 6) + 2))
       searchArm("tables_2x", 48, bAuto, 0)

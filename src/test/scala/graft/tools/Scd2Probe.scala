@@ -58,6 +58,11 @@ object Scd2Probe {
       case other => sys.error(s"too many args: ${other.mkString(" ")}")
     }
     require(!(plain && pruned.isDefined), "plain and pruned are exclusive")
+    // mergeHistory raises on any out-of-order arrival, so the plain arm
+    // only makes sense (and only survives fold 1) on the no-deferral
+    // mode — fail at parse time, not minutes into a 100x fold chain.
+    require(!plain || arrival == "inorder",
+      s"plain requires the inorder arrival mode, got: $arrival")
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
         String.valueOf(Runtime.getRuntime.availableProcessors())))
@@ -109,15 +114,18 @@ object Scd2Probe {
     val tagged = history.withColumn("__arrive", arrive)
     // `stored` mode: the fold base round-trips a parquet table per fold
     // (the warehouse shape — the detector's suspect filter pushes to the
-    // scan). Each fold's store replaces the previous one; all are
-    // deleted at exit.
+    // scan). Once fold b+1's store is WRITTEN, fold b's files are dead
+    // (the write materialized everything read from them), so the
+    // previous dir is deleted immediately — at most two corpus-sized
+    // copies ever coexist, not one per fold.
     var baseDirs = List.empty[String]
     def pin(df: org.apache.spark.sql.DataFrame) = mode match {
       case "stored" =>
         val d = java.nio.file.Files
           .createTempDirectory("graft_scd2_base").toString
         df.write.mode("overwrite").parquet(d)
-        baseDirs ::= d
+        baseDirs.foreach(graft.util.FsUtil.deleteTree)
+        baseDirs = List(d)
         spark.read.parquet(d)
       case "disk" => df.localCheckpoint(true, StorageLevel.DISK_ONLY)
       case _ => df.localCheckpoint()
