@@ -791,7 +791,11 @@ object ExtensionQueries extends graft.QueryModule {
     // holds per-query cost flat as the corpus grows; 6 at gate scale).
     // The full plane-generation -> signature -> candidate-join ->
     // verify pipeline is oracle-replayed; recall vs brute force
-    // asserted in KnnSpec.
+    // asserted in KnnSpec. This row is deliberately the SINGLE-PROBE
+    // baseline: it keeps the uncompensated geometry's recall visible
+    // next to the width-scaled-budget flavor below, which is the
+    // production search plan at large B (probe 20e: 0.11 vs 0.50
+    // recall@10 at B=13, same wall).
     "knn_lsh_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Knn.lshCosine(emb, emb.filter(col("vec_id") < 5),
