@@ -67,6 +67,28 @@ object RecallProbe {
         "left_semi").count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"recall20e","arm":"search","name":"$name","tables":$tables,"bits":$bits,"probes":$probes,"recall":${hits.toDouble / denom}%.4f,"sec":$sec%.2f}""")
+      // Per-SIMILARITY breakdown: recall conditioned on the query's
+      // exact-top-10 mean cosine band. The geometry's recall is a pure
+      // function of the neighbor ANGLE, so a mixed corpus (embskew: 20%
+      // flood at ~0.94 + near-random rest) separates "what a real
+      // clustered corpus retains" from "what the near-random tail
+      // loses" — the measured form of the scaladoc's claim that
+      // neighbors at cosine 0.8+ keep recall through large B.
+      val qBand = exact.groupBy(col("query_id"))
+        .agg((floor(avg(col("cosine")) * 10) / 10).as("qband"),
+          count(lit(1)).as("nn"))
+      val perBand = exact
+        .join(approx.withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id")).agg(count(col("__hit")).as("h"))
+        .join(qBand, Seq("query_id"))
+        .groupBy(col("qband"))
+        .agg(count(lit(1)).as("queries"), sum(col("h")).as("found"),
+          sum(col("nn")).as("nn"))
+        .orderBy(col("qband")).collect()
+      perBand.foreach { r =>
+        println(f"""{"probe":"recall20e","arm":"search_band","name":"$name","bits":$bits,"probes":$probes,"qband":${r.getDouble(0)}%.1f,"queries":${r.getLong(1)},"recall":${r.getLong(2).toDouble / r.getLong(3)}%.4f}""")
+      }
     }
 
     searchArm("registered_topk", 24, bAuto, 0) // knn_lsh_topk geometry
