@@ -823,8 +823,13 @@ object Dedup {
     * scale with N, expected cell population stays ~32, candidates stay
     * ~linear. This is the standard LSH prescription (signature length
     * ∝ log n); per-table recall for a pair at angle θ is (1-θ/π)^B, so
-    * raising B trades recall per table — raise `tables` alongside for
-    * recall-critical corpora. Pass an explicit `bits > 0` only to pin
+    * raising B trades recall per table — size `tables` with
+    * [[graft.functions.Knn.tablesFor]] for the similarity you must not
+    * miss (the analytic union bound, measured EXACT against ground
+    * truth at B ∈ {6, 11, 13} — SCALING.md probe 20e; at the near-dup
+    * design point, cosine ≥ 0.9, the default T=24 measured 0.9994 pair
+    * recall at the grown width under the embskew flood). Pass an
+    * explicit `bits > 0` only to pin
     * the geometry for a frozen index or an A/B; since r12 the
     * registered gate AND its DuckDB oracle both run the adaptive rule
     * (the oracle derives the same B from count(*)), so a pinned call
