@@ -29,10 +29,10 @@ object IvfScaleProbe {
         String.valueOf(Runtime.getRuntime.availableProcessors())))
     val emb = Tables.embeddings(spark, dir).localCheckpoint()
     val n = emb.count()
-    val qEvery = math.max(1L, n / nQ)
-    val qs = emb.filter(pmod(xxhash64(col("vec_id")), lit(qEvery)) === 0L)
-      .localCheckpoint()
-    val exact = Knn.bruteForce(emb, qs, "vec_id", "embedding", 10)
+    // Same deterministic query sample + exact baseline as RecallProbe
+    // (ProbeCommon) — the two probes must grade the same query set.
+    val qs = ProbeCommon.sampledQueries(emb, n, nQ)
+    val exact = ProbeCommon.exactTop10(emb, qs)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     val denom = exact.count()
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -42,7 +42,12 @@ object IvfScaleProbe {
     val cents = Knn.kmeans(emb, "vec_id", "embedding", k, iterations = 3)
       .localCheckpoint()
     val trainSec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"probe":"ivfscale","dir":"$dir","vectors":$n,"centroids":$k,"train_sec":$trainSec%.2f,"queries":${qs.count()}}""")
+    // The REAL centroid count: trainLoop drops clusters that capture
+    // zero sample points, so C can land below the requested k — and
+    // scan_frac must use C, or the cost receipts understate the
+    // scanned fraction (r13 review).
+    val cReal = cents.count().toInt
+    println(f"""{"probe":"ivfscale","dir":"$dir","vectors":$n,"centroids_requested":$k,"centroids":$cReal,"train_sec":$trainSec%.2f,"queries":${qs.count()}}""")
 
     def arm(name: String, centsDf: org.apache.spark.sql.DataFrame,
         c: Int, nprobe: Int): Unit = {
@@ -56,7 +61,7 @@ object IvfScaleProbe {
       println(f"""{"probe":"ivfscale","arm":"$name","centroids":$c,"nprobe":$nprobe,"scan_frac":${nprobe.toDouble / c}%.4f,"recall":${hits.toDouble / denom}%.4f,"sec":$sec%.2f}""")
     }
 
-    Seq(4, 8, 16, 32).foreach(np => arm("trained_sqrtN", cents, k, np))
+    Seq(4, 8, 16, 32).foreach(np => arm("trained_sqrtN", cents, cReal, np))
     // The registered gate geometry, as the contrast row.
     val cents16 = emb.orderBy(col("vec_id")).limit(16)
       .select(col("vec_id").as("centroid_id"),

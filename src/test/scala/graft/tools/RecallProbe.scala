@@ -47,22 +47,28 @@ object RecallProbe {
     val bAuto = Knn.autoBits(n)
 
     // ---- search recall@10 ------------------------------------------
-    val qEvery = math.max(1L, n / nQ)
-    val qs = emb.filter(pmod(xxhash64(col("vec_id")), lit(qEvery)) === 0L)
-      .localCheckpoint()
+    val qs = ProbeCommon.sampledQueries(emb, n, nQ)
     val nq = qs.count()
-    val exact = Knn.bruteForce(emb, qs, "vec_id", "embedding", 10)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
-      .localCheckpoint()
+    val exact = ProbeCommon.exactTop10(emb, qs)
     val denom = exact.count() // <= nq*10; ties at the boundary are fixed
+    // Per-query similarity band of the TRUE neighbors — fixed across
+    // arms, so computed (and pinned) once, not per arm.
+    val qBand = exact.groupBy(col("query_id"))
+      .agg((floor(avg(col("cosine")) * 10) / 10).as("qband"),
+        count(lit(1)).as("nn"))
+      .localCheckpoint()
     val topStats = exact.agg(avg(col("cosine")), min(col("cosine"))).head
     println(f"""{"probe":"recall20e","dir":"$dir","vectors":$n,"autoBits":$bAuto,"queries":$nq,"exact_rows":$denom,"top10_avg_cos":${topStats.getDouble(0)}%.4f,"top10_min_cos":${topStats.getDouble(1)}%.4f}""")
 
     def searchArm(name: String, tables: Int, bits: Int, probes: Int): Unit = {
       val t0 = System.nanoTime()
+      // Pinned: TWO actions consume the arm's result (headline count +
+      // per-band breakdown) and an unpinned plan would re-run the whole
+      // bucketing/candidate/top-k pipeline per consumer.
       val approx = Knn.lshCosine(emb, qs, "vec_id", "embedding", k = 10,
         dims = 64, tables = tables, bits = bits, probes = probes)
         .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
         "left_semi").count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -74,9 +80,6 @@ object RecallProbe {
       // clustered corpus retains" from "what the near-random tail
       // loses" — the measured form of the scaladoc's claim that
       // neighbors at cosine 0.8+ keep recall through large B.
-      val qBand = exact.groupBy(col("query_id"))
-        .agg((floor(avg(col("cosine")) * 10) / 10).as("qband"),
-          count(lit(1)).as("nn"))
       val perBand = exact
         .join(approx.withColumn("__hit", lit(1)),
           Seq("query_id", "neighbor_id"), "left_outer")
