@@ -30,7 +30,7 @@ object Bench {
     * committed BENCH_FULL_LOCAL.json sidecar (both come from the same
     * line() template; two hand-rolled copies of this regex would let a
     * shape change silently empty one of them). */
-  private def parseQueriesMap(s: String): Map[String, Double] = {
+  private[graft] def parseQueriesMap(s: String): Map[String, Double] = {
     val qs = s.indexOf("\"queries\":")
     if (qs < 0) Map.empty
     else {
@@ -44,6 +44,21 @@ object Bench {
       """"(\w+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(span)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
+  }
+
+  /** Median of this run's flagship times over the committed baseline's
+    * (both sides min-over-contexts; prev < 0.3 s rows skipped — tiny
+    * queries are pure noise). > 1.2 marks a degraded SESSION: flagship
+    * plans are the stable anchors, so the code cannot move their median
+    * while leaving individual movers at par (the r12 failure signature
+    * was exactly the reverse). Empty overlap → 1.0 (no baseline, no
+    * verdict). */
+  private[graft] def medianFlagshipRatio(cur: Map[String, Double],
+      prev: Map[String, Double], flagships: Seq[String]): Double = {
+    val rs = flagships.flatMap { n =>
+      for { p <- prev.get(n) if p >= 0.3; t <- cur.get(n) } yield t / p
+    }.sorted
+    if (rs.isEmpty) 1.0 else rs(rs.size / 2)
   }
 
   private def forkIsolated(names: Seq[String], sfDir: String,
@@ -314,12 +329,7 @@ object Bench {
     // session — not the code — is the mover, so keep the old baseline
     // and park this run in BENCH_FULL_REJECTED.json for a human.
     if (only.isEmpty) try {
-      val flagRatios = flagships.flatMap { n =>
-        for {p <- prevFull.get(n) if p >= 0.3; t <- byName.get(n)}
-          yield t / p
-      }.sorted
-      val medianRatio =
-        if (flagRatios.isEmpty) 1.0 else flagRatios(flagRatios.size / 2)
+      val medianRatio = medianFlagshipRatio(byName, prevFull, flagships)
       val target =
         if (medianRatio > 1.2) {
           System.err.println(f"[bench] session degraded (median flagship " +

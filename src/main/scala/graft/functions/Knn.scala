@@ -518,8 +518,10 @@ object Knn {
     * per-query cost ~flat (the standard signature-length-∝-log n
     * prescription). Per-table recall for a neighbor at angle θ is
     * (1-θ/π)^B, so a larger corpus's higher B trades per-table recall —
-    * compensate with `tables` or `probes` on recall-critical corpora,
-    * or pin `bits` explicitly. At the 2k-vector fixture auto resolves
+    * compensate with `probes = -1` (the [[autoProbes]] width-scaled
+    * budget — probe 20e's measured best lift at no wall cost) or size
+    * `tables` with [[tablesFor]] on recall-critical corpora, or pin
+    * `bits` explicitly. At the 2k-vector fixture auto resolves
     * to B=6, where T=24/B=6 recovers 81% of >=0.4-cosine pairs while
     * generating 33% of all pairs as candidates; real clustered
     * embedding corpora sit at much higher cosine and prune far harder.
