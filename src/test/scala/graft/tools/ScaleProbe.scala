@@ -56,7 +56,20 @@ import graft.model.Tables
   * quadratics and sign-LSH hot buckets show their scaling. Docs/events
   * replicate work-preserving in this mode (the flood is embedding-only).
   *
-  * Usage: Test/runMain graft.tools.ScaleProbe <srcSfDir> <outDir> <factor> [skew|nearskew|embskew]
+  * EMBCLUSTER MODE (4th arg "embcluster", r13): a REALISTIC clustered
+  * embedding corpus — every vector is one of 200 deterministic
+  * hash-uniform cluster centers in [-1,1)^64 plus per-(vector, dim)
+  * uniform noise sized so within-cluster pairwise cosine sits ≈0.9
+  * (E|center|² = 64/3; noise scale 0.67 adds 64·0.67²/12 ≈ 2.4 —
+  * cosine ≈ 21.3/23.7). Real embedding corpora are clustered, not
+  * near-random: replica-scatter (the default) is ANN's WORST case
+  * (top-10 at cosine ~0.49, probe 20e), and embskew measures one
+  * flood, not a production distribution. This mode is the "expected
+  * regime" corpus for recall receipts. Docs/events replicate
+  * work-preserving; vec_ids and cluster assignment are pure hashes, so
+  * the corpus is reproducible at any factor.
+  *
+  * Usage: Test/runMain graft.tools.ScaleProbe <srcSfDir> <outDir> <factor> [skew|nearskew|embskew|embcluster]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -111,15 +124,30 @@ object ScaleProbe {
             (x + (pmod(hash(col("vec_id"), lit(r), i), lit(1000))
               .cast("double") / 1000.0 - 0.5)).cast("float")))
     }.reduce(_ unionAll _)
-    val embOut =
-      if (mode != "embskew") embN
-      else embN.withColumn("embedding",
+    val embOut = mode match {
+      case "embskew" => embN.withColumn("embedding",
         when(pmod(col("vec_id"), lit(5)) === 1,
           transform(col("embedding"), (_, i) =>
             (lit(1.0) + (pmod(hash(col("vec_id"), i, lit("embskew")),
               lit(1000)).cast("double") / 1000.0 - 0.5) * 0.8)
               .cast("float")))
           .otherwise(col("embedding")))
+      case "embcluster" =>
+        // cluster(v) = hash-uniform over 200 centers; every dim is
+        // center + uniform(-0.335, 0.335) noise — within-cluster
+        // cosine ≈ 0.9, cross-cluster ≈ 0 (centers are independent
+        // uniforms around zero).
+        val cl = pmod(xxhash64(col("vec_id"), lit("emcl")), lit(200L))
+        embN.withColumn("embedding",
+          transform(col("embedding"), (_, i) => {
+            val center = (pmod(hash(cl, i, lit("ctr")), lit(2000))
+              .cast("double") / 1000.0 - 1.0)
+            val noise = (pmod(hash(col("vec_id"), i, lit("off")),
+              lit(1000)).cast("double") / 1000.0 - 0.5) * 0.67
+            (center + noise).cast("float")
+          }))
+      case _ => embN
+    }
     embOut.write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
     // customer: replica keys shift by the same stride as orders'
