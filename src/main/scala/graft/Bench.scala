@@ -14,17 +14,6 @@ package graft
   */
 object Bench {
 
-  /** Re-times `names` warmed in a freshly forked JVM (the isolated
-    * SPARK_GRAFT_ONLY protocol) and returns the per-query seconds, or
-    * None if the child cannot be launched, times out, or its contract
-    * line cannot be parsed — the caller then falls back to in-process
-    * re-timing. The child is this same main with SPARK_GRAFT_ONLY set,
-    * launched with the parent's exact JVM args (add-opens, -Xmx, -D
-    * flags) and classpath, so it benchmarks the identical engine
-    * config with none of the 200-plan JIT/GC context. Also dumps the
-    * child's numbers to BENCH_ISOLATED.json for round-over-round
-    * calibration.
-    */
   /** Parses the `"queries":{...}` map out of a contract-shaped line —
     * the ONE parser for both the forked child's stdout and the
     * committed BENCH_FULL_LOCAL.json sidecar (both come from the same
@@ -61,6 +50,16 @@ object Bench {
     if (rs.isEmpty) 1.0 else rs(rs.size / 2)
   }
 
+  /** Re-times `names` warmed in a freshly forked JVM (the isolated
+    * SPARK_GRAFT_ONLY protocol) and returns the per-query seconds, or
+    * None if the child cannot be launched, times out, or its contract
+    * line cannot be parsed — the caller then falls back to in-process
+    * re-timing. The child is this same main with SPARK_GRAFT_ONLY set,
+    * launched with the parent's exact JVM args (add-opens, -Xmx, -D
+    * flags) and classpath, so it benchmarks the identical engine
+    * config with none of the 200-plan JIT/GC context. Also dumps the
+    * child's numbers to BENCH_ISOLATED.json for round-over-round
+    * calibration. */
   private def forkIsolated(names: Seq[String], sfDir: String,
                            cpus: String): Option[Map[String, Double]] = {
     if (sys.env.contains("SPARK_GRAFT_FORKED")) return None // no recursion

@@ -76,6 +76,11 @@ object ScaleProbe {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
     val mode = if (args.length > 3) args(3) else ""
+    // Whitelist: a typo'd mode must fail here, not silently generate
+    // the default work-preserving corpus and let its numbers masquerade
+    // as a skew/cluster-regime receipt (r13 review).
+    require(Set("", "skew", "nearskew", "embskew", "embcluster")(mode),
+      s"unknown mode: $mode")
     val skew = mode == "skew" || mode == "nearskew"
     require(factor >= 1, s"factor must be >= 1: $factor")
     val spark = SparkSession.builder()
@@ -117,12 +122,18 @@ object ScaleProbe {
     val emb = Tables.embeddings(spark, src)
     val embN = (0 until factor).map { r =>
       if (r == 0) emb
-      else emb
-        .withColumn("vec_id", col("vec_id") + lit(r * stride))
-        .withColumn("embedding",
+      else {
+        val shifted = emb.withColumn("vec_id", col("vec_id") + lit(r * stride))
+        // embcluster fully overwrites the embedding below, so the
+        // per-replica scatter transform would be 64 discarded hash
+        // evaluations per vector — skip it (the id stride is all the
+        // replication that mode needs).
+        if (mode == "embcluster") shifted
+        else shifted.withColumn("embedding",
           transform(col("embedding"), (x, i) =>
             (x + (pmod(hash(col("vec_id"), lit(r), i), lit(1000))
               .cast("double") / 1000.0 - 0.5)).cast("float")))
+      }
     }.reduce(_ unionAll _)
     val embOut = mode match {
       case "embskew" => embN.withColumn("embedding",
