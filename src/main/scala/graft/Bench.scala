@@ -35,19 +35,51 @@ object Bench {
     }
   }
 
+  /** A degraded-session verdict needs at least this many overlapping
+    * flagship ratios: with fewer, a single outlier decides the median
+    * (at 2, the MAX decides), and parking a healthy run on one noisy
+    * flagship is worse than missing one drifted session (r13 ADVICE).
+    * The real flagship list is 13 queries, all ≥ 0.3 s — overlap only
+    * thins when the committed baseline predates several renames. */
+  private[graft] val MinFlagshipOverlap = 5
+
   /** Median of this run's flagship times over the committed baseline's
     * (both sides min-over-contexts; prev < 0.3 s rows skipped — tiny
     * queries are pure noise). > 1.2 marks a degraded SESSION: flagship
     * plans are the stable anchors, so the code cannot move their median
     * while leaving individual movers at par (the r12 failure signature
-    * was exactly the reverse). Empty overlap → 1.0 (no baseline, no
-    * verdict). */
+    * was exactly the reverse). TRUE median (even-size overlap averages
+    * the two middle ratios — the upper median let one outlier tip the
+    * verdict, r13 ADVICE); fewer than [[MinFlagshipOverlap]] overlapping
+    * rows → 1.0 (no verdict — the sample can't support one). */
   private[graft] def medianFlagshipRatio(cur: Map[String, Double],
       prev: Map[String, Double], flagships: Seq[String]): Double = {
     val rs = flagships.flatMap { n =>
       for { p <- prev.get(n) if p >= 0.3; t <- cur.get(n) } yield t / p
     }.sorted
-    if (rs.isEmpty) 1.0 else rs(rs.size / 2)
+    if (rs.size < MinFlagshipOverlap) 1.0
+    else if (rs.size % 2 == 1) rs(rs.size / 2)
+    else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2.0
+  }
+
+  /** Promotes (healthy) or parks (rejected) the fork's isolated-timing
+    * CANDIDATE sidecar — the r14 fix for the r13 rejection-path
+    * clobber: [[forkIsolated]] runs BEFORE session health is known, so
+    * it writes BENCH_ISOLATED_CANDIDATE.json and this promotion —
+    * called once the degraded-session verdict exists — is the only
+    * writer of BENCH_ISOLATED.json. Healthy → candidate becomes
+    * BENCH_ISOLATED.json; rejected → candidate parks as
+    * BENCH_ISOLATED_REJECTED.json and the committed BENCH_ISOLATED.json
+    * is left byte-identical (BenchSpec-pinned). No candidate on disk
+    * (fork skipped or crashed before its stub) → nothing moves. */
+  private[graft] def promoteIsolated(rejected: Boolean,
+      dir: java.nio.file.Path = java.nio.file.Paths.get(".")): Unit = {
+    val cand = dir.resolve("BENCH_ISOLATED_CANDIDATE.json")
+    if (!java.nio.file.Files.exists(cand)) return
+    val target =
+      if (rejected) "BENCH_ISOLATED_REJECTED.json" else "BENCH_ISOLATED.json"
+    java.nio.file.Files.move(cand, dir.resolve(target),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Re-times `names` warmed in a freshly forked JVM (the isolated
@@ -58,8 +90,10 @@ object Bench {
     * launched with the parent's exact JVM args (add-opens, -Xmx, -D
     * flags) and classpath, so it benchmarks the identical engine
     * config with none of the 200-plan JIT/GC context. Also dumps the
-    * child's numbers to BENCH_ISOLATED.json for round-over-round
-    * calibration. */
+    * child's numbers to BENCH_ISOLATED_CANDIDATE.json — promoted to
+    * BENCH_ISOLATED.json only once the degraded-session guard rules
+    * the session healthy ([[promoteIsolated]]), so a rejected run can
+    * never clobber the committed calibration. */
   private def forkIsolated(names: Seq[String], sfDir: String,
                            cpus: String): Option[Map[String, Double]] = {
     if (sys.env.contains("SPARK_GRAFT_FORKED")) return None // no recursion
@@ -114,7 +148,8 @@ object Bench {
             "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
           }.mkString("{\"source\":\"fresh-forked-jvm\",\"queries\":{", ",", "}}\n")
           java.nio.file.Files.write(
-            java.nio.file.Paths.get("BENCH_ISOLATED.json"), side.getBytes("UTF-8"))
+            java.nio.file.Paths.get("BENCH_ISOLATED_CANDIDATE.json"),
+            side.getBytes("UTF-8"))
         } catch { case e: Throwable => System.err.println(s"[bench] isolated sidecar write failed: ${e.getMessage}") }
         Some(parsed)
       } finally {
@@ -259,11 +294,13 @@ object Bench {
       forkIsolated(headlineNames, sfDir, cpus)
     }
     if (only.isEmpty && forked.isEmpty) {
-      // Mark the sidecar so a stale BENCH_ISOLATED.json from an earlier
-      // code state can never pose as this run's fresh-JVM numbers in
-      // round-over-round calibration.
+      // Mark the CANDIDATE so a stale BENCH_ISOLATED.json from an
+      // earlier code state can never pose as this run's fresh-JVM
+      // numbers: on a healthy verdict the stub is promoted over it
+      // (exactly the old behavior), on a rejected one it parks in
+      // _REJECTED and the committed file stays untouched.
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_ISOLATED.json"),
+        java.nio.file.Paths.get("BENCH_ISOLATED_CANDIDATE.json"),
         "{\"source\":\"fork-failed\",\"queries\":{}}\n".getBytes("UTF-8"))
       catch { case _: Throwable => }
     }
@@ -295,6 +332,20 @@ object Bench {
     // sidecar, not the driver artifact. Whatever regresses into the
     // top-20 now rides the contract line.
     val byName = results.toMap
+    // Degraded-session verdict, computed ONCE and before the contract
+    // line is built: the rejection must ride the line itself (a
+    // "baseline":"rejected" field) so the round's artifact confronts
+    // it — r13 ADVICE flagged that a stderr note plus a parked file
+    // was silently ignorable, leaving the mover baseline stale until
+    // a human noticed BENCH_FULL_REJECTED.json. A genuine
+    // across-the-board code regression trips this too (the guard
+    // cannot tell them apart from inside one session) — the field is
+    // exactly what forces that arbitration into the next round's
+    // review instead of past it.
+    val medianRatio =
+      if (only.isEmpty) medianFlagshipRatio(byName, prevFull, flagships)
+      else 1.0
+    val sessionRejected = medianRatio > 1.2
     val top20 = results.sortBy { case (n, t) => (-t, n) }.take(20).map(_._1)
     // A SPARK_GRAFT_ONLY run is small by construction, so report every
     // selected query — the headline subset exists only to keep the
@@ -311,7 +362,9 @@ object Bench {
         if (failed.isEmpty) ""
         else s""","n_failed":${failed.size},"failed":${failed.sorted
           .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(qs)}$failedField,"sf":"$sfDir"}"""
+      val baselineField =
+        if (sessionRejected) ""","baseline":"rejected"""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(qs)}$failedField$baselineField,"sf":"$sfDir"}"""
     }
     // The sidecar records the FULL suite only: a SPARK_GRAFT_ONLY
     // iteration run would otherwise clobber the last complete picture
@@ -328,28 +381,19 @@ object Bench {
     // session — not the code — is the mover, so keep the old baseline
     // and park this run in BENCH_FULL_REJECTED.json for a human.
     if (only.isEmpty) try {
-      val medianRatio = medianFlagshipRatio(byName, prevFull, flagships)
+      // The fork wrote this run's fresh-JVM numbers to the CANDIDATE
+      // path (it runs before the session's health is known); now that
+      // the verdict exists, promote them — or park them, leaving the
+      // committed BENCH_ISOLATED.json byte-identical on rejection.
+      try promoteIsolated(sessionRejected)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] isolated promote failed: ${e.getMessage}") }
       val target =
-        if (medianRatio > 1.2) {
+        if (sessionRejected) {
           System.err.println(f"[bench] session degraded (median flagship " +
             f"ratio $medianRatio%.2f vs committed baseline > 1.2); keeping " +
             "the committed BENCH_FULL_LOCAL.json, writing " +
             "BENCH_FULL_REJECTED.json instead")
-          // The fork already wrote this run's fresh-JVM numbers to
-          // BENCH_ISOLATED.json (it runs before the session's health is
-          // known) — park those too, or a degraded session refreshes one
-          // committed calibration artifact while the guard rejects the
-          // other.
-          try {
-            val iso = java.nio.file.Paths.get("BENCH_ISOLATED.json")
-            if (java.nio.file.Files.exists(iso))
-              java.nio.file.Files.move(iso,
-                java.nio.file.Paths.get("BENCH_ISOLATED_REJECTED.json"),
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            java.nio.file.Files.write(iso,
-              "{\"source\":\"rejected-degraded-session\",\"queries\":{}}\n"
-                .getBytes("UTF-8"))
-          } catch { case _: Throwable => }
           "BENCH_FULL_REJECTED.json"
         } else "BENCH_FULL_LOCAL.json"
       val p = java.nio.file.Paths.get(target)

@@ -823,28 +823,37 @@ object Dedup {
     * scale with N, expected cell population stays ~32, candidates stay
     * ~linear. This is the standard LSH prescription (signature length
     * ∝ log n); per-table recall for a pair at angle θ is (1-θ/π)^B, so
-    * raising B trades recall per table — size `tables` with
-    * [[graft.functions.Knn.tablesFor]] for the similarity you must not
-    * miss (the analytic union bound, measured EXACT against ground
-    * truth at B ∈ {6, 11, 13} — SCALING.md probe 20e; at the near-dup
-    * design point, cosine ≥ 0.9, the default T=24 measured 0.9994 pair
-    * recall at the grown width under the embskew flood). Pass an
+    * raising B trades recall per table. The default `tables = 0`
+    * auto-sizes T = max(24, [[graft.functions.Knn.tablesFor]](0.9, B,
+    * 0.95)) ([[graft.functions.Knn.autoTables]], r14 — closing the r13
+    * envelope: the historical fixed T=24 held the near-dup design
+    * point, pair recall ≥ 0.95 at cosine 0.9, only through B=13 ≈ 262k
+    * vectors; past it the plan silently under-recalled. The analytic
+    * union bound was measured EXACT against ground truth at
+    * B ∈ {6, 11, 13} — SCALING.md probe 20e; T=24 measured 0.9994
+    * pair recall at the grown width under the embskew flood — so the
+    * calibration is trustworthy without a per-corpus probe, and the
+    * 24 floor keeps every ≤B=13 result, including the fixture
+    * oracles', byte-identical). Size `tables` explicitly with
+    * `tablesFor` only when your must-not-miss similarity differs from
+    * the 0.9/0.95 design point. Pass an
     * explicit `bits > 0` only to pin
     * the geometry for a frozen index or an A/B; since r12 the
     * registered gate AND its DuckDB oracle both run the adaptive rule
-    * (the oracle derives the same B from count(*)), so a pinned call
-    * diverges from the oracle once the corpus crosses a growth
-    * boundary. */
+    * (the oracle derives the same B from count(*), and since r14 the
+    * same T from the shared nb CTE), so a pinned call diverges from
+    * the oracle once the corpus crosses a growth boundary. */
   def embeddingLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dims: Int, tables: Int = 24, bits: Int = 0,
+      threshold: Double, dims: Int, tables: Int = 0, bits: Int = 0,
       cosineFn: (Column, Column) => Column =
         graft.functions.VectorFunctions.cosineNative,
       dotFn: (Column, Column) => Column =
         graft.functions.VectorFunctions.dotNative): DataFrame = {
     val b = if (bits > 0) bits
       else graft.functions.Knn.autoBits(corpus.count())
+    val t = if (tables > 0) tables else graft.functions.Knn.autoTables(b)
     val bucketed = graft.functions.Knn.lshBucketTable(
-      corpus, idCol, vecCol, tables, b, dims, dotFn)
+      corpus, idCol, vecCol, t, b, dims, dotFn)
     bucketed.as("x")
       .join(bucketed.as("y").hint("merge"), Seq("t", "bucket"))
       .filter(col("x.vid") < col("y.vid"))
@@ -868,13 +877,15 @@ object Dedup {
     * corpus — each vector crosses the wire once per verify side.
     * Identical output to [[embeddingLshPairs]] by construction
     * (spec-pinned): same hyperplanes, same signatures, same candidate
-    * set, same exact-cosine verification. Auto-sizing keeps average
+    * set, same exact-cosine verification — including the r14 auto-T
+    * default (`tables = 0` → [[graft.functions.Knn.autoTables]]).
+    * Auto-sizing keeps average
     * cells at ~32 rows, so salting engages only on ADVERSARIAL cells
     * (near-identical embedding floods) — exactly when the wide form
     * serializes. */
   def embeddingLshPairsSalted(corpus: DataFrame, idCol: String,
       vecCol: String, threshold: Double, dims: Int,
-      tables: Int = 24, bits: Int = 0,
+      tables: Int = 0, bits: Int = 0,
       cosineFn: (Column, Column) => Column =
         graft.functions.VectorFunctions.cosineNative,
       dotFn: (Column, Column) => Column =
@@ -882,8 +893,9 @@ object Dedup {
       blockRows: Int = 1024): DataFrame = {
     val b = if (bits > 0) bits
       else graft.functions.Knn.autoBits(corpus.count())
+    val t = if (tables > 0) tables else graft.functions.Knn.autoTables(b)
     val bucketed = graft.functions.Knn.lshBucketTable(
-      corpus, idCol, vecCol, tables, b, dims, dotFn)
+      corpus, idCol, vecCol, t, b, dims, dotFn)
     val cand = saltedCandidatePairs(
       bucketed.select(col("vid").as("id"), col("t"), col("bucket")),
       Seq("t", "bucket"), blockRows)

@@ -358,6 +358,36 @@ object Knn {
     * `nbits - 4` from the shared nb CTE. */
   def autoProbes(bits: Int): Int = math.min(bits, math.max(2, bits - 4))
 
+  /** The near-dup PAIRS design point the width-scaled table budget is
+    * calibrated for: a pair at cosine 0.9 must be recalled with
+    * p ≥ 0.95 (SemDeDup's semantic-duplicate regime — real duplicate
+    * pairs sit at 0.9+, and the 0.4 gate threshold is a filter, not
+    * the must-not-miss point). Shared by [[autoTables]] and the DuckDB
+    * oracle's `nt` CTE so the two sides can never drift apart. */
+  val PairsDesignCosine: Double = 0.9
+  val PairsTargetRecall: Double = 0.95
+
+  /** THE width-scaled TABLE budget of the pairs path — the recall
+    * compensation that rides [[autoBits]] on the candidate-pair side
+    * (r14, closing the r13 envelope): the historical fixed default
+    * T=24 holds the near-dup design point ([[PairsDesignCosine]] at
+    * [[PairsTargetRecall]]) only through B=13 ≈ 262k vectors —
+    * tablesFor(0.9, 14, 0.95) = 25 > 24 (KnnSpec-pinned both sides of
+    * the boundary) — so past it the registered pairs plan silently
+    * under-recalled the design point. T = max(24, [[tablesFor]](0.9,
+    * B, 0.95)): the 24 floor keeps every gate-scale result (and the
+    * low-cosine 0.4-band recall the fixture oracles exercise)
+    * byte-identical through B=13, and past the boundary the analytic
+    * union bound — measured EXACT at B ∈ {6, 11, 13}, probe 20e —
+    * prices the compensation. Candidate cost stays ~linear: each
+    * added table is one more ~32-row-per-cell bucketing pass (the
+    * autoBits invariant), and T grows slowly (25 at B=14, ~30 at
+    * B=15). The DuckDB oracles derive the identical budget from the
+    * shared count(*) CTE (`lshNtCte`), exactly the [[autoProbes]]
+    * pattern. */
+  def autoTables(bits: Int): Int =
+    math.max(24, tablesFor(PairsDesignCosine, bits, PairsTargetRecall))
+
   /** Smallest table count whose UNION recall reaches `targetRecall` for
     * a pair at `designCosine` under B-bit signatures —
     * T = ⌈ln(1−r) / ln(1−p₁^B)⌉ with p₁ = 1 − acos(c)/π, the standard
@@ -530,15 +560,20 @@ object Knn {
     * ([[lshBucketsProbed]]): each query additionally visits its `probes`
     * least-confident Hamming-1 neighbor buckets per table, lifting
     * recall at ~(probes+1)× candidate cost WITHOUT growing the corpus
-    * index — the knob to turn before adding tables. `probes = -1`
-    * scales the budget WITH the resolved width ([[autoProbes]], r13):
-    * the compensation probe 20e measured as the best recall/cost lift
-    * at the large-B operating points the adaptive width produces. */
+    * index — the knob to turn before adding tables. The DEFAULT is
+    * `probes = -1` (r14, was 0): the budget scales WITH the resolved
+    * width ([[autoProbes]], r13) — the compensation probe 20e measured
+    * as the best recall/cost lift at the large-B operating points the
+    * adaptive width produces (recall@10 0.11 → 0.50 at B=13 at ~no
+    * wall cost). A caller reaching for "the LSH search" now gets the
+    * production geometry; pass `probes = 0` explicitly for the
+    * uncompensated single-probe contrast (the `knn_lsh_topk` gate's
+    * deliberate baseline row). */
   def lshCosine(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dims: Int, tables: Int = 24, bits: Int = 0,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative,
       dotFn: (Column, Column) => Column = VectorFunctions.dotNative,
-      probes: Int = 0): DataFrame = {
+      probes: Int = -1): DataFrame = {
     val b = if (bits > 0) bits else autoBits(corpus.count())
     val p = if (probes == -1) autoProbes(b) else probes
     require(p >= 0 && p <= b,
@@ -601,6 +636,45 @@ object Knn {
       .groupBy()
       .agg(array_sort(collect_list(struct(col("j"), col("cid"), col("centv"))))
         .as("__sorted"))
+      .select(transform(col("__sorted"), e => e.getField("centv"))
+        .as("books"))
+  }
+
+  /** PQ codebooks TRAINED per subspace — the configuration FAISS-IVFPQ
+    * actually ships (each subspace's k sub-centroids from Lloyd's
+    * k-means over that subspace's sub-vectors), vs [[pqCodebooks]]'s
+    * deterministic smallest-id stand-ins. Same rank-addressed one-row
+    * flat-array format (subspace j's p-th centroid at index j*k + p,
+    * p ordered by the trained centroid's deterministic init id), so
+    * [[pqTopK]]/[[ivfPqWith]] consume either interchangeably.
+    *
+    * Scale: training is an OFFLINE step — m sequential [[kmeans]] runs,
+    * each over a bounded ~256·k-row hash sample (never the corpus) —
+    * whose output is one tiny broadcastable row. Lloyd's can DROP a
+    * cluster that captures no sample points, which would silently
+    * mis-stride the fixed-k flat array every subspace after it: raises
+    * with the subspace named instead (retrain with smaller k or fall
+    * back to [[pqCodebooks]]). */
+  def pqCodebooksTrained(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dims: Int, iterations: Int = 3): DataFrame = {
+    val sub = dims / m
+    require(m * sub == dims, s"m=$m must divide dims=$dims")
+    val subBooks = (0 until m).map { j =>
+      val subCorpus = corpus.select(col(idCol).as("vid"),
+        slice(VectorFunctions.toDouble(col(vecCol)), j * sub + 1, sub)
+          .as("v"))
+      val cents = kmeans(subCorpus, "vid", "v", k, iterations)
+      val have = cents.count()
+      require(have == k,
+        s"pqCodebooksTrained: subspace $j trained $have centroids, " +
+          s"need exactly $k (an empty cluster would mis-stride the " +
+          "rank-addressed books array) — lower k or use pqCodebooks")
+      cents.select(lit(j).as("j"), col("centroid_id").as("cid"),
+        col("centv"))
+    }.reduce(_ unionAll _)
+    subBooks.groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("cid"),
+        col("centv")))).as("__sorted"))
       .select(transform(col("__sorted"), e => e.getField("centv"))
         .as("books"))
   }
@@ -695,20 +769,40 @@ object Knn {
       vecCol: String, k: Int, centroids: Int, nprobe: Int,
       m: Int = 16, codebook: Int = 16, dims: Int = 64,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative,
-      dotFn: (Column, Column) => Column = VectorFunctions.dotNative): DataFrame = {
+      dotFn: (Column, Column) => Column = VectorFunctions.dotNative): DataFrame =
+    ivfPqWith(corpus, queries, idCol, vecCol, k,
+      corpus.orderBy(col(idCol)).limit(centroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("centv")),
+      nprobe, m, codebook, dims, cosineFn, dotFn)
+
+  /** [[ivfPq]] against caller-provided centroids (e.g. [[kmeans]]-
+    * trained — the configuration FAISS actually ships) and optionally
+    * caller-provided codebooks ([[pqCodebooksTrained]]); `ivfPq`'s
+    * deterministic smallest-id stand-ins are the defaults, so
+    * `ivfPqWith(ivfPq's own cents)` ≡ `ivfPq` (KnnSpec-pinned). Same
+    * one-corpus-pass (bucket, codes) plan, same broadcast probe join,
+    * same ADC scoring — only the offline training artifacts change. */
+  def ivfPqWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: DataFrame, nprobe: Int,
+      m: Int = 16, codebook: Int = 16, dims: Int = 64,
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative,
+      dotFn: (Column, Column) => Column = VectorFunctions.dotNative,
+      booksOpt: Option[DataFrame] = None): DataFrame = {
     val sub = dims / m
     require(m * sub == dims, s"m=$m must divide dims=$dims")
-    val cents = corpus.orderBy(col(idCol)).limit(centroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-      .localCheckpoint()
-    val books = pqCodebooks(corpus, idCol, vecCol, m, codebook, dims)
+    // Pin both tiny training artifacts: each feeds two+ plan branches,
+    // and an unpinned trained input would re-run its whole k-means
+    // chain per branch (the ivfWith rationale).
+    val cents0 = cents.localCheckpoint()
+    val books = booksOpt
+      .getOrElse(pqCodebooks(corpus, idCol, vecCol, m, codebook, dims))
       .localCheckpoint()
     def score2(a: Column, b: Column): Column =
       dotFn(b, b) - lit(2.0) * dotFn(a, b)
     // One corpus pass: bucket assignment + PQ encoding, raw vector
     // dropped at the end of the projection — the at-rest representation
     // is (vid, bucket, m codes).
-    val coded = assignWith(corpus, idCol, vecCol, cents, cosineFn)
+    val coded = assignWith(corpus, idCol, vecCol, cents0, cosineFn)
       .crossJoin(broadcast(books))
       .select(col("vid"), col("bucket"),
         transform(
@@ -724,7 +818,7 @@ object Knn {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qraw"),
       VectorFunctions.toDouble(col(vecCol)).as("qv"))
-    val probes = q.crossJoin(broadcast(cents))
+    val probes = q.crossJoin(broadcast(cents0))
       .withColumn("sim", cosineFn(col("qraw"), col("centv")))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("centroid_id"))

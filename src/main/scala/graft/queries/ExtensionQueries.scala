@@ -627,9 +627,18 @@ object ExtensionQueries extends graft.QueryModule {
     // 6, so the result set is unchanged from the pinned-bits rounds.
     // NARROW+SALTED form (r10): law-pinned equal to embeddingLshPairs,
     // 3× faster at the 100× corpus (SCALING.md probe 15).
+    // tables = 0 = the AUTO-T rule T = max(24, tablesFor(0.9, B, 0.95))
+    // (Knn.autoTables, r14 — closing r13 verdict #2: the fixed T=24
+    // under-recalled the 0.95/cosine-0.9 design point past B=13 ≈ 262k
+    // vectors; tablesFor(0.9,14,0.95)=25 is KnnSpec-pinned). The DuckDB
+    // oracle derives the SAME T from the shared count(*) CTE (nt), so
+    // the oracle follows the width-scaled budget end to end — exactly
+    // the autoProbes pattern; 24 at every gate scale, so results are
+    // unchanged. Receipt at B=14 on clustered data: probe 20f.
     "dedup_embedding_lsh" -> { (s, dir) =>
       graft.dedup.Dedup.embeddingLshPairsSalted(Tables.embeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.4, dims = 64, bits = 0)
+        "vec_id", "embedding", threshold = 0.4, dims = 64, bits = 0,
+        tables = 0)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -795,13 +804,15 @@ object ExtensionQueries extends graft.QueryModule {
     // baseline: it keeps the uncompensated geometry's recall visible
     // next to the width-scaled-budget flavor below, which is the
     // production search plan at large B (probe 20e: 0.11 vs 0.50
-    // recall@10 at B=13, same wall).
+    // recall@10 at B=13, same wall). probes = 0 is now EXPLICIT (r14):
+    // lshCosine's public default flipped to -1 (autoProbes — the
+    // production geometry), so the contrast row names its own choice.
     "knn_lsh_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Knn.lshCosine(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, dims = 64,
         cosineFn = graft.GraftFunctions.cosineSim,
-        dotFn = graft.GraftFunctions.dotProduct)
+        dotFn = graft.GraftFunctions.dotProduct, probes = 0)
         .orderBy(col("query_id"), col("rk"))
     },
 
@@ -899,7 +910,8 @@ object ExtensionQueries extends graft.QueryModule {
         ids(Knn.ivf(emb, qs, "vec_id", "embedding", k = 10,
           centroids = 16, nprobe = 4, cosineFn = cos), "ivf")
         .union(ids(Knn.lshCosine(emb, qs, "vec_id", "embedding", k = 10,
-          dims = 64, bits = lshBits, cosineFn = cos, dotFn = dot), "lsh"))
+          dims = 64, bits = lshBits, cosineFn = cos, dotFn = dot,
+          probes = 0), "lsh"))
         .union(ids(Knn.lshCosine(emb, qs, "vec_id", "embedding", k = 10,
           dims = 64, bits = lshBits, cosineFn = cos, dotFn = dot,
           probes = Knn.autoProbes(lshBits)), "lsh_mp"))
@@ -2297,6 +2309,25 @@ object ExtensionQueries extends graft.QueryModule {
     "  SELECT GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 1) / 32.0)) AS INT)) AS nbits\n" +
     "  FROM embeddings)"
 
+  /** The DuckDB twin of [[graft.functions.Knn.autoTables]] as a CTE —
+    * the pairs path's width-scaled TABLE budget, T = max(24,
+    * ⌈ln(1−0.95) / ln(1−(1−acos(0.9)/π)^B)⌉), derived from the SAME
+    * count(*) CTE that sizes the signatures (exactly the autoProbes
+    * pattern), so the oracle follows the r14 auto-T rule end to end.
+    * Cross-engine boundary: the Scala side computes the quotient with
+    * `log1p`, this SQL with `ln` of a subtraction — for the numerator
+    * the subtraction 1 − 0.95 is exact in both engines (decimal
+    * literal / Sterbenz), and the denominator's argument differs by at
+    * most one rounding of 1 − p^B, so the two quotients agree to
+    * ~1e-13 relative; ceil could only diverge if the quotient sat
+    * within that distance of an integer, and KnnSpec pins the
+    * quotient's distance from every integer > 1e-6 for all B ≤ 40
+    * (the floor makes B ≤ 13 moot anyway: both sides read 24). */
+  private val lshNtCte: String =
+    "nt AS (\n" +
+    "  SELECT GREATEST(24, CAST(ceil(ln(1 - 0.95) / ln(1 - pow(1 - acos(0.9) / pi(), nbits))) AS INT)) AS ntables\n" +
+    "  FROM nb)"
+
   /** The LSH top-k replay, parameterized by the multi-probe budget AS
     * A SQL EXPRESSION ("0" = single-bucket; the mp gate passes
     * "(SELECT nbits - 4 FROM nb)" — Knn.autoProbes' width-scaled
@@ -3317,8 +3348,15 @@ object ExtensionQueries extends graft.QueryModule {
       // exist, never their values. (Cross-engine boundary analysis on
       // the shared lshNbCte: the Scala side is integer-exact and float
       // log2 matches it everywhere practical, exactly at powers of two.)
-      val T = 24; val D = 64
+      // The TABLE count is not pinned either (r14): `nt` derives
+      // T = max(24, tablesFor(0.9, B, 0.95)) from the same nb CTE —
+      // the library's auto-T rule (Knn.autoTables), which closes the
+      // r13 envelope (fixed T=24 under-recalled the 0.95/cosine-0.9
+      // design point past B=13 ≈ 262k vectors). 24 at every gate
+      // scale, so fixture results are unchanged.
+      val D = 64
       s"""WITH $lshNbCte,
+         |$lshNtCte,
          |planes AS (
          |  SELECT CAST(i // nbits AS INT) AS t, CAST(i % nbits AS INT) AS p,
          |    list(w ORDER BY d) AS w
@@ -3326,7 +3364,7 @@ object ExtensionQueries extends graft.QueryModule {
          |    SELECT i, d, nbits,
          |      (('0x' || substr(md5('lsh:' || (i // nbits) || ':' || (i % nbits) || ':' || d), 1, 13))::BIGINT
          |        / 4503599627370496.0) * 2.0 - 1.0 AS w
-         |    FROM (SELECT unnest(range($T * nbits)) AS i, nbits FROM nb)
+         |    FROM (SELECT unnest(range(ntables * nbits)) AS i, nbits FROM nb, nt)
          |    CROSS JOIN (SELECT unnest(range($D)) AS d))
          |  GROUP BY 1, 2),
          |vecs AS (

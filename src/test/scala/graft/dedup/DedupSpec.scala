@@ -808,6 +808,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(auto == pinned)
   }
 
+  test("embeddingLshPairs auto-T: tables=0 resolves autoTables(B) (r14)") {
+    // The width-scaled table budget rides the same default-0 pattern
+    // as the adaptive bits: at fixture scale autoTables(6) = 24 (the
+    // floor), so auto ≡ the historical explicit default — and the
+    // resolution is the ONE shared Knn.autoTables the DuckDB nt CTE
+    // mirrors, so gate and oracle can never disagree on T.
+    import graft.functions.Knn
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    assert(Knn.autoTables(Knn.autoBits(emb.count())) == 24)
+    def p(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"cosine")
+        .as[(Long, Long, Double)].collect().toSet
+    val auto = p(Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, dims = 64))
+    val explicit = p(Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, dims = 64, tables = 24))
+    assert(auto == explicit && auto.nonEmpty)
+    // The salted registered form resolves the same budget.
+    val salted = p(Dedup.embeddingLshPairsSalted(emb, "vec_id",
+      "embedding", threshold = 0.4, dims = 64))
+    assert(salted == auto)
+  }
+
   test("embeddingLshPairs buckets are data-independent (subset ≡ full corpus)") {
     // The streaming-safety claim: a row's (t, bucket) signature depends
     // only on the planes, never on corpus statistics — bucketing a

@@ -239,6 +239,66 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](Knn.tablesFor(1.5, 13, 0.9))
   }
 
+  test("autoTables law, 24 floor, and cross-engine ceil margin (r14)") {
+    // The pairs path's width-scaled TABLE budget: the 24 floor keeps
+    // every ≤B=13 geometry (every gate scale) byte-identical to the
+    // historical fixed default, and past the boundary T follows the
+    // probe-20e-verified union bound — 25 at B=14, 30 at B=15
+    // (independently computed: q(14)=24.7014, q(15)=29.1029).
+    (6 to 13).foreach(b =>
+      assert(Knn.autoTables(b) == 24, s"autoTables($b)"))
+    assert(Knn.autoTables(14) == 25)
+    assert(Knn.autoTables(15) == 30)
+    (6 until 40).foreach(b =>
+      assert(Knn.autoTables(b + 1) >= Knn.autoTables(b)))
+    // Cross-engine boundary guard: the DuckDB nt CTE computes the same
+    // quotient with ln() of literal subtractions where Scala uses
+    // log1p — the two agree to ~1e-13 relative, so ceil could only
+    // diverge if the quotient sat within that distance of an integer.
+    // Pin the margin at > 1e-3 for every width the rule can meet below
+    // ~35 trillion vectors (measured min on 6..40: 0.0226 at B=37).
+    val p1 = 1.0 - math.acos(Knn.PairsDesignCosine) / math.Pi
+    (6 to 40).foreach { b =>
+      val q = math.log1p(-Knn.PairsTargetRecall) /
+        math.log1p(-math.pow(p1, b))
+      val frac = math.abs(q - math.rint(q))
+      assert(frac > 1e-3, s"ceil margin at B=$b: q=$q")
+    }
+  }
+
+  test("ivfPqWith == ivfPq on the deterministic stand-ins; trained books (r14)") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "score", "rk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val viaInt = rows(Knn.ivfPq(emb, queries, "vec_id", "embedding",
+      k = 10, centroids = 16, nprobe = 4))
+    val cents = emb.orderBy($"vec_id").limit(16)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centv"))
+    val viaWith = rows(Knn.ivfPqWith(emb, queries, "vec_id", "embedding",
+      k = 10, cents = cents, nprobe = 4))
+    assert(viaInt == viaWith && viaInt.nonEmpty)
+    // Trained codebooks: same rank-addressed one-row flat format as
+    // pqCodebooks (m*k sub-arrays of dims/m components), consumable by
+    // the same ADC scorer — and the composed trained plan returns a
+    // full ranked top-k per query.
+    val books = Knn.pqCodebooksTrained(emb, "vec_id", "embedding",
+      m = 4, k = 4, dims = 64, iterations = 2)
+    val row = books.as[Seq[Seq[Double]]].collect()
+    assert(row.length == 1 && row.head.length == 16 &&
+      row.head.forall(_.length == 16))
+    val trained = Knn.ivfPqWith(emb, queries, "vec_id", "embedding",
+      k = 10, cents = cents, nprobe = 4, m = 4, codebook = 4,
+      booksOpt = Some(books))
+    val perQ = trained.groupBy($"query_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max($"rk").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    assert(perQ.length == 5 && perQ.forall(r => r._2 == 10 && r._3 == 10))
+  }
+
   test("lshCosine recovers >=70% of cosine>=0.4 pairs as candidates") {
     val emb = Tables.embeddings(spark, sf)
     // Ground-truth near-dup pairs (the dedup use case LSH exists for).

@@ -120,14 +120,14 @@ object RecallProbe {
       .localCheckpoint()
     val band = floor(col("cosine") * 10) / 10 // 0.4, 0.5, ..., 0.9, 1.0
 
-    def pairArm(name: String, bits: Int): Unit = {
+    def pairArm(name: String, bits: Int, tables: Int): Unit = {
       val t0 = System.nanoTime()
       val sIds = sample.select(col("vec_id").as("vid"))
       // Full-corpus geometry, sample-restricted join: signatures are a
       // pure per-vector function, so (a,b)∈S×S collides here iff it
       // collides in the full-corpus self-join.
       val bucketed = Knn.lshBucketTable(emb, "vec_id", "embedding",
-        24, bits, 64)
+        tables, bits, 64)
         .join(sIds, Seq("vid"), "left_semi")
         .select(col("vid"), col("t"), col("bucket"))
       val cand = bucketed.as("x").join(bucketed.as("y"), Seq("t", "bucket"))
@@ -135,7 +135,7 @@ object RecallProbe {
         .select(col("x.vid").as("id_a"), col("y.vid").as("id_b")).distinct()
       val theta = acos(least(lit(1.0), greatest(lit(-1.0), col("cosine"))))
       val pTable = pow(lit(1.0) - theta / lit(math.Pi), lit(bits))
-      val predicted = lit(1.0) - pow(lit(1.0) - pTable, lit(24.0))
+      val predicted = lit(1.0) - pow(lit(1.0) - pTable, lit(tables.toDouble))
       val joined = exactPairs
         .join(cand.withColumn("__hit", lit(1)), Seq("id_a", "id_b"),
           "left_outer")
@@ -147,13 +147,19 @@ object RecallProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       joined.foreach { r =>
         val pairs = r.getLong(1)
-        println(f"""{"probe":"recall20e","arm":"pairs","name":"$name","bits":$bits,"band":${r.getDouble(0)}%.1f,"pairs":$pairs,"found":${r.getLong(2)},"recall":${r.getLong(2).toDouble / pairs}%.4f,"predicted":${r.getDouble(3)}%.4f}""")
+        println(f"""{"probe":"recall20e","arm":"pairs","name":"$name","bits":$bits,"tables":$tables,"band":${r.getDouble(0)}%.1f,"pairs":$pairs,"found":${r.getLong(2)},"recall":${r.getLong(2).toDouble / pairs}%.4f,"predicted":${r.getDouble(3)}%.4f}""")
       }
-      println(f"""{"probe":"recall20e","arm":"pairs","name":"$name","bits":$bits,"sample":$ns,"sec":$sec%.2f}""")
+      println(f"""{"probe":"recall20e","arm":"pairs","name":"$name","bits":$bits,"tables":$tables,"sample":$ns,"sec":$sec%.2f}""")
     }
 
-    pairArm("registered_auto", bAuto)
-    if (bAuto != 6) pairArm("pinned_b6_ceiling", 6)
+    // The REGISTERED r14 geometry: width-scaled tables (autoTables —
+    // T = max(24, tablesFor(0.9, B, 0.95))). Identical to the old
+    // fixed-24 arm through B=13; past the boundary the fixed_t24
+    // contrast arm shows the envelope gap auto-T closes (probe 20f).
+    val tAuto = Knn.autoTables(bAuto)
+    pairArm("registered_autoT", bAuto, tAuto)
+    if (tAuto != 24) pairArm("fixed_t24_r13", bAuto, 24)
+    if (bAuto != 6) pairArm("pinned_b6_ceiling", 6, 24)
     spark.stop()
   }
 }

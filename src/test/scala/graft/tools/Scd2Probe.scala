@@ -148,29 +148,36 @@ object Scd2Probe {
     val empty = graft.ops.Cdc.compressHistory(history.limit(0),
       Seq("key"), "version", Seq("amount"))
     var acc = empty
-    for (b <- 0L until 4L) {
-      val t0 = System.nanoTime()
-      val batch = tagged.filter($"__arrive" === b).drop("__arrive")
-      acc = pin(storedTagged match {
-        case _ if plain =>
-          graft.ops.Cdc.mergeHistory(acc, batch,
-            Seq("key"), "version", Seq("amount"))
-        case Some((stored, _)) =>
-          val raw = stored.filter($"__arrive" < b).drop("__arrive")
-          graft.ops.Cdc.mergeHistoryWithLatePruned(acc, raw, batch,
-            Seq("key"), "version", Seq("amount"), pruned.get)
-        case None =>
-          val raw = tagged.filter($"__arrive" < b).drop("__arrive")
-          graft.ops.Cdc.mergeHistoryWithLate(acc, raw, batch,
-            Seq("key"), "version", Seq("amount"))
-      })
-      val n = acc.count()
-      val tag = pruned.map(n => s""","pruned":$n""").getOrElse("") +
-        (if (plain) ""","op":"plain"""" else "")
-      println(f"""{"probe":"scd2","arrival":"$arrival","fold":$b,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"mode":"$mode"$tag}""")
+    // try/finally (r14, r13 ADVICE): a fold that throws (or a later
+    // arm's failure) must not leak up to two corpus-sized temp dirs —
+    // in stored mode baseDirs holds a full folded-base parquet copy,
+    // and pruned mode holds the bucketed raw store.
+    try {
+      for (b <- 0L until 4L) {
+        val t0 = System.nanoTime()
+        val batch = tagged.filter($"__arrive" === b).drop("__arrive")
+        acc = pin(storedTagged match {
+          case _ if plain =>
+            graft.ops.Cdc.mergeHistory(acc, batch,
+              Seq("key"), "version", Seq("amount"))
+          case Some((stored, _)) =>
+            val raw = stored.filter($"__arrive" < b).drop("__arrive")
+            graft.ops.Cdc.mergeHistoryWithLatePruned(acc, raw, batch,
+              Seq("key"), "version", Seq("amount"), pruned.get)
+          case None =>
+            val raw = tagged.filter($"__arrive" < b).drop("__arrive")
+            graft.ops.Cdc.mergeHistoryWithLate(acc, raw, batch,
+              Seq("key"), "version", Seq("amount"))
+        })
+        val n = acc.count()
+        val tag = pruned.map(n => s""","pruned":$n""").getOrElse("") +
+          (if (plain) ""","op":"plain"""" else "")
+        println(f"""{"probe":"scd2","arrival":"$arrival","fold":$b,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"mode":"$mode"$tag}""")
+      }
+    } finally {
+      storedTagged.foreach { case (_, d) => graft.util.FsUtil.deleteTree(d) }
+      baseDirs.foreach(graft.util.FsUtil.deleteTree)
     }
-    storedTagged.foreach { case (_, d) => graft.util.FsUtil.deleteTree(d) }
-    baseDirs.foreach(graft.util.FsUtil.deleteTree)
     spark.stop()
   }
 }
