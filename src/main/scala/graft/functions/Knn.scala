@@ -769,11 +769,12 @@ object Knn {
       vecCol: String, k: Int, centroids: Int, nprobe: Int,
       m: Int = 16, codebook: Int = 16, dims: Int = 64,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative,
-      dotFn: (Column, Column) => Column = VectorFunctions.dotNative): DataFrame =
+      dotFn: (Column, Column) => Column = VectorFunctions.dotNative,
+      refine: Int = 0): DataFrame =
     ivfPqWith(corpus, queries, idCol, vecCol, k,
       corpus.orderBy(col(idCol)).limit(centroids)
         .select(col(idCol).as("centroid_id"), col(vecCol).as("centv")),
-      nprobe, m, codebook, dims, cosineFn, dotFn)
+      nprobe, m, codebook, dims, cosineFn, dotFn, refine = refine)
 
   /** [[ivfPq]] against caller-provided centroids (e.g. [[kmeans]]-
     * trained — the configuration FAISS actually ships) and optionally
@@ -781,13 +782,29 @@ object Knn {
     * deterministic smallest-id stand-ins are the defaults, so
     * `ivfPqWith(ivfPq's own cents)` ≡ `ivfPq` (KnnSpec-pinned). Same
     * one-corpus-pass (bucket, codes) plan, same broadcast probe join,
-    * same ADC scoring — only the offline training artifacts change. */
+    * same ADC scoring — only the offline training artifacts change.
+    *
+    * `refine > 0` adds the EXACT RE-RANK leg (FAISS IndexRefineFlat —
+    * r14, probe 23b): ADC scores only SELECT the top-`refine`
+    * candidates per query; those candidates' RAW vectors are then
+    * fetched (a broadcast of the |Q|·refine candidate ids against the
+    * corpus — the corpus is still scanned once and never shuffled) and
+    * re-ranked by exact cosine, output column `cosine`. Probe 23b
+    * measured why this leg is not optional at high within-cluster
+    * similarity: 4-bit-per-subspace codes score recall@10 at 0.03–0.13
+    * where the same pruning on exact vectors reads 0.40–1.0 — ADC
+    * preserves CANDIDACY, not rank, among near-identical neighbors. At
+    * 100 TB the composition is exactly the store design: codes in the
+    * scan path (16× smaller), raw vectors touched only for
+    * |Q|·refine point lookups. With `refine ≥` the probed candidate
+    * count this degenerates to [[ivfWith]] exactly (KnnSpec-pinned
+    * law). */
   def ivfPqWith(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: DataFrame, nprobe: Int,
       m: Int = 16, codebook: Int = 16, dims: Int = 64,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosineNative,
       dotFn: (Column, Column) => Column = VectorFunctions.dotNative,
-      booksOpt: Option[DataFrame] = None): DataFrame = {
+      booksOpt: Option[DataFrame] = None, refine: Int = 0): DataFrame = {
     val sub = dims / m
     require(m * sub == dims, s"m=$m must divide dims=$dims")
     // Pin both tiny training artifacts: each feeds two+ plan branches,
@@ -837,9 +854,32 @@ object Knn {
         ones))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vid"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("query_id"), col("vid").as("neighbor_id"),
-        col("score"), col("rk"))
+    if (refine <= 0)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("query_id"), col("vid").as("neighbor_id"),
+          col("score"), col("rk"))
+    else {
+      // Exact re-rank: ADC picks the candidates, raw vectors score
+      // them. The candidate list (|Q|·refine ids) rides a broadcast to
+      // both fetches, so neither the corpus nor the query table is
+      // shuffled — the standard refine leg's point-lookup shape.
+      val cand = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= refine)
+        .select(col("query_id"), col("vid"))
+      val fetched = corpus
+        .select(col(idCol).as("vid"), col(vecCol).as("__cv"))
+        .join(broadcast(cand), Seq("vid"))
+      val qraw = queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      val rescored = fetched.join(broadcast(qraw), Seq("query_id"))
+        .withColumn("cosine", cosineFn(col("__qv"), col("__cv")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vid"))
+      rescored.withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("vid").as("neighbor_id"),
+          col("cosine"), col("rk"))
+    }
   }
 
   /** IVF top-k with naive deterministic centroids. */

@@ -863,6 +863,24 @@ object ExtensionQueries extends graft.QueryModule {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // IVF+PQ with the EXACT RE-RANK leg (FAISS IndexRefineFlat — r14,
+    // probe 23b): ADC scores select the top-50 candidates per query,
+    // whose raw vectors are fetched (broadcast candidate ids, corpus
+    // never shuffled) and re-ranked by exact cosine. Probe 23b measured
+    // why: 4-bit-per-subspace codes preserve CANDIDACY, not rank —
+    // recall@10 0.03–0.13 raw vs 0.40–1.0 for the same pruning on exact
+    // vectors — so the production composition is codes in the scan
+    // path, raw vectors only for |Q|·refine point lookups. The oracle
+    // replays ADC candidate selection AND the exact re-rank end to end.
+    "knn_ivfpq_refined_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.ivfPq(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, centroids = 16, nprobe = 4, m = 16, codebook = 16,
+        dims = 64, cosineFn = graft.GraftFunctions.cosineSim,
+        dotFn = graft.GraftFunctions.dotProduct, refine = 50)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Benchmark decontamination signal: fraction of each corpus doc's
     // 3-gram shingles that appear anywhere in the eval set (source
     // 'src0' stands in as the benchmark). Only contaminated docs listed.
@@ -2328,6 +2346,65 @@ object ExtensionQueries extends graft.QueryModule {
     "  SELECT GREATEST(24, CAST(ceil(ln(1 - 0.95) / ln(1 - pow(1 - acos(0.9) / pi(), nbits))) AS INT)) AS ntables\n" +
     "  FROM nb)"
 
+  /** The shared ADC pipeline of the two IVF+PQ oracles — every CTE
+    * through `scored` (bucket assignment, deterministic codebooks,
+    * code choice, probe selection, ADC scoring): the plain gate ranks
+    * `scored` directly, the refined gate (r14) appends the
+    * candidate-selection + exact-re-rank CTEs. One copy, so the two
+    * replays can never drift apart. */
+  private val ivfPqScoredCtes: String =
+        """corpus AS (
+          |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+          |  FROM embeddings),
+          |cents AS (
+          |  SELECT vid AS centroid_id, v AS centv, nv AS nc
+          |  FROM corpus ORDER BY vid LIMIT 16),
+          |assigned AS (
+          |  SELECT vid, bucket FROM (
+          |    SELECT vid, centroid_id AS bucket,
+          |      row_number() OVER (PARTITION BY vid ORDER BY
+          |        CASE WHEN nv * nc > 0 THEN list_dot_product(v, centv) / (nv * nc) END
+          |          DESC, centroid_id) AS rk
+          |    FROM corpus CROSS JOIN cents)
+          |  WHERE rk = 1),
+          |js AS (SELECT unnest(range(0, 16)) AS j),
+          |base AS (SELECT vid, v FROM corpus ORDER BY vid LIMIT 16),
+          |bk AS (
+          |  SELECT j, row_number() OVER (PARTITION BY j ORDER BY vid) AS p,
+          |    v[j*4+1 : j*4+4] AS centv
+          |  FROM base CROSS JOIN js),
+          |books AS (SELECT list(centv ORDER BY j, p) AS bks FROM bk),
+          |codes AS (
+          |  SELECT vid, list(code ORDER BY j) AS codes FROM (
+          |    SELECT vid, j, p AS code FROM (
+          |      SELECT c.vid, b.j, b.p, row_number() OVER (
+          |        PARTITION BY c.vid, b.j
+          |        ORDER BY list_dot_product(b.centv, b.centv)
+          |          - 2.0 * list_dot_product(c.v[b.j*4+1 : b.j*4+4], b.centv),
+          |          b.p) AS rk
+          |      FROM corpus c CROSS JOIN bk b)
+          |    WHERE rk = 1)
+          |  GROUP BY vid),
+          |probed AS (
+          |  SELECT query_id, qv, bucket FROM (
+          |    SELECT q.vid AS query_id, q.v AS qv, centroid_id AS bucket,
+          |      row_number() OVER (PARTITION BY q.vid ORDER BY
+          |        CASE WHEN q.nv * nc > 0 THEN list_dot_product(q.v, centv) / (q.nv * nc) END
+          |          DESC, centroid_id) AS rk
+          |    FROM (SELECT * FROM corpus WHERE vid < 5) q CROSS JOIN cents)
+          |  WHERE rk <= 4),
+          |scored AS (
+          |  SELECT p.query_id, a.vid,
+          |    list_dot_product(
+          |      list_transform(range(0, 16), j ->
+          |        list_dot_product(p.qv[j*4+1 : j*4+4], bks[j*16 + codes[j+1]])),
+          |      list_transform(range(0, 16), j -> 1.0)) AS score
+          |  FROM assigned a JOIN probed p USING (bucket)
+          |  JOIN codes c ON c.vid = a.vid
+          |  CROSS JOIN books
+          |  WHERE p.query_id <> a.vid)""".stripMargin
+
   /** The LSH top-k replay, parameterized by the multi-probe budget AS
     * A SQL EXPRESSION ("0" = single-bucket; the mp gate passes
     * "(SELECT nbits - 4 FROM nb)" — Knn.autoProbes' width-scaled
@@ -3223,63 +3300,36 @@ object ExtensionQueries extends graft.QueryModule {
     // oracle's books/codes/ADC CTEs — bucket choice, code choice, and
     // scoring all replayed with the same IEEE sequences as the parents.
     "knn_ivfpq_topk" ->
-      """WITH corpus AS (
-        |  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
-        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
-        |  FROM embeddings),
-        |cents AS (
-        |  SELECT vid AS centroid_id, v AS centv, nv AS nc
-        |  FROM corpus ORDER BY vid LIMIT 16),
-        |assigned AS (
-        |  SELECT vid, bucket FROM (
-        |    SELECT vid, centroid_id AS bucket,
-        |      row_number() OVER (PARTITION BY vid ORDER BY
-        |        CASE WHEN nv * nc > 0 THEN list_dot_product(v, centv) / (nv * nc) END
-        |          DESC, centroid_id) AS rk
-        |    FROM corpus CROSS JOIN cents)
-        |  WHERE rk = 1),
-        |js AS (SELECT unnest(range(0, 16)) AS j),
-        |base AS (SELECT vid, v FROM corpus ORDER BY vid LIMIT 16),
-        |bk AS (
-        |  SELECT j, row_number() OVER (PARTITION BY j ORDER BY vid) AS p,
-        |    v[j*4+1 : j*4+4] AS centv
-        |  FROM base CROSS JOIN js),
-        |books AS (SELECT list(centv ORDER BY j, p) AS bks FROM bk),
-        |codes AS (
-        |  SELECT vid, list(code ORDER BY j) AS codes FROM (
-        |    SELECT vid, j, p AS code FROM (
-        |      SELECT c.vid, b.j, b.p, row_number() OVER (
-        |        PARTITION BY c.vid, b.j
-        |        ORDER BY list_dot_product(b.centv, b.centv)
-        |          - 2.0 * list_dot_product(c.v[b.j*4+1 : b.j*4+4], b.centv),
-        |          b.p) AS rk
-        |      FROM corpus c CROSS JOIN bk b)
-        |    WHERE rk = 1)
-        |  GROUP BY vid),
-        |probed AS (
-        |  SELECT query_id, qv, bucket FROM (
-        |    SELECT q.vid AS query_id, q.v AS qv, centroid_id AS bucket,
-        |      row_number() OVER (PARTITION BY q.vid ORDER BY
-        |        CASE WHEN q.nv * nc > 0 THEN list_dot_product(q.v, centv) / (q.nv * nc) END
-        |          DESC, centroid_id) AS rk
-        |    FROM (SELECT * FROM corpus WHERE vid < 5) q CROSS JOIN cents)
-        |  WHERE rk <= 4),
-        |scored AS (
-        |  SELECT p.query_id, a.vid,
-        |    list_dot_product(
-        |      list_transform(range(0, 16), j ->
-        |        list_dot_product(p.qv[j*4+1 : j*4+4], bks[j*16 + codes[j+1]])),
-        |      list_transform(range(0, 16), j -> 1.0)) AS score
-        |  FROM assigned a JOIN probed p USING (bucket)
-        |  JOIN codes c ON c.vid = a.vid
-        |  CROSS JOIN books
-        |  WHERE p.query_id <> a.vid)
+      s"""WITH $ivfPqScoredCtes
         |SELECT query_id, neighbor_id, score, rk FROM (
         |  SELECT query_id, vid AS neighbor_id, score,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vid) AS rk
         |  FROM scored)
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
+    // The refined flavor (r14): the SAME ADC pipeline selects the
+    // top-50 candidates per query (score DESC, vid — the Spark window's
+    // exact tiebreak), then the exact cosine over the candidates' RAW
+    // vectors re-ranks to the final 10. Both leg's orderings are pure
+    // IEEE-double functions of the data, so the replay is exact.
+    "knn_ivfpq_refined_topk" ->
+      s"""WITH $ivfPqScoredCtes,
+        |adc AS (
+        |  SELECT query_id, vid,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vid) AS rk
+        |  FROM scored),
+        |refined AS (
+        |  SELECT a.query_id, a.vid,
+        |    CASE WHEN qn.nv * cn.nv > 0
+        |         THEN list_dot_product(qn.v, cn.v) / (qn.nv * cn.nv) END AS cosine
+        |  FROM (SELECT * FROM adc WHERE rk <= 50) a
+        |  JOIN corpus cn ON cn.vid = a.vid
+        |  JOIN corpus qn ON qn.vid = a.query_id)
+        |SELECT query_id, neighbor_id, cosine, rk FROM (
+        |  SELECT query_id, vid AS neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vid) AS rk
+        |  FROM refined)
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     // sign-signature buckets, candidate join across tables, exact-cosine
     // verification, per-query top-10. Identical arithmetic order —
     // weights, dots, and pow(2, p) are the same IEEE double ops.

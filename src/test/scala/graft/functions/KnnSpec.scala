@@ -299,6 +299,37 @@ class KnnSpec extends AnyFunSuite with SparkTestBase {
     assert(perQ.length == 5 && perQ.forall(r => r._2 == 10 && r._3 == 10))
   }
 
+  test("ivfPq refine leg degenerates to ivfWith at refine >= candidates (r14)") {
+    // The law that pins the exact-re-rank implementation: with a refine
+    // budget covering every probed candidate, ADC selection selects
+    // everything and the exact re-rank IS ivfWith's scoring — same
+    // buckets, same probes, same cosine, same tiebreaks. Probe 23b is
+    // the scale receipt for WHY the leg exists (ADC preserves candidacy,
+    // not rank); this is the correctness pin for WHAT it computes.
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+    val cents = emb.orderBy($"vec_id").limit(16)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centv"))
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val refined = rows(Knn.ivfPqWith(emb, queries, "vec_id", "embedding",
+      k = 10, cents = cents, nprobe = 4, refine = n))
+    val exact = rows(Knn.ivfWith(emb, queries, "vec_id", "embedding",
+      k = 10, cents, nprobe = 4))
+    assert(refined == exact && refined.nonEmpty)
+    // And a small refine budget returns a full ranked top-k per query
+    // (the ADC candidate pool at this geometry is >= 50 per query).
+    val small = Knn.ivfPqWith(emb, queries, "vec_id", "embedding",
+      k = 10, cents = cents, nprobe = 4, refine = 50)
+      .groupBy($"query_id").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    assert(small.length == 5 && small.forall(_._2 == 10))
+  }
+
   test("lshCosine recovers >=70% of cosine>=0.4 pairs as candidates") {
     val emb = Tables.embeddings(spark, sf)
     // Ground-truth near-dup pairs (the dedup use case LSH exists for).

@@ -81,6 +81,15 @@ object IvfPqProbe {
     arm("trained_ivfpq_tbooks",
       Knn.ivfPqWith(emb, qs, "vec_id", "embedding", k = 10,
         cents = cents, nprobe = 16, booksOpt = Some(tBooks)), cReal, 16)
+    // The REFINE leg (FAISS IndexRefineFlat, r14): ADC selects the
+    // top-R candidates, whose raw vectors re-rank exactly — the fetch
+    // is |Q|·R point lookups, never a corpus scan. The R sweep shows
+    // how much ADC candidacy retains of the rank it cannot express.
+    Seq(100, 1000).foreach { r =>
+      arm(s"trained_ivfpq_refine$r",
+        Knn.ivfPqWith(emb, qs, "vec_id", "embedding", k = 10,
+          cents = cents, nprobe = 16, refine = r), cReal, 16)
+    }
     // Denominator rows: the same pruning on EXACT vectors (PQ's recall
     // cost in isolation), and the cross-family LSH-mp row at the
     // registered width-scaled budget.
