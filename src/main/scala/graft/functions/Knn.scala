@@ -648,22 +648,43 @@ object Knn {
     * p ordered by the trained centroid's deterministic init id), so
     * [[pqTopK]]/[[ivfPqWith]] consume either interchangeably.
     *
-    * Scale: training is an OFFLINE step — m sequential [[kmeans]] runs,
-    * each over a bounded ~256·k-row hash sample (never the corpus) —
-    * whose output is one tiny broadcastable row. Lloyd's can DROP a
+    * Scale: training is an OFFLINE step whose corpus cost is ONE count
+    * plus ONE sampling scan (r14 review — the sample membership is a
+    * pure hash of the id, identical for every subspace, so drawing the
+    * full-width vectors once and slicing per subspace replaces the
+    * 2m corpus passes that m independent [[kmeans]] samplers would
+    * pay); the m Lloyd's runs then iterate over the pinned
+    * ~`trainPerCentroid`·k-row sample only. Output is one tiny
+    * broadcastable row. Lloyd's can DROP a
     * cluster that captures no sample points, which would silently
     * mis-stride the fixed-k flat array every subspace after it: raises
     * with the subspace named instead (retrain with smaller k or fall
     * back to [[pqCodebooks]]). */
   def pqCodebooksTrained(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, dims: Int, iterations: Int = 3): DataFrame = {
+      m: Int, k: Int, dims: Int, iterations: Int = 3,
+      trainPerCentroid: Int = 256): DataFrame = {
     val sub = dims / m
     require(m * sub == dims, s"m=$m must divide dims=$dims")
+    val all = corpus.select(col(idCol).as("vid"),
+      VectorFunctions.toDouble(col(vecCol)).as("v"))
+    // One shared full-width sample (same Bernoulli hash prune as
+    // kmeans, same degenerate-draw fallback); the per-subspace kmeans
+    // calls below run with sampling DISABLED so they never re-scan.
+    val cap = trainPerCentroid.toLong * k
+    val pinned = if (trainPerCentroid <= 0) all.localCheckpoint()
+    else {
+      val n = all.count()
+      if (cap >= n) all.localCheckpoint()
+      else {
+        val sampled = trainSample(all, cap, n).localCheckpoint()
+        if (sampled.count() < k) all.localCheckpoint() else sampled
+      }
+    }
     val subBooks = (0 until m).map { j =>
-      val subCorpus = corpus.select(col(idCol).as("vid"),
-        slice(VectorFunctions.toDouble(col(vecCol)), j * sub + 1, sub)
-          .as("v"))
-      val cents = kmeans(subCorpus, "vid", "v", k, iterations)
+      val subCorpus = pinned.select(col("vid"),
+        slice(col("v"), j * sub + 1, sub).as("v"))
+      val cents = kmeans(subCorpus, "vid", "v", k, iterations,
+        trainPerCentroid = 0)
       val have = cents.count()
       require(have == k,
         s"pqCodebooksTrained: subspace $j trained $have centroids, " +
@@ -787,18 +808,22 @@ object Knn {
     * `refine > 0` adds the EXACT RE-RANK leg (FAISS IndexRefineFlat —
     * r14, probe 23b): ADC scores only SELECT the top-`refine`
     * candidates per query; those candidates' RAW vectors are then
-    * fetched (a broadcast of the |Q|·refine candidate ids against the
-    * corpus — the corpus is still scanned once and never shuffled) and
-    * re-ranked by exact cosine, output column `cosine`. Probe 23b
+    * fetched and re-ranked by exact cosine, output column `cosine`.
+    * Probe 23b
     * measured why this leg is not optional at high within-cluster
     * similarity: 4-bit-per-subspace codes score recall@10 at 0.03–0.13
     * where the same pruning on exact vectors reads 0.40–1.0 — ADC
-    * preserves CANDIDACY, not rank, among near-identical neighbors. At
-    * 100 TB the composition is exactly the store design: codes in the
-    * scan path (16× smaller), raw vectors touched only for
-    * |Q|·refine point lookups. With `refine ≥` the probed candidate
-    * count this degenerates to [[ivfWith]] exactly (KnnSpec-pinned
-    * law). */
+    * preserves CANDIDACY, not rank, among near-identical neighbors.
+    * Cost shape of the fetch, stated honestly: in THIS plan it is a
+    * SECOND scan of the raw-vector table, filtered by a broadcast of
+    * the |Q|·refine candidate ids — never a shuffle, but parquet still
+    * reads the vector column once more end to end. On the 100 TB store
+    * design (codes at rest in the scan path, raw vectors in an
+    * id-keyed store) the same broadcast-semi shape becomes |Q|·refine
+    * point lookups; what the DataFrame plan guarantees today is only
+    * "no shuffle, bounded re-rank rows". With `refine ≥` the probed
+    * candidate count this degenerates to [[ivfWith]] exactly
+    * (KnnSpec-pinned law). */
   def ivfPqWith(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: DataFrame, nprobe: Int,
       m: Int = 16, codebook: Int = 16, dims: Int = 64,
@@ -814,6 +839,18 @@ object Knn {
     val books = booksOpt
       .getOrElse(pqCodebooks(corpus, idCol, vecCol, m, codebook, dims))
       .localCheckpoint()
+    // Geometry guard on caller-provided books (r14 review): the ADC
+    // scorer addresses the flat array at j*codebook + code, so books
+    // built for a different (m, codebook) mis-stride SILENTLY —
+    // out-of-range element_at yields null, nulls swallow every score,
+    // and the top-k degrades to an arbitrary ranking with no error.
+    // Both builders fail loudly at build time; consume-side must too.
+    // One head() on a pinned one-row frame — negligible.
+    val nBooks = books.select(size(col("books"))).head.getInt(0)
+    require(nBooks == m * codebook,
+      s"books array has $nBooks sub-centroids, need m*codebook = " +
+        s"${m * codebook} (m=$m, codebook=$codebook) — books built for " +
+        "a different PQ geometry")
     def score2(a: Column, b: Column): Column =
       dotFn(b, b) - lit(2.0) * dotFn(a, b)
     // One corpus pass: bucket assignment + PQ encoding, raw vector

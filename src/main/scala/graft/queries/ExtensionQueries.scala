@@ -865,8 +865,10 @@ object ExtensionQueries extends graft.QueryModule {
 
     // IVF+PQ with the EXACT RE-RANK leg (FAISS IndexRefineFlat — r14,
     // probe 23b): ADC scores select the top-50 candidates per query,
-    // whose raw vectors are fetched (broadcast candidate ids, corpus
-    // never shuffled) and re-ranked by exact cosine. Probe 23b measured
+    // whose raw vectors are fetched — in this plan a SECOND scan of the
+    // raw-vector table filtered by a broadcast of the candidate ids (no
+    // shuffle; on an id-keyed store the same shape is |Q|·50 point
+    // lookups) — and re-ranked by exact cosine. Probe 23b measured
     // why: 4-bit-per-subspace codes preserve CANDIDACY, not rank —
     // recall@10 0.03–0.13 raw vs 0.40–1.0 for the same pruning on exact
     // vectors — so the production composition is codes in the scan

@@ -71,17 +71,35 @@ object BpeEncodeProbe {
         }
       })
 
+    // Listener events arrive on an ASYNC bus: reading the counter right
+    // after an action can misattribute a still-queued onJobStart to the
+    // next window (r14 review — the whole receipt is the job count, so
+    // it must be deterministic). Settle = poll until the counter is
+    // stable for 500 ms (bounded at 10 s).
+    def settled(): Int = {
+      var last = jobCount.get()
+      var stable = 0
+      var waited = 0
+      while (stable < 500 && waited < 10000) {
+        Thread.sleep(100); waited += 100
+        val now = jobCount.get()
+        if (now == last) stable += 100 else { stable = 0; last = now }
+      }
+      last
+    }
+
     def encodeArm(name: String, m: Seq[(String, String)]): Unit = {
       // Warmed protocol (the Bench rationale): first run pays codegen +
       // broadcast build, second run is the steady-state number. Both
       // runs' job counts ride the receipt.
       def once(): (Double, Long, Int) = {
-        val before = jobCount.get()
+        val before = settled()
         val t = System.nanoTime()
         val toks = words
           .select(size(Bpe.segment(col("w"), m)).as("n"), col("freq"))
           .agg(sum(col("n") * col("freq"))).as[Long].head()
-        ((System.nanoTime() - t) / 1e9, toks, jobCount.get() - before)
+        val sec = (System.nanoTime() - t) / 1e9
+        (sec, toks, settled() - before)
       }
       val (coldSec, _, coldJobs) = once()
       val (sec, toks, jobs) = once()

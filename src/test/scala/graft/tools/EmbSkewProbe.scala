@@ -61,16 +61,24 @@ object EmbSkewProbe {
     report(s"kmeans$k",
       Knn.assignWith(emb, "vec_id", "embedding",
         Knn.kmeans(emb, "vec_id", "embedding", k, 3)), Seq("bucket"))
-    // Same adaptive bits rule as embeddingLshPairs (the LIBRARY path)...
+    // Same adaptive rule as embeddingLshPairs (the LIBRARY path): since
+    // r12 the bits and since r14 the TABLES auto-size with the corpus —
+    // tables = autoTables(B) = max(24, tablesFor(0.9, B, 0.95)), which
+    // departs from 24 past B=13, so the probe must resolve it too or
+    // its bucket/pair_work receipts understate the registered gate's
+    // real work by T/24 at exactly the corpora this tool exists for
+    // (r14 review).
     val bits = Knn.autoBits(n)
-    report(s"lsh24x$bits",
-      Knn.lshBucketTable(emb, "vec_id", "embedding", 24, bits, 64),
+    val tables = Knn.autoTables(bits)
+    report(s"lsh${tables}x$bits",
+      Knn.lshBucketTable(emb, "vec_id", "embedding", tables, bits, 64),
       Seq("t", "bucket"))
-    // ...which since r12 IS the registered dedup_embedding_lsh gate's
-    // geometry (bits = 0 adaptive; the DuckDB oracle derives the same B
-    // from count(*)). The fixed bits=6 row stays as the CONTRAST
-    // config — the pre-r12 pinned gate whose constant 2^6 buckets per
-    // table aborted at embskew 30× with 79 GB of spill (probe 20).
+    // This IS the registered dedup_embedding_lsh gate's geometry
+    // (bits = 0, tables = 0 adaptive; the DuckDB oracle derives the
+    // same B and T from count(*)). The fixed bits=6 row stays as the
+    // CONTRAST config — the pre-r12 pinned gate whose constant 2^6
+    // buckets per table aborted at embskew 30× with 79 GB of spill
+    // (probe 20).
     if (bits != 6)
       report("lsh24x6_pinned",
         Knn.lshBucketTable(emb, "vec_id", "embedding", 24, 6, 64),

@@ -58,48 +58,61 @@ object IvfPqProbe {
     val booksSec = (System.nanoTime() - t1) / 1e9
     println(f"""{"probe":"ivfpq","dir":"$dir","vectors":$n,"centroids_requested":$kC,"centroids":$cReal,"train_sec":$trainSec%.2f,"trained_books_sec":$booksSec%.2f,"queries":${qs.count()}}""")
 
-    def arm(name: String, df: => DataFrame, c: Int, nprobe: Int): Unit = {
+    // IVF arms carry (centroids, nprobe, scan_frac); the cross-family
+    // LSH row passes None — printing the IVF fields there (0% "scan")
+    // would skew exactly the comparison the row exists for (r14
+    // review).
+    def arm(name: String, df: => DataFrame,
+        ivf: Option[(Int, Int)]): Unit = {
       val t = System.nanoTime()
       val approx = df.select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
         "left_semi").count()
       val sec = (System.nanoTime() - t) / 1e9
-      println(f"""{"probe":"ivfpq","arm":"$name","centroids":$c,"nprobe":$nprobe,"scan_frac":${nprobe.toDouble / c}%.4f,"recall":${hits.toDouble / denom}%.4f,"sec":$sec%.2f}""")
+      val fields = ivf match {
+        case Some((c, np)) =>
+          f""""centroids":$c,"nprobe":$np,"scan_frac":${np.toDouble / c}%.4f"""
+        case None => """"centroids":null,"nprobe":null,"scan_frac":null"""
+      }
+      println(f"""{"probe":"ivfpq","arm":"$name",$fields,"recall":${hits.toDouble / denom}%.4f,"sec":$sec%.2f}""")
     }
 
     // Gate fixture geometry: the oracle-replayable contrast row.
     arm("gate_ivfpq16",
       Knn.ivfPq(emb, qs, "vec_id", "embedding", k = 10,
-        centroids = 16, nprobe = 4), 16, 4)
+        centroids = 16, nprobe = 4), Some((16, 4)))
     // Trained centroids + deterministic books, nprobe swept.
     Seq(4, 16, 32).foreach { np =>
       arm("trained_ivfpq",
         Knn.ivfPqWith(emb, qs, "vec_id", "embedding", k = 10,
-          cents = cents, nprobe = np), cReal, np)
+          cents = cents, nprobe = np), Some((cReal, np)))
     }
     // Trained centroids + trained books — the FAISS-shipped config.
     arm("trained_ivfpq_tbooks",
       Knn.ivfPqWith(emb, qs, "vec_id", "embedding", k = 10,
-        cents = cents, nprobe = 16, booksOpt = Some(tBooks)), cReal, 16)
+        cents = cents, nprobe = 16, booksOpt = Some(tBooks)),
+      Some((cReal, 16)))
     // The REFINE leg (FAISS IndexRefineFlat, r14): ADC selects the
-    // top-R candidates, whose raw vectors re-rank exactly — the fetch
-    // is |Q|·R point lookups, never a corpus scan. The R sweep shows
-    // how much ADC candidacy retains of the rank it cannot express.
+    // top-R candidates, whose raw vectors re-rank exactly — a second
+    // broadcast-filtered scan in this plan (point lookups on an
+    // id-keyed store). The R sweep shows how much ADC candidacy
+    // retains of the rank it cannot express.
     Seq(100, 1000).foreach { r =>
       arm(s"trained_ivfpq_refine$r",
         Knn.ivfPqWith(emb, qs, "vec_id", "embedding", k = 10,
-          cents = cents, nprobe = 16, refine = r), cReal, 16)
+          cents = cents, nprobe = 16, refine = r), Some((cReal, 16)))
     }
     // Denominator rows: the same pruning on EXACT vectors (PQ's recall
     // cost in isolation), and the cross-family LSH-mp row at the
-    // registered width-scaled budget.
+    // registered width-scaled budget (no centroid fields — its
+    // candidate fraction is not nprobe/C).
     arm("trained_ivf_exact",
       Knn.ivfWith(emb, qs, "vec_id", "embedding", k = 10,
-        cents, nprobe = 16), cReal, 16)
+        cents, nprobe = 16), Some((cReal, 16)))
     val b = Knn.autoBits(n)
     arm("lsh_mp_registered",
       Knn.lshCosine(emb, qs, "vec_id", "embedding", k = 10, dims = 64,
-        bits = b, probes = Knn.autoProbes(b)), cReal, 0)
+        bits = b, probes = Knn.autoProbes(b)), None)
     spark.stop()
   }
 }
