@@ -29,10 +29,23 @@ object ExtensionQueries extends graft.QueryModule {
     * the temp warehouse this helper deletes. */
   private[queries] def materializedThen(s: SparkSession, df: DataFrame)(
       cleanup: => Unit): DataFrame =
-    try {
-      val rows = df.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-    } finally
+    try
+      // Eager DISK_ONLY checkpoint, NOT collect-into-LocalRelation (r14,
+      // probe 24): the result only needs its lineage severed from the
+      // temp store so `cleanup` can delete it — it does not need to
+      // visit the driver. The collect form held O(result) rows on the
+      // driver heap and re-shipped them in every consumer's task
+      // closures (19.8 MB/task at the 100× sweep); for the gates whose
+      // RESULT is corpus-sized (the streaming-ingest and SCD2 stream
+      // legs) that is O(corpus) on the driver, and the accumulated
+      // LocalRelations drove the sf100 sweep JVM into a GC death
+      // spiral. The checkpoint keeps every row on executor-side disk
+      // blocks (the probe-16 storage level), exactly one extra
+      // materialization — same cost the collect already paid, minus
+      // the driver round-trip.
+      df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    finally
       try cleanup
       catch { case e: Throwable =>
         System.err.println(s"[graft] gate-query cleanup failed: ${e.getMessage}")
@@ -1491,28 +1504,36 @@ object ExtensionQueries extends graft.QueryModule {
     // The rolling z-score STREAMING leg under the bench/oracle watch
     // (r7): the events table replayed through the real Structured
     // Streaming machinery — file source → flatMapGroupsWithState (state
-    // = each user's last-20 value deque in the state store) → memory
+    // = each user's last-20 value deque in the state store) → FILE
     // sink, Trigger.AvailableNow. Because batch ≡ stream is digit-for-
     // digit (zScoreOf reproduces the window plan's decimal arithmetic
     // exactly; RollingZScoreSpec), the STREAM's output shares the BATCH
     // query's DuckDB oracle — the strongest cross-form pin available.
+    // File sink, not memory sink (r14, probe 24): this stream emits one
+    // row per EVENT, so the memory sink held O(corpus) rows on the
+    // driver (10M at the 100× sweep — the collected table then rode
+    // every downstream task closure at ~20 MB/task and fed the sweep
+    // JVM's OOM). The parquet sink keeps the output distributed — and
+    // is the sink shape a production run would use anyway.
     "stream_anomaly" -> { (s, dir) =>
       import s.implicits._
       val src = eventsStream(s, dir)
         .select($"event_id", $"user_id", unix_micros($"ts").as("tsMicros"),
           $"value")
         .as[graft.streaming.EventsOps.ZEvent]
-      val name = "stream_anomaly_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_zstream").toString
       val q = graft.streaming.EventsOps.rollingZScoreStream(src)
-        .writeStream.format("memory").queryName(name)
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/out")
+        .option("checkpointLocation", s"$outDir/ckpt")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      materializedThen(s, s.table(name)
+      materializedThen(s, s.read.parquet(s"$outDir/out")
         .select($"event_id", $"user_id", $"value", $"z", $"anomaly")
-        .orderBy($"event_id"))(s.catalog.dropTempView(name))
+        .orderBy($"event_id"))(deleteTree(outDir))
     },
 
     // Session windows through the real Structured Streaming machinery
@@ -1537,24 +1558,30 @@ object ExtensionQueries extends graft.QueryModule {
           lit(flushTs).as("ts"), lit(null).cast("double").as("value")))
         .write.mode("overwrite").parquet(streamDir)
       val src = s.readStream.schema(ev.schema).parquet(streamDir)
-      val name = "stream_session_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
       // State store: the session-wide RocksDB default applies (r11,
       // SCALING.md probe 17 — the HDFS-backed provider held every open
       // session's state on-heap and OOM'd the 8 g contract heap at 10M
       // events; RocksDB completed in 42.9 s and was faster at every
       // sub-OOM point, so the per-query toggle this gate carried in r10
       // is gone: the provider policy lives in graft.Sessions).
+      // File sink, not memory sink (r14, probe 24): closed sessions are
+      // O(corpus/⟨events-per-session⟩) — ~1M rows at the 100× sweep —
+      // and the memory sink held them all on the driver; the parquet
+      // sink keeps the output distributed (the production sink shape).
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_sess_out").toString
       val q = graft.streaming.EventsOps
         .sessionsStream(src, "10 minutes", "10 seconds")
-        .writeStream.format("memory").queryName(name)
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/out")
+        .option("checkpointLocation", s"$outDir/ckpt")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      materializedThen(s, s.table(name)
+      materializedThen(s, s.read.parquet(s"$outDir/out")
         .orderBy($"user_id", $"session_start")) {
-        s.catalog.dropTempView(name)
+        deleteTree(outDir)
         deleteTree(streamDir)
       }
     },
