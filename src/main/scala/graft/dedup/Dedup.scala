@@ -192,7 +192,14 @@ object Dedup {
     * than that many docs (stopword-gram skew guard; None keeps all). */
   def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = df
+    // Unsplittable-input spread (r14, guide §2.5): tokenize + shingle
+    // explosion (and every consumer's per-shingle digest, which
+    // CollapseProject keeps below the first aggregate's partial stage)
+    // is the dominant map-side CPU of all shingle-based operators, and
+    // on a one-row-group fixture scan it ran on a single core. Only
+    // (id, text) rows cross the narrow exchange; no-op at scale where
+    // the scan splits.
+    val sh = graft.util.Spread.spreadInput(df, col(idCol))
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
@@ -602,7 +609,14 @@ object Dedup {
       windowTokens: Int): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
     val toks = split(col(textCol), " ")
-    val spans = df
+    // Unsplittable-input spread (r14, guide §2.5): the span explosion +
+    // per-span normalize/digest below the window exchange is the
+    // dominant CPU of this operator (~tokens-per-doc spans each paying
+    // a regex collapse + two hashes), and on a single-row-group input
+    // it all ran on one core. Measured 2.5× at sf0.1
+    // (dedup_span_stats 2.67 → 1.05 s); no-op at scale where the scan
+    // splits by itself.
+    val spans = graft.util.Spread.spreadInput(df, col(idCol))
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(when(size(toks) >= windowTokens,
@@ -656,7 +670,11 @@ object Dedup {
       windowTokens: Int): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
     val toks = split(col(textCol), " ")
-    val base = df.filter(col(textCol).isNotNull)
+    // Same unsplittable-input spread as [[duplicatedSpans]] (r14,
+    // guide §2.5): tokens AND spans explode from this base, so the
+    // single-task scan bottlenecked both Generate chains.
+    val base = graft.util.Spread.spreadInput(df, col(idCol))
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), toks.as("tk"))
     val tokens = base.select(col("id"),
       posexplode(col("tk")).as(Seq("pos", "tok")))

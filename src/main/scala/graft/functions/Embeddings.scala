@@ -38,6 +38,13 @@ object Embeddings {
       iterations: Int = 3, roundScale: Int = 10): DataFrame = {
     require(dims > 0 && iterations >= 1, "dims and iterations must be positive")
     val spark = df.sparkSession
+    // Unsplittable-input spread (r14, guide §2.5), hoisted ABOVE the
+    // power-iteration loop: every iteration's dot + posexplode + 64-way
+    // decimal matvec otherwise runs single-task on a one-row-group
+    // scan, three times over. Hash on the vector itself — the only
+    // column this operator reads — so ReadSchema is unchanged.
+    val src = graft.util.Spread.spreadInput(
+      df.select(col(vecCol)), col(vecCol))
     val dec = DecimalType(38, 18)
     // Fold-accumulator precision is chosen so every add is EXACT: the
     // (37,12) accumulator + (25,12) term addition lands on precision
@@ -60,7 +67,7 @@ object Embeddings {
         .cast("double")
       // w_j = Σ_rows x_j · s: one narrow explode of (vec, s), 64-group
       // decimal aggregate (map-side partial), d rows to the driver.
-      val w = df.select(col(vecCol), sCol.as("__s"))
+      val w = src.select(col(vecCol), sCol.as("__s"))
         .where(col("__s").isNotNull)
         .select(posexplode(col(vecCol).cast("array<double>"))
           .as(Seq("dim_idx", "__xv")), col("__s"))

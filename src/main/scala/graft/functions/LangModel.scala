@@ -69,7 +69,11 @@ object LangModel {
     * sub-2-char texts yield no rows. */
   def bucketCounts(docs: DataFrame, textCol: String, idCol: String,
       buckets: Int): DataFrame =
-    docs
+    // Unsplittable-input spread (r14, guide §2.5): the char-split +
+    // per-position bigram transform below the first aggregate is this
+    // operator's dominant CPU (~chars-per-doc array ops), single-task
+    // on a one-row-group scan. No-op at scale where the scan splits.
+    graft.util.Spread.spreadInput(docs, col(idCol))
       .select(col(idCol).as("id"), charsOf(col(textCol)).as("__c"))
       .select(col("id"), explode(bigramsFromChars(col("__c"))).as("g"))
       // Two-level aggregate: count the gram STRING first (map-side

@@ -71,14 +71,33 @@ object QualityModel {
     val xs = features(col(textCol), col(nCharsCol))
     val dec = DecimalType(28, 10)
     var w = Array.fill(xs.size)(0.0)
-    val nRows = base.count().toDouble
+    // Features and the label are ITERATION-INVARIANT — only w changes
+    // between GD steps — yet the loop used to recompute the full text
+    // feature pipeline (tokenize + stopword scan + mean-token-length,
+    // the dominant per-row cost) on every iteration: iters+1 corpus
+    // text passes for an 8-step train (r14, guide §1.2 "don't compute
+    // things you throw away"). Materialize the (d+1 doubles + label)
+    // feature table ONCE — eager DISK_ONLY localCheckpoint, the repo's
+    // corpus-sized-pin convention (probe 16b) — and every iteration
+    // aggregates over ~48 bytes/row instead of re-deriving them from
+    // the text. Same doubles in, same gradient sums out: the features
+    // are deterministic expressions, so the trained weights are
+    // bit-identical (QualityModelSpec pins the weights; the DuckDB
+    // oracle replay is unchanged). Measured at sf0.1: the three
+    // registered quality-model queries drop ~2× each.
+    val feat = base
+      .select(xs.zipWithIndex.map { case (x, j) => x.as(s"__f$j") } :+
+        label.as("__y"): _*)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val fxs = xs.indices.map(j => col(s"__f$j"))
+    val nRows = feat.count().toDouble
     require(nRows > 0, "empty corpus")
     for (_ <- 0 until iters) {
       // err = σ(w·x) − y, rounded at 8 (one more libm-adjacent pin so
       // the per-term product below starts from identical doubles).
-      val err = round(sigmoid(dot(w, xs)) - label, 8)
-      val sums = base
-        .select(xs.zipWithIndex.map { case (x, j) =>
+      val err = round(sigmoid(dot(w, fxs)) - col("__y"), 8)
+      val sums = feat
+        .select(fxs.zipWithIndex.map { case (x, j) =>
           sum(round(err * x, 8).cast(dec)).as(s"g$j")
         }: _*)
         .collect().head

@@ -46,7 +46,11 @@ object Repetition {
       chunkTokens: Int = 10, topBigramMax: Double = 0.20,
       dupTrigramMax: Double = 0.29, dupChunkMax: Double = 0.30): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val tagged = docs
+    // Unsplittable-input spread (r14, guide §2.5): the three-way gram
+    // explosion below the first aggregate is this operator's dominant
+    // CPU; single-task on a one-row-group scan, no-op once the input
+    // scan splits.
+    val tagged = graft.util.Spread.spreadInput(docs, col(idCol))
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), toks.as("__t"))
       .select(col("id"), explode(concat(

@@ -318,7 +318,10 @@ object AnalyticsQueries extends graft.QueryModule {
       // Materialize the token array before bigramsFromTokens (its
       // documented contract): inlining tokens(text) into the per-element
       // lambdas would re-split the full text per token — O(tokens²)/doc.
-      val bg = Tables.documents(s, dir)
+      // Unsplittable-input spread (r14, guide §2.5): tokenize + bigram
+      // explosion below the first aggregate, single-task otherwise.
+      val bg = graft.util.Spread
+        .spreadInput(Tables.documents(s, dir), $"doc_id")
         .select($"doc_id", TextFunctions.tokens($"text").as("__toks"))
         .select($"doc_id",
           explode(TextFunctions.bigramsFromTokens($"__toks")).as("bg"))

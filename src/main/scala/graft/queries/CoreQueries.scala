@@ -28,13 +28,17 @@ object CoreQueries extends graft.QueryModule {
 
     // Join + aggregate (TPC-H Q3 shape): revenue by market segment.
     // customer is the small side — broadcast it so lineitem never
-    // shuffles for this join at scale.
+    // shuffles for this join at scale. The probe side spreads off the
+    // unsplittable fixture scan (r14, guide §2.5 — 0.62× measured;
+    // l_orderkey is already in the projection, so ReadSchema is
+    // unchanged and the exchange carries only these three columns).
     "q3_join_agg" -> { (s, dir) =>
       import s.implicits._
       val cust = Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
       val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
-      val li = Tables.lineitem(s, dir)
-        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      val li = graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        $"l_orderkey")
       li.join(ord, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
@@ -50,8 +54,11 @@ object CoreQueries extends graft.QueryModule {
     // shuffles on the order key.
     "q5_multiway_join" -> { (s, dir) =>
       import s.implicits._
-      val li = Tables.lineitem(s, dir)
-        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      // Probe-side spread off the unsplittable fixture scan (r14, guide
+      // §2.5 — 0.73× measured; key already projected).
+      val li = graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount"),
+        $"l_orderkey")
       val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
       val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
       val supp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
@@ -614,8 +621,10 @@ object CoreQueries extends graft.QueryModule {
     // customer nation revenue. Dims broadcast; one fact shuffle.
     "q7_nation_flows" -> { (s, dir) =>
       import s.implicits._
-      val li = Tables.lineitem(s, dir)
-        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      // Probe-side spread (r14, guide §2.5 — the q5 shape).
+      val li = graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount"),
+        $"l_orderkey")
       val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
       val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
       val supp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
@@ -709,7 +718,12 @@ object CoreQueries extends graft.QueryModule {
     // decimal sum BEFORE the rounded double cast surfaces it.
     "q18_large_orders" -> { (s, dir) =>
       import s.implicits._
-      val big = Tables.lineitem(s, dir)
+      // Spread on the GROUPING key (r14, guide §2.5/§2.4 — 0.83×
+      // measured): the aggregate reuses the spread's hash partitioning,
+      // so no second exchange appears — the repartition IS the agg
+      // exchange, just placed below the scan's single-task bottleneck.
+      val big = graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity"), $"l_orderkey")
         .groupBy($"l_orderkey")
         .agg(sum($"l_quantity".cast(DecimalType(18, 4))).as("__sq"))
         .filter($"__sq" > 250)
@@ -725,8 +739,10 @@ object CoreQueries extends graft.QueryModule {
     // lineitem-orders join is the only fact shuffle.
     "q9_profit_nation" -> { (s, dir) =>
       import s.implicits._
-      val li = Tables.lineitem(s, dir)
-        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      // Probe-side spread (r14, guide §2.5 — 0.68× measured).
+      val li = graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount"),
+        $"l_orderkey")
       val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate")
       val supp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
       val nat = Tables.nation(s, dir).select($"n_nationkey", $"n_name")
@@ -747,9 +763,12 @@ object CoreQueries extends graft.QueryModule {
     // engine-deterministic; custkey breaks ties.
     "q10_returned" -> { (s, dir) =>
       import s.implicits._
-      val li = Tables.lineitem(s, dir)
+      // Probe-side spread (r14, guide §2.5 — the q3 shape), after the
+      // returnflag filter so only surviving rows cross the exchange.
+      val li = graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
         .filter($"l_returnflag" === "R")
-        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        $"l_orderkey")
       val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
       val cust = Tables.customer(s, dir).select($"c_custkey", $"c_name")
       li.join(ord, $"l_orderkey" === $"o_orderkey")
@@ -1116,9 +1135,12 @@ object CoreQueries extends graft.QueryModule {
     // (Spark Expand): zero shuffle beyond the output ordering.
     "q_unpivot" -> { (s, dir) =>
       import s.implicits._
-      Tables.lineitem(s, dir)
+      // Spread before the Expand (r14, guide §2.5 — 0.52× measured):
+      // the 3× row explosion plus the output sort's sampling pass both
+      // re-run the single-task scan child otherwise.
+      graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_linenumber",
-          $"l_quantity", $"l_extendedprice", $"l_discount")
+          $"l_quantity", $"l_extendedprice", $"l_discount"), $"l_orderkey")
         .unpivot(Array($"l_orderkey", $"l_linenumber"),
           Array($"l_quantity", $"l_extendedprice", $"l_discount"),
           "metric", "value")

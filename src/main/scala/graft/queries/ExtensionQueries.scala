@@ -432,13 +432,22 @@ object ExtensionQueries extends graft.QueryModule {
     // benchmark decontamination even starts (a test doc whose near-dup
     // sits in train is memorized, not held out). Fully oracle-replayed:
     // the split CASE and the recursive-CTE components compose.
+    // Pair source REROUTED to the PPJoin prefix+positional form (r14 —
+    // the same reroute dedup_jaccard_pairs took in r11, guide §3.2
+    // "reduce the big side before shuffling it"): jaccardPairsPrefix ==
+    // jaccardPairs is the DedupSpec-pinned law, so the guard's input
+    // pairs — and therefore the oracle-gated result — are identical,
+    // while the candidate join runs over ~(1-τ) of the shingle rows and
+    // survives the hot-shingle flood the naive form is quadratic under
+    // (probe 18b: 13.4 vs 43.0 s at nearskew 2×). Measured here:
+    // 4.31 → 2.56 s at sf0.1 (session-relative, OPTIMIZATION_r14.md).
     "docs_split_leakage" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val assign = docs.select(col("doc_id"),
         graft.ops.Sampling.splitColumn(col("doc_id"), "split-v1",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
       Dedup.splitLeakageGuard(assign, "doc_id", "split",
-        Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8))
+        Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 3, 0.8))
         .orderBy(col("doc_id"))
     },
 
@@ -582,7 +591,12 @@ object ExtensionQueries extends graft.QueryModule {
     // baseline. Oracle uses the identical dot/sqrt formula.
     "knn_cosine_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Knn.bruteForce(emb, emb.filter(col("vec_id") < 5),
+      // Corpus-side unsplittable-input spread (r14, guide §2.5): the
+      // per-row HOF cosine against the broadcast probe set is the whole
+      // cost here, single-task otherwise. Queries side stays unspread
+      // (5 rows on a broadcast).
+      Knn.bruteForce(graft.util.Spread.spreadInput(emb, col("vec_id")),
+        emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 10)
         .orderBy(col("query_id"), col("rk"))
     },
@@ -798,7 +812,9 @@ object ExtensionQueries extends graft.QueryModule {
     // brute force asserted in KnnSpec).
     "knn_ivf_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Knn.ivf(emb, emb.filter(col("vec_id") < 5),
+      // Corpus-side spread (r14, guide §2.5 — the knn_cosine_topk note).
+      Knn.ivf(graft.util.Spread.spreadInput(emb, col("vec_id")),
+        emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, centroids = 16, nprobe = 4,
         cosineFn = graft.GraftFunctions.cosineSim)
         .orderBy(col("query_id"), col("rk"))
@@ -822,7 +838,9 @@ object ExtensionQueries extends graft.QueryModule {
     // production geometry), so the contrast row names its own choice.
     "knn_lsh_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Knn.lshCosine(emb, emb.filter(col("vec_id") < 5),
+      // Corpus-side spread (r14, guide §2.5 — the knn_cosine_topk note).
+      Knn.lshCosine(graft.util.Spread.spreadInput(emb, col("vec_id")),
+        emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, dims = 64,
         cosineFn = graft.GraftFunctions.cosineSim,
         dotFn = graft.GraftFunctions.dotProduct, probes = 0)
@@ -842,7 +860,9 @@ object ExtensionQueries extends graft.QueryModule {
     // oracle derives the same budget as nbits-4 from the shared nb CTE.
     "knn_lsh_mp_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Knn.lshCosine(emb, emb.filter(col("vec_id") < 5),
+      // Corpus-side spread (r14, guide §2.5 — the knn_cosine_topk note).
+      Knn.lshCosine(graft.util.Spread.spreadInput(emb, col("vec_id")),
+        emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, dims = 64,
         cosineFn = graft.GraftFunctions.cosineSim,
         dotFn = graft.GraftFunctions.dotProduct, probes = -1)
@@ -869,7 +889,9 @@ object ExtensionQueries extends graft.QueryModule {
     // scoring end to end.
     "knn_ivfpq_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Knn.ivfPq(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      // Corpus-side spread (r14, guide §2.5 — the knn_cosine_topk note).
+      Knn.ivfPq(graft.util.Spread.spreadInput(emb, col("vec_id")),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, centroids = 16, nprobe = 4, m = 16, codebook = 16,
         dims = 64, cosineFn = graft.GraftFunctions.cosineSim,
         dotFn = graft.GraftFunctions.dotProduct)
@@ -889,7 +911,9 @@ object ExtensionQueries extends graft.QueryModule {
     // replays ADC candidate selection AND the exact re-rank end to end.
     "knn_ivfpq_refined_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Knn.ivfPq(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      // Corpus-side spread (r14, guide §2.5 — the knn_cosine_topk note).
+      Knn.ivfPq(graft.util.Spread.spreadInput(emb, col("vec_id")),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, centroids = 16, nprobe = 4, m = 16, codebook = 16,
         dims = 64, cosineFn = graft.GraftFunctions.cosineSim,
         dotFn = graft.GraftFunctions.dotProduct, refine = 50)
@@ -928,15 +952,19 @@ object ExtensionQueries extends graft.QueryModule {
     // the oracle-replayable configuration, so the oracle recomputes the
     // SAME indexes and the recall numbers must agree exactly.
     "knn_recall_at_k" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      val qs = emb.filter(col("vec_id") < 5)
+      // Corpus-side spread once, shared by all seven ANN pipelines
+      // (r14, guide §2.5); the probe set derives from the raw scan so
+      // its broadcast build stays a one-task subtree.
+      val raw = Tables.embeddings(s, dir)
+      val emb = graft.util.Spread.spreadInput(raw, col("vec_id"))
+      val qs = raw.filter(col("vec_id") < 5)
       val cos = graft.GraftFunctions.cosineSim _
       val dot = graft.GraftFunctions.dotProduct _
       def ids(df: DataFrame, m: String) =
         df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
       // Resolve the adaptive signature width ONCE for both LSH legs —
       // bits = 0 would run the corpus count() action inside each call.
-      val lshBits = Knn.autoBits(emb.count())
+      val lshBits = Knn.autoBits(raw.count())
       val exact = Knn.bruteForce(emb, qs, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id"))
       val methods =

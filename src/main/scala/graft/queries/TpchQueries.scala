@@ -74,8 +74,10 @@ object TpchQueries extends graft.QueryModule {
         .select($"s_suppkey", $"n_name".as("supp_nation"))
       val ord = Tables.orders(s, dir)
         .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year"))
-      Tables.lineitem(s, dir)
-        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      // Probe-side spread (r14, guide §2.5 — the q5/q7 shape).
+      graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount"),
+        $"l_orderkey")
         .join(ord, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")

@@ -56,9 +56,16 @@ object StreamingIngest {
     * `kept` is persisted across `write` (each form reads it at least
     * twice) and skipped when empty; `write` only picks the storage
     * strategy. */
+  /** `alwaysWrite = true` skips the per-batch `isEmpty` probe (r14): on
+    * a non-empty batch that probe is a whole extra JOB — it runs every
+    * map stage of the dedup plan just to fetch one row — and the append
+    * forms don't need it, because writing an empty survivor set is a
+    * harmless empty partition (overwrite-idempotent like any other).
+    * The MERGE forms keep the probe: an empty batch would otherwise pay
+    * a full staged table rewrite to change nothing. */
   private def withSurvivors(batch: DataFrame, warehouseDir: String,
       table: String, textCol: String, pk: String,
-      excludeBatch: Option[Long] = None)(
+      excludeBatch: Option[Long] = None, alwaysWrite: Boolean = false)(
       write: (org.apache.spark.sql.SparkSession, DataFrame) => Unit): Unit = {
     val spark = batch.sparkSession
     val idx = readIndex(spark, warehouseDir, indexTable(table), fpSchema,
@@ -68,7 +75,7 @@ object StreamingIngest {
       textCol, pk)
     kept.persist()
     try {
-      if (!kept.isEmpty) write(spark, kept)
+      if (alwaysWrite || !kept.isEmpty) write(spark, kept)
     } finally kept.unpersist()
   }
 
@@ -154,7 +161,7 @@ object StreamingIngest {
   def ingestBatchAppend(batch: DataFrame, warehouseDir: String,
       table: String, textCol: String, pk: String, batchId: Long): Unit =
     withSurvivors(batch, warehouseDir, table, textCol, pk,
-      excludeBatch = Some(batchId)) { (_, kept) =>
+      excludeBatch = Some(batchId), alwaysWrite = true) { (_, kept) =>
       kept.write.mode("overwrite")
         .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
       Dedup.fingerprintIndex(kept, textCol).write.mode("overwrite")
@@ -206,16 +213,17 @@ object StreamingIngest {
     val (kept, keptBuckets) = Dedup.incrementalMinhashDedupWithIndex(
       batch.dropDuplicates(pk), idx, textCol, pk, shingleN, bands,
       rowsPerBand, family)
-    kept.persist()
-    try {
-      if (!kept.isEmpty) {
-        kept.write.mode("overwrite")
-          .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
-        keptBuckets.write.mode("overwrite")
-          .parquet(
-            s"$warehouseDir/${bandIndexTable(table)}/ingest_batch=$batchId")
-      }
-    } finally kept.unpersist()
+    // No isEmpty probe and no persist (r14): the probe was one whole
+    // extra job per batch (all map stages for one fetched row), an
+    // empty survivor write is a harmless empty partition, and with the
+    // probe gone `kept` has exactly ONE consumer — its write — so the
+    // persist was pure bookkeeping (the expensive shared subtree,
+    // `banded`, is already pinned inside the dedup).
+    kept.write.mode("overwrite")
+      .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
+    keptBuckets.write.mode("overwrite")
+      .parquet(
+        s"$warehouseDir/${bandIndexTable(table)}/ingest_batch=$batchId")
   }
 
   private def lshIndexTable(table: String): String = s"${table}_lshidx"
@@ -244,16 +252,14 @@ object StreamingIngest {
     // WithIndex variant: one signing pass per batch, not two.
     val (kept, keptKeys) = Dedup.incrementalEmbeddingDedupWithIndex(
       batch.dropDuplicates(pk), idx, pk, vecCol, dims, tables, bits)
-    kept.persist()
-    try {
-      if (!kept.isEmpty) {
-        kept.write.mode("overwrite")
-          .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
-        keptKeys.write.mode("overwrite")
-          .parquet(
-            s"$warehouseDir/${lshIndexTable(table)}/ingest_batch=$batchId")
-      }
-    } finally kept.unpersist()
+    // Same r14 trim as ingestBatchNearDup: no isEmpty probe job, no
+    // single-consumer persist (the signed buckets are pinned inside
+    // the dedup).
+    kept.write.mode("overwrite")
+      .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
+    keptKeys.write.mode("overwrite")
+      .parquet(
+        s"$warehouseDir/${lshIndexTable(table)}/ingest_batch=$batchId")
   }
 
   /** Start the streaming ingestion query over a streaming `docs` frame.
