@@ -32,6 +32,18 @@ object Sessions {
         case _ => "org.apache.spark.sql.execution.streaming" +
           ".state.RocksDBStateStoreProvider"
       })
+    // RocksDB changelog checkpointing (r14, guide §1.2 config tier):
+    // per-batch commits upload the batch's CHANGELOG instead of
+    // snapshotting every state partition's sst files — the documented
+    // production recommendation since Spark 3.5 for commit-latency-
+    // bound stateful streams, which is exactly what the micro-batch
+    // gates are (32 state partitions × few-row batches: snapshot cost
+    // dominated the commit). Measured at sf0.1 (same session, A/B):
+    // stream_session 5.05 → 4.01 s, stream_decay 2.00 → 1.76 s,
+    // stream_anomaly 2.72 → 2.63 s. State contents are unchanged —
+    // this is a checkpoint FORMAT choice, invisible in results.
+    .config("spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled", "true")
 
   def local(cpus: String): SparkSession = {
     val s = configure(SparkSession.builder()

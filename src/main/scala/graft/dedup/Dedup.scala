@@ -191,15 +191,20 @@ object Dedup {
     * for exact Jaccard. `maxShingleDf` drops shingles appearing in more
     * than that many docs (stopword-gram skew guard; None keeps all). */
   def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None, spread: Boolean = true): DataFrame = {
     // Unsplittable-input spread (r14, guide §2.5): tokenize + shingle
     // explosion (and every consumer's per-shingle digest, which
     // CollapseProject keeps below the first aggregate's partial stage)
     // is the dominant map-side CPU of all shingle-based operators, and
     // on a one-row-group fixture scan it ran on a single core. Only
     // (id, text) rows cross the narrow exchange; no-op at scale where
-    // the scan splits.
-    val sh = graft.util.Spread.spreadInput(df, col(idCol))
+    // the scan splits. `spread = false` opts out for consumers whose
+    // downstream work is too light to pay for the exchange
+    // (contaminationRatio — no per-shingle digest, measured 1.1–1.3×
+    // WORSE spread in two independent r14 runs).
+    val base =
+      if (spread) graft.util.Spread.spreadInput(df, col(idCol)) else df
+    val sh = base
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
@@ -561,6 +566,10 @@ object Dedup {
     * window handles as one partition per fingerprint). */
   def unitDedup(df: DataFrame, textCol: String, idCol: String,
       unitsFn: Column => Column, joiner: String = " "): DataFrame = {
+    // Deliberately NOT input-spread (r14): measured 1.4–1.5× WORSE with
+    // the guide-§2.5 repartition in two runs — the window exchange
+    // right above already redistributes the exploded units, so the
+    // spread only added an exchange (guide §2.3).
     val units = df.select(col(idCol).as("id"),
       posexplode(unitsFn(col(textCol))).as(Seq("pos", "unit")))
     val w = Window.partitionBy(TextFunctions.fingerprint(col("unit")))
@@ -716,7 +725,9 @@ object Dedup {
     * broadcasts and the corpus is never shuffled for the join. */
   def contaminationRatio(corpus: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, n: Int): DataFrame = {
-    val cs = shingleTable(corpus, textCol, idCol, n)
+    // spread = false: the broadcast-probe + count here is light enough
+    // that the r14 input spread measured as pure exchange overhead.
+    val cs = shingleTable(corpus, textCol, idCol, n, spread = false)
     val bs = bench
       .select(explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
       .distinct()

@@ -96,13 +96,17 @@ object Cleaning {
       .reduceOption(_ || _).getOrElse(lit(false))
     val braced =
       if (rules.dropBracePages) text.contains(lit("{")) else lit(false)
-    val perDoc = df.select(col(idCol).as("id"),
+    // Unsplittable-input spread (r14, guide §2.5): both the per-doc
+    // line count and the survivors' explode + per-line rule predicates
+    // run below their first exchange; single-task otherwise.
+    val spread = graft.util.Spread.spreadInput(df, col(idCol))
+    val perDoc = spread.select(col(idCol).as("id"),
       when(text.isNotNull, size(linesFn(text)).cast("long"))
         .otherwise(lit(0L)).as("n_lines"),
       text.isNull.as("__nt"),
       coalesce(pageBlocked, lit(false)).as("__pb"),
       coalesce(braced, lit(false)).as("__br"))
-    val survivors = df.filter(text.isNotNull)
+    val survivors = spread.filter(text.isNotNull)
       .select(col(idCol).as("id"),
         posexplode(linesFn(text)).as(Seq("pos", "line")))
       .filter(lineOk(col("line"), rules))

@@ -48,6 +48,11 @@ object Dsir {
     * no rows. */
   def bucketCounts(docs: DataFrame, textCol: String, idCol: String,
       buckets: Int): DataFrame =
+    // Deliberately NOT input-spread (r14): unlike LangModel's two-level
+    // form, the guide-§2.5 repartition measured FLAT on dsir_weights
+    // and 1.8× WORSE on dsir_sample in two runs (the weights pipeline
+    // is consumed twice there, and the spread exchange re-executes per
+    // consumer).
     docs
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__t"))
       .select(col("id"),

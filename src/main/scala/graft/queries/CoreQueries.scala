@@ -698,8 +698,10 @@ object CoreQueries extends graft.QueryModule {
     "q14_promo_share" -> { (s, dir) =>
       import s.implicits._
       val part = Tables.part(s, dir).select($"p_partkey", $"p_type")
-      val li = Tables.lineitem(s, dir)
-        .select($"l_partkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
+      // Probe-side spread (r14, guide §2.5 — the q5/q7 shape).
+      val li = graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_shipdate", $"l_extendedprice", $"l_discount"),
+        $"l_partkey")
       val rev = Parity.rev($"l_extendedprice", $"l_discount")
       li.join(broadcast(part), $"l_partkey" === $"p_partkey")
         .groupBy(trunc($"l_shipdate", "month").as("month"))
@@ -763,12 +765,9 @@ object CoreQueries extends graft.QueryModule {
     // engine-deterministic; custkey breaks ties.
     "q10_returned" -> { (s, dir) =>
       import s.implicits._
-      // Probe-side spread (r14, guide §2.5 — the q3 shape), after the
-      // returnflag filter so only surviving rows cross the exchange.
-      val li = graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
+      val li = Tables.lineitem(s, dir)
         .filter($"l_returnflag" === "R")
-        .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
-        $"l_orderkey")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
       val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
       val cust = Tables.customer(s, dir).select($"c_custkey", $"c_name")
       li.join(ord, $"l_orderkey" === $"o_orderkey")

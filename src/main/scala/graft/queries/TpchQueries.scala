@@ -101,7 +101,10 @@ object TpchQueries extends graft.QueryModule {
     // fact-table scan) and rides a broadcast into the filter.
     "q11_part_value" -> { (s, dir) =>
       import s.implicits._
-      val perPart = Tables.lineitem(s, dir)
+      // Spread on the GROUPING key (r14, guide §2.5/§2.4 — the q18
+      // shape: the aggregate reuses the spread's hash partitioning).
+      val perPart = graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_extendedprice", $"l_discount"), $"l_partkey")
         .groupBy($"l_partkey")
         .agg(sum(rev($"l_extendedprice", $"l_discount")).as("__v"))
       val total = perPart.agg(

@@ -3,12 +3,12 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.Sessions
-import graft.functions.Sketches
 import graft.model.Tables
 
 /** Throwaway timing harness for hotspot investigation (not part of the
   * driver contract; kept out of SparkEntry). Current target: the
-  * sketch_cms_probe outlier (~7 s at sf0.1 regardless of digest count). */
+  * pipeline_curation_v2 stage split (construction vs execution, and the
+  * per-stage noop costs of the V2 additions). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -21,24 +21,27 @@ object Scratch {
       r
     }
     noop(graft.SparkEntry.queries("q1_agg")(spark, dir)) // warmup
+    // warmed full query
+    noop(graft.SparkEntry.queries("pipeline_curation_v2")(spark, dir))
+    val q = time("v2 construction")(
+      graft.SparkEntry.queries("pipeline_curation_v2")(spark, dir))
+    time("v2 execution")(noop(q))
 
-    val li = Tables.lineitem(spark, dir)
-    time("full query w0")(noop(
-      graft.SparkEntry.queries("sketch_cms_probe")(spark, dir)))
-    time("full query w1")(noop(
-      graft.SparkEntry.queries("sketch_cms_probe")(spark, dir)))
-    time("countMin only")(noop(Sketches.countMin(li, col("l_suppkey"))))
-    time("base28 only")(noop(li.select(col("l_suppkey")).where(col("l_suppkey").isNotNull)
-      .select(Sketches.base28(col("l_suppkey"), "cms").as("b"))))
-    time("base28+posexplode")(noop(
-      li.select(col("l_suppkey")).where(col("l_suppkey").isNotNull)
-        .select(Sketches.base28(col("l_suppkey"), "cms").as("__b"))
-        .select(posexplode(transform(sequence(lit(0), lit(3)),
-          j => pmod(Sketches.affineSlot(col("__b"), j), lit(1024))))
-          .as(Seq("row", "col")))))
-    val sk = Sketches.countMin(li, col("l_suppkey"))
-    val probes = spark.range(1, 21).select(col("id").as("key"))
-    time("lookup given built")(noop(Sketches.cmsLookup(sk, probes)))
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("source") === "src0")
+    import graft.dedup.Dedup
+    time("curate v1 (warm2)")(noop(graft.pipeline.Curation.curate(docs, bench,
+      family = Dedup.md5AffineFamily)))
+    time("minhashClusters")(noop(Dedup.minhashClusters(docs, "text", "doc_id",
+      3, 0.8, family = Dedup.md5AffineFamily)))
+    time("contamination")(noop(Dedup.contaminationRatio(docs, bench,
+      "text", "doc_id", 3)))
+    time("repetitionStats")(noop(graft.ops.Repetition.repetitionStats(
+      docs, "text", "doc_id")))
+    time("selfClassify")(noop(graft.functions.LangModel.selfClassify(
+      docs, "text", "lang", "doc_id", 256)))
+    time("removeDupSpans")(noop(Dedup.removeDuplicatedSpans(
+      docs, "text", "doc_id", 10)))
     spark.stop()
   }
 }
