@@ -1399,8 +1399,17 @@ object Dedup {
     val groups = members.groupBy(col("__k"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("__n"),
         max(col("__hs")).as("__hs")) // __hs identical within a group
-    val reps = df.join(
-      groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    // Representatives-side spread (r15): the pair pipeline's shingle
+    // digest + signature compute over reps is the cluster path's
+    // dominant CPU, and at fixture scale AQE coalesces the semi-join's
+    // tiny shuffle to ~1 partition, serializing it. reps cannot be
+    // probed directly (executing its plan to count partitions would run
+    // the collapse prestage as a throwaway job — the r14 ADVICE trap);
+    // the decision comes from the SOURCE scan via spreadLike: no-op at
+    // any scale where the corpus scan splits.
+    val reps = graft.util.Spread.spreadLike(df, df.join(
+      groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi"),
+      col(idCol))
     val repClusters = clusterPairs(
       pairsFn(reps).select(col("id_a"), col("id_b")), maxIterations)
       .select(col("id").as("rep"), col("canonical_id").as("__rc"))

@@ -21,12 +21,10 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
   test("q1_agg prunes the read schema to the needed columns") {
     val p = planOf("q1_agg")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
-    // l_orderkey is DELIBERATELY present at fixture scale: it is the
-    // hash key of Tables.spread's unsplittable-input repartition (r14,
-    // guide §2.5) — an 8-byte column that buys full-width compute on
-    // the single-row-group scan. At warehouse scale the spread is a
-    // no-op and the key drops back out of the schema. l_tax (never
-    // referenced anywhere) still pins that pruning itself works.
+    // q1_agg is agg-first and was never given an unsplittable-input
+    // spread (the blanket read-layer form was measured and rejected in
+    // r14), so neither l_orderkey nor l_tax may appear in its schema.
+    assert(!readSchema.contains("l_orderkey"), readSchema)
     assert(!readSchema.contains("l_tax"), readSchema)
     assert(readSchema.contains("l_quantity"), readSchema)
   }
