@@ -90,6 +90,11 @@ object QualityModel {
         label.as("__y"): _*)
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val fxs = xs.indices.map(j => col(s"__f$j"))
+    // The GD loop is the pin's ONLY consumer and completes inside this
+    // call, so release the checkpointed RDD on every exit path instead
+    // of leaking it for the session (r15, ADVICE r14) — three
+    // registered quality-model queries pin per bench run, plus specs.
+    try {
     val nRows = feat.count().toDouble
     require(nRows > 0, "empty corpus")
     for (_ <- 0 until iters) {
@@ -110,6 +115,7 @@ object QualityModel {
       }.toArray
     }
     w
+    } finally feat.unpersist()
   }
 
   /** Score with trained weights: σ(w·x) rounded at 6 — a pure Column

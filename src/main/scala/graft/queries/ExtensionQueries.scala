@@ -952,19 +952,27 @@ object ExtensionQueries extends graft.QueryModule {
     // the oracle-replayable configuration, so the oracle recomputes the
     // SAME indexes and the recall numbers must agree exactly.
     "knn_recall_at_k" -> { (s, dir) =>
-      // Corpus-side spread once, shared by all seven ANN pipelines
-      // (r14, guide §2.5); the probe set derives from the raw scan so
-      // its broadcast build stays a one-task subtree.
-      val raw = Tables.embeddings(s, dir)
-      val emb = graft.util.Spread.spreadInput(raw, col("vec_id"))
-      val qs = raw.filter(col("vec_id") < 5)
+      // Pin the (spread) corpus ONCE for the exact leg plus all seven
+      // ANN pipelines (r15, VERDICT r14 #3): unpinned, the r14 plan
+      // held 52 parquet scans of the embedding table and 13 separate
+      // spread exchanges with ZERO ReusedExchange — every leg (and
+      // every branch inside a leg: centroids, codebooks, encode,
+      // refine fetch) replayed the corpus subtree. The eager DISK_ONLY
+      // localCheckpoint (corpus-sized-pin convention, probe 16b) runs
+      // the scan + spread once; legs re-read the materialization. At
+      // 100 TB that is ~50 corpus passes collapsed to one. The probe
+      // set and the LSH width count read the pin too.
+      val emb = graft.util.Spread
+        .spreadInput(Tables.embeddings(s, dir), col("vec_id"))
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val qs = emb.filter(col("vec_id") < 5)
       val cos = graft.GraftFunctions.cosineSim _
       val dot = graft.GraftFunctions.dotProduct _
       def ids(df: DataFrame, m: String) =
         df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
       // Resolve the adaptive signature width ONCE for both LSH legs —
       // bits = 0 would run the corpus count() action inside each call.
-      val lshBits = Knn.autoBits(raw.count())
+      val lshBits = Knn.autoBits(emb.count())
       val exact = Knn.bruteForce(emb, qs, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id"))
       val methods =
