@@ -42,8 +42,12 @@ object Sessions {
     // stream_session 5.05 → 4.01 s, stream_decay 2.00 → 1.76 s,
     // stream_anomaly 2.72 → 2.63 s. State contents are unchanged —
     // this is a checkpoint FORMAT choice, invisible in results.
+    // SPARK_GRAFT_CHANGELOG=off flips it back for cold A/B receipts
+    // (VERDICT r14 #6 asked for a cold-fork confirmation of the r14
+    // warm numbers) — the SPARK_GRAFT_STATESTORE convention.
     .config("spark.sql.streaming.stateStore.rocksdb" +
-      ".changelogCheckpointing.enabled", "true")
+      ".changelogCheckpointing.enabled",
+      String.valueOf(!sys.env.get("SPARK_GRAFT_CHANGELOG").contains("off")))
 
   def local(cpus: String): SparkSession = {
     val s = configure(SparkSession.builder()

@@ -632,8 +632,15 @@ object ExtensionQueries extends graft.QueryModule {
 
     // Embedding-cosine near-dup pairs (exact all-pairs baseline).
     "dedup_embedding_pairs" -> { (s, dir) =>
-      Knn.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        0.4, graft.GraftFunctions.cosineSim)
+      // Corpus-side spread (r15, guide §2.5, re-arbitrated cold-fork —
+      // the r14 rejection was measured in a degraded session): the
+      // exact-quadratic cosine loop streams the corpus side of a
+      // broadcast nested-loop join, so an unsplittable scan ran all
+      // |N|²/2 cosines in ONE task. No-op at scale.
+      Knn.cosinePairs(
+        graft.util.Spread.spreadInput(Tables.embeddings(s, dir),
+          col("vec_id")),
+        "vec_id", "embedding", 0.4, graft.GraftFunctions.cosineSim)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -663,6 +670,10 @@ object ExtensionQueries extends graft.QueryModule {
     // the autoProbes pattern; 24 at every gate scale, so results are
     // unchanged. Receipt at B=14 on clustered data: probe 20f.
     "dedup_embedding_lsh" -> { (s, dir) =>
+      // NO corpus spread (r15 cold-fork arbitration, min-over-3
+      // interleaved: 2.33 s unspread vs 2.77 s spread — the bucket
+      // self-join exchange dominates and the extra spread exchange is
+      // pure cost; confirms the r14 measured-and-rejected call).
       graft.dedup.Dedup.embeddingLshPairsSalted(Tables.embeddings(s, dir),
         "vec_id", "embedding", threshold = 0.4, dims = 64, bits = 0,
         tables = 0)
@@ -676,6 +687,9 @@ object ExtensionQueries extends graft.QueryModule {
     // batch; the rest are the indexed corpus.
     "dedup_embedding_incremental" -> { (s, dir) =>
       import s.implicits._
+      // NO corpus spread (r15 cold-fork arbitration: 1.85 s unspread
+      // vs 2.57 s spread min-over-3 — the index distinct + batch join
+      // exchanges dominate; same verdict as dedup_embedding_lsh).
       val emb = Tables.embeddings(s, dir)
       val corpus = emb.filter(pmod($"vec_id", lit(4L)) =!= 0L)
       val batch = emb.filter(pmod($"vec_id", lit(4L)) === 0L)
@@ -1164,8 +1178,13 @@ object ExtensionQueries extends graft.QueryModule {
     // no false negatives — so the oracle is the plain semi join.
     "q_bloom_semijoin" -> { (s, dir) =>
       import s.implicits._
-      val li = Tables.lineitem(s, dir)
-        .select($"l_suppkey", $"l_quantity", $"l_returnflag")
+      // Probe-side spread (r15, guide §2.5 — the Sketches md5 shape):
+      // the Bloom membership probe digests every fact row (md5 +
+      // numHashes slot derivations) below the first exchange,
+      // single-task on a one-row-group scan. No-op at scale.
+      val li = graft.util.Spread.spreadInput(Tables.lineitem(s, dir)
+        .select($"l_suppkey", $"l_quantity", $"l_returnflag"),
+        $"l_suppkey")
       val smallSupp = Tables.supplier(s, dir)
         .filter($"s_nationkey" < 5)
         .select($"s_suppkey".as("l_suppkey"))

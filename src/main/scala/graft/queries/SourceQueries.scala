@@ -55,7 +55,14 @@ object SourceQueries extends graft.QueryModule {
     "src_orc_roundtrip" -> { (s, dir) =>
       import s.implicits._
       val path = FileSources.scratchDir("orc", "lineitem", dir)
-      val back = FileSources.orcRoundTrip(Tables.lineitem(s, dir), path)
+      // Spread before the ORC write (r15, guide §2.5/§6): a one-task
+      // source serializes both the write (one writer) and the
+      // read-back (one unsplit file feeding the aggregate). The spread
+      // parallelizes both sides; the filter+aggregate result is
+      // layout-independent. No-op at scale where the scan splits.
+      val back = FileSources.orcRoundTrip(
+        graft.util.Spread.spreadInput(Tables.lineitem(s, dir),
+          $"l_orderkey"), path)
       back.filter($"l_shipdate" >= lit("1996-01-01"))
         .groupBy($"l_returnflag").agg(
           count(lit(1)).as("n_lines"),
