@@ -29,6 +29,31 @@ import graft.pipeline.SendoPipeline
   */
 object StreamingIngest {
 
+  /** Overlap a batch's two INDEPENDENT output writes (survivors +
+    * index) on two driver threads — guide §2.6 "overlap independent
+    * jobs": the writes target disjoint paths, both are idempotent
+    * partition overwrites, and the gates' documented partial-failure
+    * story (docs-written/index-crashed reconverges on replay) already
+    * covers every interleaving, so ordering between them was never
+    * load-bearing. The second job's tasks back-fill executor slots the
+    * first job's tail leaves idle. Failures propagate after both
+    * complete (never abandon a running write mid-flight).
+    * SPARK_GRAFT_SEQWRITES=1 restores sequential writes for A/B runs —
+    * the SPARK_GRAFT_STATESTORE convention; the driver never sets it. */
+  private def writeBoth(a: => Unit, b: => Unit): Unit = {
+    if (sys.env.get("SPARK_GRAFT_SEQWRITES").contains("1")) { a; b; return }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a)
+    val fb = Future(b)
+    // Await both before rethrowing either, so a failed docs write can
+    // never leave the index write running against a torn table.
+    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    ra.get; rb.get
+  }
+
   private val fpSchema = StructType(Seq(StructField("fp", StringType)))
 
   private def indexTable(table: String): String = s"${table}_fpindex"
@@ -162,10 +187,11 @@ object StreamingIngest {
       table: String, textCol: String, pk: String, batchId: Long): Unit =
     withSurvivors(batch, warehouseDir, table, textCol, pk,
       excludeBatch = Some(batchId), alwaysWrite = true) { (_, kept) =>
-      kept.write.mode("overwrite")
-        .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
-      Dedup.fingerprintIndex(kept, textCol).write.mode("overwrite")
-        .parquet(s"$warehouseDir/${indexTable(table)}/ingest_batch=$batchId")
+      writeBoth(
+        kept.write.mode("overwrite")
+          .parquet(s"$warehouseDir/$table/ingest_batch=$batchId"),
+        Dedup.fingerprintIndex(kept, textCol).write.mode("overwrite")
+          .parquet(s"$warehouseDir/${indexTable(table)}/ingest_batch=$batchId"))
     }
 
   private def bandIndexTable(table: String): String = s"${table}_bandidx"
@@ -219,11 +245,12 @@ object StreamingIngest {
     // probe gone `kept` has exactly ONE consumer — its write — so the
     // persist was pure bookkeeping (the expensive shared subtree,
     // `banded`, is already pinned inside the dedup).
-    kept.write.mode("overwrite")
-      .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
-    keptBuckets.write.mode("overwrite")
-      .parquet(
-        s"$warehouseDir/${bandIndexTable(table)}/ingest_batch=$batchId")
+    writeBoth(
+      kept.write.mode("overwrite")
+        .parquet(s"$warehouseDir/$table/ingest_batch=$batchId"),
+      keptBuckets.write.mode("overwrite")
+        .parquet(
+          s"$warehouseDir/${bandIndexTable(table)}/ingest_batch=$batchId"))
   }
 
   private def lshIndexTable(table: String): String = s"${table}_lshidx"
@@ -255,11 +282,12 @@ object StreamingIngest {
     // Same r14 trim as ingestBatchNearDup: no isEmpty probe job, no
     // single-consumer persist (the signed buckets are pinned inside
     // the dedup).
-    kept.write.mode("overwrite")
-      .parquet(s"$warehouseDir/$table/ingest_batch=$batchId")
-    keptKeys.write.mode("overwrite")
-      .parquet(
-        s"$warehouseDir/${lshIndexTable(table)}/ingest_batch=$batchId")
+    writeBoth(
+      kept.write.mode("overwrite")
+        .parquet(s"$warehouseDir/$table/ingest_batch=$batchId"),
+      keptKeys.write.mode("overwrite")
+        .parquet(
+          s"$warehouseDir/${lshIndexTable(table)}/ingest_batch=$batchId"))
   }
 
   /** Start the streaming ingestion query over a streaming `docs` frame.
